@@ -1,0 +1,118 @@
+"""Scalar function layer (SURVEY §2.8 F1-F13, §2.2 P1-P11).
+
+Each helper is a pure Column expression — JVM-side, codegen-friendly, no
+Python UDFs. The SQLite quirks the reference leans on are made explicit:
+
+- F1  SUBSTR(x, 0, n) in SQLite yields chars 1..n-1 → substring(c, 1, n-1)
+- F2  `huisletter || toevoeging` concat on ''-defaulted (not NULL) fields
+- F3  ISO-date *string* slice-compare (reference bag_parser.py:18-28)
+- F11 `IS NOT ''` empty-string-as-missing (reference database_sqlite.py:527)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sqlite_substr(c: Column, start: int, length: int) -> Column:
+    """SQLite SUBSTR with its 0-start quirk: SUBSTR(x, 0, 5) = chars 1..4
+    (reference exporter.py:98,115). 1-based starts behave normally."""
+    if start == 0:
+        return F.substring(c, 1, length - 1)
+    return F.substring(c, start, length)
+
+
+def concat_nonnull(*cols: Column) -> Column:
+    """F2: `a || b` over ''-defaulted fields (reference exporter.py:57)."""
+    return F.concat(*cols)
+
+
+def iso_date_prefix(c: Column) -> Column:
+    """F3: first 10 chars of an ISO date(time) string (bag_parser.py:18)."""
+    return F.substring(c, 1, 10)
+
+
+def temporal_validity_predicate(
+    begindatum: Column, einddatum: Column, snapshot_date: str
+) -> Column:
+    """P3: active-record predicate (reference bag_parser.py:15-31).
+
+    begindatum[0:10] <= snapshot AND (einddatum = '' OR einddatum[0:10] >=
+    snapshot), compared as strings exactly like the reference. NULL einddatum
+    is treated as '' (still valid) to match ''-defaulted parse output.
+    """
+    start_ok = iso_date_prefix(begindatum) <= F.lit(snapshot_date)
+    end_empty = F.coalesce(einddatum, F.lit("")) == F.lit("")
+    end_ok = iso_date_prefix(einddatum) >= F.lit(snapshot_date)
+    return start_ok & (end_empty | end_ok)
+
+
+def status_predicate(status: Column, wanted: str | None) -> Column:
+    """P4: per-entity status equality (reference bag_parser.py:33-35,47-70).
+    ``wanted=None`` (Pand/Verblijfsobject) means no status filter."""
+    if wanted is None:
+        return F.lit(True)
+    return status == F.lit(wanted)
+
+
+def choose_name(
+    lange_naam: Column, verkorte_naam: Column, use_short: bool
+) -> Column:
+    """P6: short-vs-long street name (reference database_sqlite.py:94-97)."""
+    if not use_short:
+        return lange_naam
+    return F.when(verkorte_naam != F.lit(""), verkorte_naam).otherwise(lange_naam)
+
+
+def null_dummy(c: Column, *, dummy_values: list | None = None,
+               gt: float | None = None) -> Column:
+    """P11: dummy-value nulling (reference database_sqlite.py:542-601):
+    bouwjaar 1005 → NULL, bouwjaar > 2040 → NULL, oppervlakte ∈ {999999, 1} →
+    NULL. Expressed once as a reusable cleaning combinator."""
+    cond = F.lit(False)
+    if dummy_values:
+        cond = cond | c.isin(dummy_values)
+    if gt is not None:
+        cond = cond | (c > F.lit(gt))
+    return F.when(cond, F.lit(None)).otherwise(c)
+
+
+def nullif_empty(c: Column) -> Column:
+    """F11: '' → NULL (reference database_sqlite.py:527 `IS NOT ''`)."""
+    return F.nullif(c, F.lit(""))
+
+
+def empty_if_null(c: Column) -> Column:
+    """P2: default-injection for absent fields (bag_parser.py:184,259-262)."""
+    return F.coalesce(c, F.lit(""))
+
+
+def pos_to_rd(pos: Column) -> tuple[Column, Column]:
+    """P8/U3: 'x y [z]' posList string → (rd_x, rd_y) doubles
+    (reference utils.py:196-198)."""
+    parts = F.split(pos, " ")
+    return parts[0].cast("double"), parts[1].cast("double")
+
+
+def first_point_of_geometry(geom: Column) -> Column:
+    """P7: first 'x y' pair from a '[x y z x y z …]' polygon string
+    (reference bag_parser.py:137-143)."""
+    stripped = F.regexp_replace(geom, r"^\[|\]$", "")
+    parts = F.split(stripped, " ")
+    return F.concat_ws(" ", parts[0], parts[1])
+
+
+def bracket_wrap(c: Column) -> Column:
+    """P9: geometry text → '[text]' (reference bag_parser.py:100-101)."""
+    return F.concat(F.lit("["), c, F.lit("]"))
+
+
+def is_multivalue(c: Column) -> Column:
+    """F10: comma-list detector (reference database_sqlite.py:408)."""
+    return c.contains(",")
+
+
+def split_multivalue(c: Column) -> Column:
+    """F9: comma-list unpack (reference database_sqlite.py:413,479)."""
+    return F.split(c, ",")

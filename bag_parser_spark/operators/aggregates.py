@@ -1,0 +1,74 @@
+"""Aggregation operators (SURVEY §2.4 A1-A6, §2.6 O1-O3).
+
+Determinism note: SQLite allows a bare non-grouped column in GROUP BY and
+returns "some value" (reference exporter.py:102,119,136 selects w.naam that
+way). Spark's F.first() in a shuffled agg is equally nondeterministic; the
+oracle-checkable engine surface exposes *deterministic* any-value (min) and
+documents the difference — at 1000 executors nondeterminism is a retry bug,
+not a quirk.
+
+Money/double aggregates go through DECIMAL sums cast back to double: decimal
+addition is exact and associative, so results are bit-identical regardless
+of partitioning — the only way a distributed sum can hash-match a
+single-threaded oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_sum(c: Column, scale: int = 2) -> Column:
+    """Order-independent double sum: cast to DECIMAL(28, scale), sum exactly,
+    cast back. Distributed partial aggregation stays correct to the bit."""
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def exact_avg(c: Column, scale: int = 2) -> Column:
+    """Order-independent mean: exact decimal sum / count, double division."""
+    return (
+        F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(c)
+    )
+
+
+def exact_sum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+def exact_avg_sql(expr: str, scale: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
+
+
+def grouped_stats(
+    df: DataFrame,
+    group_key: Column,
+    key_name: str,
+    avg_cols: dict[str, Column],
+    any_value_cols: dict[str, Column] | None = None,
+    count_name: str = "aantal",
+) -> DataFrame:
+    """A1: the postcode4/5/6 grouped-stats shape (reference
+    exporter.py:93-142): GROUP BY derived key, AVG(lat), AVG(lon), COUNT(1),
+    plus an "any value" dim column — here deterministic F.min.
+
+    One shuffle on the derived key with map-side partial aggregation; the
+    derived-key projection happens before the exchange so the shuffle
+    carries only (key, partial-sums).
+    """
+    aggs = [exact_avg(c, scale=6).alias(name) for name, c in avg_cols.items()]
+    for name, c in (any_value_cols or {}).items():
+        aggs.append(F.min(c).alias(name))
+    aggs.append(F.count(F.lit(1)).alias(count_name))
+    return df.groupBy(group_key.alias(key_name)).agg(*aggs)
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """O1/O2: ORDER BY … LIMIT k (reference database_sqlite.py:640-646).
+    Spark plans TakeOrderedAndProject — per-partition heaps, no full sort."""
+    return df.orderBy(*order_by).limit(k)

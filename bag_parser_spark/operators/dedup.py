@@ -1,0 +1,278 @@
+"""Dedup / upsert operators (SURVEY §2.1 S7, §2.5 W1; extensions: exact,
+MinHash-LSH, SimHash, n-gram Jaccard for corpus dedup at scale).
+
+The reference upserts with `REPLACE INTO` because "BAG does not always
+contain unique id's" (reference database_sqlite.py:98-162): last write wins
+in arrival order. Spark has no insertion order, so the order must be an
+explicit column (file ordinal, event timestamp…) — encoded here as a window
+rank. One shuffle on the key; with bucketed storage on the key, zero.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def last_write_wins(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    keep: str = "last",
+) -> DataFrame:
+    """W1/S7: keep one row per key, latest by ``order_by`` (REPLACE INTO
+    semantics, reference database_sqlite.py:98-162 and the "only last one
+    remains" comment at :419-420).
+
+    ``order_by`` must be a deterministic total order within each key group
+    (add a tiebreaker column!) or results are nondeterministic under retry —
+    exactly the trap the reference's insertion-order dependence hides.
+    """
+    ordering = [c.desc() if keep == "last" else c.asc() for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def dedup_exact(
+    df: DataFrame, on: Sequence[str], id_col: str
+) -> DataFrame:
+    """Exact dedup: one representative row per content key, deterministic
+    (min id). A hash-groupBy — one shuffle on the content hash; map-side
+    combine keeps shuffle volume at ~#distinct, not #rows."""
+    w = Window.partitionBy(*on).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingle array (distinct, order-free) for Jaccard/MinHash.
+    Pure higher-order functions — no UDF: split → sliding join of n words."""
+    words = F.split(F.trim(text), r"\s+")
+    # transform over start indices 0..len-n, join n consecutive words
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
+    shingle_at = lambda i: F.concat_ws(
+        " ", *[F.element_at(words, i + k + 1) for k in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, shingle_at))
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature as an array of hex-string minima.
+
+    Hash family h_i(s) = md5(i || ':' || s); the minimum over a doc's shingle
+    set of each h_i is a uniform permutation minimum. md5 hex strings compare
+    lexicographically identically in any engine — making the DuckDB oracle
+    exact. JVM-side md5 (no UDF); at scale this is a map-only projection.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs (id_a < id_b).
+
+    shingle → minhash signature → split into ``bands`` bands of r rows →
+    band-key equi-join buckets candidates. The pair join shuffles only on
+    band hashes (tiny keys), never on document text — the 100 TB-safe shape.
+    Returns (id_a, id_b, band) candidate pairs, distinct on (id_a, id_b).
+    """
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id__"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "__sig__"
+        ),
+    )
+    banded = sig.select(
+        "__id__",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col("__sig__")[b * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id__", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(
+            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via shingle inverted index.
+
+    explode shingles → self-join on shingle (the inverted-index trick: only
+    docs sharing ≥1 shingle ever meet — never the O(n²) cross join) →
+    |A∩B| per pair → Jaccard with |A|,|B| → threshold. Shuffles on shingle
+    then on (id_a,id_b): both keys are small; hot shingles (stop-gram skew)
+    are the known hazard — cap or salt them upstream for skewed corpora.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("__id__").agg(F.count("*").alias("__size__"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .groupBy(
+            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
+        )
+        .agg(F.count("*").alias("intersection"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes).withColumnRenamed("__id__", "id_a").withColumnRenamed(
+                "__size__", "size_a"
+            ),
+            on="id_a",
+        )
+        .join(
+            F.broadcast(sizes).withColumnRenamed("__id__", "id_b").withColumnRenamed(
+                "__size__", "size_b"
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "intersection", "size_a", "size_b", "jaccard")
+    )
+
+
+def _hex_nibble_value(ch: Column) -> Column:
+    """hex char → 0..15 via position arithmetic (engine-portable)."""
+    return F.instr(F.lit("0123456789abcdef"), ch) - 1
+
+
+def simhash_bits(text: Column, num_bits: int = 16) -> Column:
+    """SimHash over word tokens, ``num_bits`` bits (≤ 32: bits are drawn
+    from the first 8 md5 hex chars of each token).
+
+    For each bit position b, sum ±1 over tokens (bit set → +1) and take the
+    sign → array<int> of bits. Pure expressions; oracle-reproducible.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    hashes = F.transform(words, lambda w: F.md5(w))
+    def bit_of(h: Column, b: int) -> Column:
+        nibble = _hex_nibble_value(F.substring(h, b // 4 + 1, 1))
+        return F.when(
+            F.bitwise_and(nibble, F.lit(1 << (3 - b % 4))) > 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+    return F.array(
+        *[
+            F.when(
+                F.aggregate(
+                    hashes, F.lit(0), lambda acc, h, b=b: acc + bit_of(h, b)
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for b in range(num_bits)
+        ]
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Candidate generation blocks on the first half of the bits (a 1-band LSH
+    on the sign vector) so the join key is a small int — only pairs agreeing
+    on the prefix meet, which is the standard scale trick for ≤k hamming
+    with k < bits/2 refined exactly afterwards.
+    """
+    half = num_bits // 2
+    sig = df.select(
+        F.col(id_col).alias("__id__"),
+        simhash_bits(F.col(text_col), num_bits).alias("bits"),
+    ).withColumn(
+        "prefix", F.concat_ws("", *[F.col("bits")[i] for i in range(half)])
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.prefix") == F.col("b.prefix"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .withColumn(
+            "hamming",
+            F.aggregate(
+                F.zip_with(
+                    F.col("a.bits"),
+                    F.col("b.bits"),
+                    lambda x, y: F.when(x != y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,83 @@
+"""Join operators (SURVEY §2.3 J1-J9).
+
+All reference joins are equi left-outer joins against SQLite; several are
+*update-joins* (UPDATE … FROM = left join + column overwrite). Spark-first
+mapping:
+
+- Dimension sides are broadcast (`F.broadcast`) — at 100 TB the fact table
+  never shuffles for a dim lookup; only genuinely big-big joins (e.g.
+  nummers ⋈ verblijfsobjecten, ~9.5M × 9M at NL scale, far larger on a
+  training corpus) go sort-merge on the join key, and AQE converts to
+  broadcast at runtime when a side turns out small.
+- Update-joins compose as DataFrame → DataFrame functions so the reference's
+  sequential UPDATE passes (database_sqlite.py:440-530) become one lineage —
+  Catalyst collapses the projections; ordering is preserved by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chained_left_join(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Column | str | list[str]]],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """J1/J9: fact LEFT JOIN dim1 LEFT JOIN dim2 … (reference
+    database_sqlite.py:347-375, exporter.py:52-73).
+
+    Each dim is (DataFrame, join-condition). Dims are broadcast by default —
+    the snowflake lookup chain (adressen ⋈ openbare_ruimten ⋈ gemeenten ⋈
+    woonplaatsen ⋈ provincies) must not shuffle the fact table.
+    """
+    out = fact
+    for dim, on in dims:
+        right = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(right, on=on, how="left")
+    return out
+
+
+def update_join(
+    target: DataFrame,
+    source: DataFrame,
+    on: Column | str | list[str],
+    set_cols: dict[str, Column],
+    when_matched_only: bool = True,
+) -> DataFrame:
+    """J2/J3/J6: UPDATE target SET col = source.expr FROM source WHERE match
+    (reference database_sqlite.py:79-85, 440-464, 522-530).
+
+    ``set_cols`` maps target column name → replacement Column (may reference
+    source columns). When ``when_matched_only``, unmatched target rows keep
+    their original value (left join + conditional overwrite); the source must
+    be unique on the join key or the update is ambiguous (the reference
+    inherits SQLite's pick-one behavior; we require pre-deduped sources).
+    """
+    src = source.withColumn("__matched__", F.lit(True))
+    joined = target.join(src, on=on, how="left")
+    out = joined
+    for name, expr in set_cols.items():
+        if when_matched_only:
+            out = out.withColumn(
+                name, F.when(F.col("__matched__").isNotNull(), expr).otherwise(F.col(name))
+            )
+        else:
+            out = out.withColumn(name, expr)
+    drop = [c for c in src.columns if c not in target.columns]
+    return out.drop(*drop)
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Column | str | list[str]) -> DataFrame:
+    """J7: NOT IN subquery semantics (reference database_sqlite.py:649-677).
+    Spark's left_anti is NULL-safe unlike SQL NOT IN; the reference's probe
+    sets are PK columns (never NULL) so semantics coincide."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Column | str | list[str]) -> DataFrame:
+    """J8: IN subquery / DISTINCT-probe semantics (database_sqlite.py:651,659)."""
+    return left.join(right, on=on, how="left_semi")

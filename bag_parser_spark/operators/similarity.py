@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (extension, BASELINE.json north
+star: ANN over array<float> embeddings).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant is
+the 100 TB path: random-hyperplane signatures turn the O(n·q) scan into a
+bucket equi-join, shuffling only (bucket, id) pairs. All arithmetic is
+sequential-order double math (F.aggregate left fold) so a single-threaded
+oracle computes bit-identical similarities.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — deterministic accumulation order."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    The query vector is a literal array (broadcast in the plan, not a join);
+    the scan is embarrassingly parallel and TakeOrderedAndProject keeps only
+    k rows per partition. Ties break on id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _pseudo_random_plane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from a hash of (plane, dim
+    index) — reproducible in any engine, no RNG state. Values in [-1, 1]."""
+    out = []
+    for d in range(dim):
+        h = 0
+        for ch in f"plane:{plane}:{d}":
+            h = (h * 1000003 + ord(ch)) % (2**31)
+        out.append((h / float(2**31 - 1)) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket = sign bits of ⟨v, plane_i⟩.
+
+    Only vectors in the query's bucket are scored — at corpus scale the
+    candidate set is ~n/2^planes per bucket and the scan prunes via a
+    pushed-down bucket filter. Recall < 1 by construction (documented
+    approximate operator); same scoring math as cosine_topk.
+    """
+    dim = len(query_vec)
+    planes = [_pseudo_random_plane(p, dim) for p in range(num_planes)]
+
+    def bucket_of(vec: Column) -> Column:
+        bits = [
+            F.when(
+                dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for plane in planes
+        ]
+        return F.concat(*bits)
+
+    qb = "".join(
+        "1" if sum(q * w for q, w in zip(query_vec, plane)) >= 0 else "0"
+        for plane in planes
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (
+        df.withColumn("__bucket__", bucket_of(F.col(vec_col)))
+        .filter(F.col("__bucket__") == F.lit(qb))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join_brute(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """All-pairs k-NN join (broadcast the smaller probe side, per-probe
+    top-k via window). Exact; quadratic — the LSH variant is the scale path."""
+    from pyspark.sql import Window
+
+    l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("qv"))
+    r = right.select(F.col(right_id).alias("cid"), F.col(vec_col).alias("cv"))
+    pairs = F.broadcast(l).crossJoin(r).filter(F.col("qid") != F.col("cid"))
+    scored = pairs.select(
+        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

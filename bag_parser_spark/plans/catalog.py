@@ -1,0 +1,538 @@
+"""Query catalog: every SURVEY §2 operator as a named (spark, sf_dir) →
+DataFrame callable plus its DuckDB oracle SQL. This is the engine's public
+query surface and the driver's correctness gate.
+
+Determinism contract: every query is a deterministic function of its input
+tables — any-value aggregates use min(), top-k has total-order tiebreakers,
+double aggregates go through exact decimal sums, and floating expressions
+use identical operand order in the Spark and SQL forms so IEEE results are
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bag_parser_spark.functions import rijksdriehoek as rd
+from bag_parser_spark.functions import scalars
+from bag_parser_spark.operators import aggregates as agg
+from bag_parser_spark.operators import dedup, joins, similarity, text
+from bag_parser_spark.sources.parquet import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = QueryDef(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryDef]:
+    return dict(_REGISTRY)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# J1/J9 — chained left joins (the flagship address-lookup shape)
+# reference database_sqlite.py:347-375, exporter.py:52-73, readme.MD:54-78
+# ---------------------------------------------------------------------------
+
+@register(
+    "j1_chained_left_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber,
+           l.l_returnflag || l.l_linestatus AS flag_status,
+           l.l_extendedprice, o.o_totalprice, o.o_orderpriority,
+           c.c_name, n.n_name AS nation_name, r.r_name AS region_name
+    FROM lineitem l
+    LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE l.l_quantity >= 30
+    """,
+    doc="J1/J9: 4-dim snowflake left-join chain with F2 concat + filter "
+    "(reference database_sqlite.py:347-375, exporter.py:52-73). Dims "
+    "broadcast; fact never shuffles.",
+)
+def q_j1(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = joins.chained_left_join(
+        l,
+        [
+            (o, F.col("l_orderkey") == F.col("o_orderkey")),
+            (c, F.col("o_custkey") == F.col("c_custkey")),
+            (n, F.col("c_nationkey") == F.col("n_nationkey")),
+            (r, F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        scalars.concat_nonnull(F.col("l_returnflag"), F.col("l_linestatus")).alias(
+            "flag_status"
+        ),
+        "l_extendedprice",
+        "o_totalprice",
+        "o_orderpriority",
+        "c_name",
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — update-join (woonplaatsen.gemeente_id ← gemeente_woonplaatsen)
+# reference database_sqlite.py:79-85
+# ---------------------------------------------------------------------------
+
+@register(
+    "j2_update_join",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN n.n_nationkey IS NOT NULL THEN n.n_name ELSE '' END
+             AS nation_name
+    FROM customer c
+    LEFT JOIN (SELECT * FROM nation WHERE n_regionkey < 2) n
+      ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="J2: UPDATE-join = left join + overwrite-when-matched (reference "
+    "database_sqlite.py:79-85); unmatched rows keep the '' default.",
+)
+def q_j2(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").withColumn("nation_name", F.lit(""))
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 2)
+    updated = joins.update_join(
+        c,
+        n.select("n_nationkey", "n_name"),
+        on=F.col("c_nationkey") == F.col("n_nationkey"),
+        set_cols={"nation_name": F.col("n_name")},
+    )
+    return updated.select("c_custkey", "c_name", "nation_name")
+
+
+# ---------------------------------------------------------------------------
+# J6 — coalesce-override update-join (nummer-level woonplaats override)
+# reference database_sqlite.py:522-530
+# ---------------------------------------------------------------------------
+
+@register(
+    "j6_coalesce_override",
+    """
+    SELECT o.o_orderkey,
+           COALESCE(NULLIF(c.c_mktsegment, ''), o.o_orderpriority)
+             AS priority_resolved
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="J6/F11: override only when source value non-empty "
+    "(reference database_sqlite.py:522-530 `IS NOT ''`).",
+)
+def q_j6(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(
+                scalars.nullif_empty(F.col("c_mktsegment")), F.col("o_orderpriority")
+            ).alias("priority_resolved"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7/J8 — anti / semi joins (NOT IN / IN probe sets)
+# reference database_sqlite.py:649-677
+# ---------------------------------------------------------------------------
+
+@register(
+    "j7_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE c.c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+    doc="J7: customers without (large) orders (reference "
+    "database_sqlite.py:649-652 'gemeenten without adressen'). left_anti — "
+    "no NULL keys here, so NOT IN semantics coincide.",
+)
+def q_j7(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return joins.anti_join(
+        c, o, on=F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j8_semi_join",
+    """
+    SELECT n.n_nationkey, n.n_name
+    FROM nation n
+    WHERE n.n_nationkey IN (SELECT DISTINCT c_nationkey FROM customer)
+    """,
+    doc="J8: DISTINCT-probe semi join (reference database_sqlite.py:651,659).",
+)
+def q_j8(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return joins.semi_join(
+        n, c, on=F.col("n_nationkey") == F.col("c_nationkey")
+    ).select("n_nationkey", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# W1/S7 — last-write-wins upsert (REPLACE INTO)
+# reference database_sqlite.py:98-162
+# ---------------------------------------------------------------------------
+
+@register(
+    "w1_last_write_wins",
+    """
+    SELECT user_id, event_type, event_id, value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="W1/S7: REPLACE-INTO upsert as deterministic last-write-wins window "
+    "(reference database_sqlite.py:98-162); event_id is the explicit "
+    "arrival-order tiebreaker Spark needs in place of insertion order.",
+)
+def q_w1(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return dedup.last_write_wins(
+        e, keys=["user_id", "event_type"], order_by=[F.col("ts"), F.col("event_id")]
+    ).select("user_id", "event_type", "event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# A1 — grouped stats with derived key + any-value column
+# reference exporter.py:93-142
+# ---------------------------------------------------------------------------
+
+@register(
+    "a1_grouped_stats",
+    f"""
+    SELECT substring(p_brand, 1, 7) AS brand_prefix,
+           {agg.exact_avg_sql('p_retailprice', 6)} AS avg_price,
+           MIN(p_type) AS any_type,
+           COUNT(1) AS aantal
+    FROM part
+    WHERE p_brand <> ''
+    GROUP BY substring(p_brand, 1, 7)
+    """,
+    doc="A1: postcode4/5/6-style grouped stats (reference exporter.py:93-142):"
+    " derived substring key, exact decimal avg, COUNT(1), deterministic "
+    "any-value (min) for SQLite's bare-column-in-GROUP-BY.",
+)
+def q_a1(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "")
+    return agg.grouped_stats(
+        p,
+        group_key=F.substring(F.col("p_brand"), 1, 7),
+        key_name="brand_prefix",
+        avg_cols={"avg_price": F.col("p_retailprice")},
+        any_value_cols={"any_type": F.col("p_type")},
+        count_name="aantal",
+    ).select("brand_prefix", "avg_price", "any_type", "aantal")
+
+
+# ---------------------------------------------------------------------------
+# A2 — count battery (multi-aggregate single pass)
+# reference database_sqlite.py:621-758
+# ---------------------------------------------------------------------------
+
+@register(
+    "a2_count_battery",
+    """
+    SELECT COUNT(*) AS n_lineitem,
+           COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bigqty,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+    FROM lineitem
+    """,
+    doc="A2: the reference's ~15 COUNT checks (database_sqlite.py:621-758) "
+    "fused into ONE scan via conditional aggregation — one job instead of "
+    "15 sequential queries.",
+)
+def q_a2(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_lineitem"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bigqty"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/O1 — max via ORDER BY DESC LIMIT 1
+# reference database_sqlite.py:640-646
+# ---------------------------------------------------------------------------
+
+@register(
+    "a3_latest_date",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS latest_orderdate, o_orderkey
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+    LIMIT 1
+    """,
+    doc="A3/O1: latest begindatum via ORDER BY DESC LIMIT 1 (reference "
+    "database_sqlite.py:640-646); Spark plans TakeOrderedAndProject.",
+)
+def q_a3(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return agg.top_k(
+        o, [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()], 1
+    ).select(F.col("o_orderdate").cast("date").alias("latest_orderdate"), "o_orderkey")
+
+
+@register(
+    "a4_distinct",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    doc="A4: DISTINCT projection (reference database_sqlite.py:651,659).",
+)
+def q_a4(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "a5_dedup_scan",
+    """
+    SELECT n_regionkey, n_nationkey, n_name
+    FROM (
+      SELECT n_regionkey, n_nationkey, n_name,
+             ROW_NUMBER() OVER (PARTITION BY n_regionkey
+                                ORDER BY n_nationkey ASC) AS rn
+      FROM nation
+    ) WHERE rn = 1
+    """,
+    doc="A5: provincie dedup-while-scanning (reference gemeente_parser.py:35-37)"
+    " as deterministic first-per-group.",
+)
+def q_a5(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return dedup.dedup_exact(n, on=["n_regionkey"], id_col="n_nationkey").select(
+        "n_regionkey", "n_nationkey", "n_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3/P4/P5 — temporal validity + status predicates
+# reference bag_parser.py:15-35
+# ---------------------------------------------------------------------------
+
+@register(
+    "p3_temporal_filter",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             strftime(ts, '%Y-%m-%d') AS begindatum,
+             CASE WHEN user_id % 5 = 0 THEN ''
+                  ELSE strftime(ts + INTERVAL 180 DAY, '%Y-%m-%d') END
+               AS einddatum
+      FROM events
+    )
+    SELECT event_id, event_type, begindatum, einddatum
+    FROM e
+    WHERE begindatum <= '2024-06-30'
+      AND (einddatum = '' OR einddatum >= '2024-06-30')
+    """,
+    doc="P3/P5: active-record temporal predicate — ISO string compare, empty "
+    "einddatum = still valid (reference bag_parser.py:15-31); pushes down "
+    "to the scan.",
+)
+def q_p3(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("begindatum"),
+        F.when(F.col("user_id") % 5 == 0, F.lit("")).otherwise(
+            F.date_format(F.col("ts") + F.expr("INTERVAL 180 DAY"), "yyyy-MM-dd")
+        ).alias("einddatum"),
+    )
+    return e.filter(
+        scalars.temporal_validity_predicate(
+            F.col("begindatum"), F.col("einddatum"), "2024-06-30"
+        )
+    )
+
+
+@register(
+    "p6_conditional_name",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_brand <> '' THEN p_brand ELSE p_name END AS naam
+    FROM part
+    """,
+    doc="P6: short-vs-long name choice (reference database_sqlite.py:94-97).",
+)
+def q_p6(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        scalars.choose_name(
+            F.col("p_name"), F.col("p_brand"), use_short=True
+        ).alias("naam"),
+    )
+
+
+@register(
+    "p11_clean_dummies",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_size IN (1) OR p_size > 45 THEN NULL
+                ELSE p_size END AS p_size_clean,
+           CASE WHEN p_retailprice IN (901.0) THEN NULL
+                ELSE p_retailprice END AS price_clean
+    FROM part
+    """,
+    doc="P11: dummy-value nulling (reference database_sqlite.py:542-601 — "
+    "bouwjaar 1005/>2040, oppervlakte 999999/1 → NULL).",
+)
+def q_p11(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        scalars.null_dummy(F.col("p_size"), dummy_values=[1], gt=45).alias(
+            "p_size_clean"
+        ),
+        scalars.null_dummy(F.col("p_retailprice"), dummy_values=[901.0]).alias(
+            "price_clean"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F11 — scalar pack (SQLite quirks made explicit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f1_scalar_pack",
+    """
+    SELECT c_custkey,
+           substring(c_name, 1, 5) AS name5,
+           c_name || '/' || c_mktsegment AS name_seg,
+           NULLIF(c_mktsegment, '') AS seg_nullable,
+           CASE WHEN c_name LIKE '%,%' THEN 1 ELSE 0 END AS has_comma
+    FROM customer
+    """,
+    doc="F1 (SQLite SUBSTR(x,0,6) = chars 1..5), F2 concat, F11 NULLIF-empty,"
+    " F10 comma detector (reference exporter.py:98, database_sqlite.py:527).",
+)
+def q_f1(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        scalars.sqlite_substr(F.col("c_name"), 0, 6).alias("name5"),
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("name_seg"),
+        scalars.nullif_empty(F.col("c_mktsegment")).alias("seg_nullable"),
+        F.when(scalars.is_multivalue(F.col("c_name")), 1).otherwise(0).alias(
+            "has_comma"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6/F7 — RD ↔ WGS84 polynomial transform (expression-only, no UDF)
+# reference bag/rijksdriehoek.py:42-96
+# ---------------------------------------------------------------------------
+
+_RD_X = "(80000.0 + (event_id % 997) * 150.0)"
+_RD_Y = "(380000.0 + (event_id % 211) * 700.0)"
+
+
+@register(
+    "f6_rd_to_wgs84",
+    f"""
+    SELECT event_id,
+           {_RD_X} AS rd_x,
+           {_RD_Y} AS rd_y,
+           {rd.rd_to_wgs84_lat_sql(_RD_X, _RD_Y)} AS latitude,
+           {rd.rd_to_wgs84_lon_sql(_RD_X, _RD_Y)} AS longitude
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+    doc="F6/U1: RD→WGS84 Schreutelkamp-Strang van Hees polynomial as pure "
+    "Column arithmetic (reference rijksdriehoek.py:42-57) — stays in "
+    "whole-stage codegen, no UDF; oracle evaluates the identical IEEE "
+    "expression tree.",
+)
+def q_f6(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    x = F.lit(80000.0) + (F.col("event_id") % 997) * F.lit(150.0)
+    y = F.lit(380000.0) + (F.col("event_id") % 211) * F.lit(700.0)
+    return e.select(
+        "event_id",
+        x.alias("rd_x"),
+        y.alias("rd_y"),
+        rd.rd_to_wgs84_lat(x, y).alias("latitude"),
+        rd.rd_to_wgs84_lon(x, y).alias("longitude"),
+    )
+
+
+_LAT = "(50.8::DOUBLE + (event_id % 271) * 0.01::DOUBLE)"
+_LON = "(3.5::DOUBLE + (event_id % 331) * 0.01::DOUBLE)"
+
+
+@register(
+    "f7_wgs84_to_rd",
+    f"""
+    SELECT event_id,
+           {rd.wgs84_to_rd_x_sql(_LAT, _LON)} AS rd_x,
+           {rd.wgs84_to_rd_y_sql(_LAT, _LON)} AS rd_y
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+    doc="F7: WGS84→RD inverse polynomial (reference rijksdriehoek.py:60-96).",
+)
+def q_f7(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    lat = F.lit(50.8) + (F.col("event_id") % 271) * F.lit(0.01)
+    lon = F.lit(3.5) + (F.col("event_id") % 331) * F.lit(0.01)
+    return e.select(
+        "event_id",
+        rd.wgs84_to_rd_x(lat, lon).alias("rd_x"),
+        rd.wgs84_to_rd_y(lat, lon).alias("rd_y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# public API used by __spark_entry__
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.sql for name, qd in _REGISTRY.items() if qd.sql is not None}

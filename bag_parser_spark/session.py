@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the engine.
+
+The reference pins parallelism to physical cores (reference config.py:50-60);
+here parallelism is Spark's task scheduling. Defaults are sized for the test
+harness (local[N]) but every knob scales: AQE handles skew/coalescing at
+cluster scale, shuffle partitions follow core count, and the session timezone
+is pinned to UTC so date arithmetic is reproducible across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "bag-parser-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Scale levers: AQE re-plans joins at runtime (broadcast promotion,
+        # skew-split), coalesces post-shuffle partitions. At 100 TB these are
+        # the difference between a plan that works and one that spills.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic timestamp semantics (match DuckDB's naive reads).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas_udf / toPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,51 @@
+"""Parquet table loading for the driver's synthetic star schema.
+
+Columnar scans give us what the reference hand-implements: column pruning
+(reference bag_parser.py:97-99 whitelists XML fields) and early filtering
+(reference bag_parser.py:106-107) arrive free via Catalyst pushdown into the
+parquet reader — verify with .explain() showing PushedFilters/ReadSchema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin timestamp semantics to UTC even under a caller-owned session —
+    # date formatting/extraction must match the (naive-timestamp) oracle
+    # regardless of the host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet carries INT64 TIMESTAMP(NANOS), which vanilla Spark
+        # refuses; read nanos as long and rebuild a (microsecond) timestamp.
+        # Runtime conf so it also works under a driver-owned session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. Each query is materialized via the
+noop sink (full execution, no driver collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from bag_parser_spark.plans.catalog import registry
+from bag_parser_spark.session import get_spark
+
+# Headline set: one per operator family — join chain, grouped agg, window
+# dedup, coordinate transform, plus extension operators as they land.
+HEADLINE = [
+    "j1_chained_left_join",
+    "a1_grouped_stats",
+    "a2_count_battery",
+    "w1_last_write_wins",
+    "f6_rd_to_wgs84",
+    "j4_explode_join_lastwins",
+    "j5_explode_self_join",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "text_quality_metrics",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bag-parser-spark-bench")
+    reg = registry()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in reg:
+            continue
+        fn = reg[name].fn
+        # warm the input cache path once (JVM/classloader warmup on first query)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
