@@ -57,12 +57,16 @@ def word_shingles(text: Column, n: int) -> Column:
     """Word n-gram shingle array (distinct, order-free) for Jaccard/MinHash.
     Pure higher-order functions — no UDF: split → sliding join of n words."""
     words = F.split(F.trim(text), r"\s+")
-    # transform over start indices 0..len-n, join n consecutive words
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
+    # transform over start indices 0..len-n, join n consecutive words;
+    # shorter-than-n docs yield a single whole-doc shingle (sequence() with
+    # start > stop DESCENDS in Spark — guard, don't clamp)
+    idx = F.sequence(F.lit(0), F.size(words) - n)
     shingle_at = lambda i: F.concat_ws(
         " ", *[F.element_at(words, i + k + 1) for k in range(n)]
     )
-    return F.array_distinct(F.transform(idx, shingle_at))
+    return F.when(
+        F.size(words) >= n, F.array_distinct(F.transform(idx, shingle_at))
+    ).otherwise(F.array(F.array_join(words, " ")))
 
 
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
@@ -73,15 +77,82 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     lexicographically identically in any engine — making the DuckDB oracle
     exact. JVM-side md5 (no UDF); at scale this is a map-only projection.
     """
+    def hash_i(i: int):
+        # closure factory: a default-arg lambda (s, i=i) makes pyspark infer
+        # a 2-arg (element, index) lambda and silently bind the index Column
+        # to i — corrupting every hash prefix to the same str(Column)
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
-            )
+            F.array_min(F.transform(shingles, hash_i(i)))
             for i in range(num_hashes)
         ]
+    )
+
+
+def word_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) rows — the relational form of ``word_shingles``:
+    posexplode tokens → sliding window via lead() → complete n-grams (plus
+    the whole-doc fallback for docs shorter than n, at pos 0 where
+    concat_ws skips the null leads).
+
+    Window lead() is whole-stage-codegen'd; the higher-order
+    transform/element_at form is an interpreted lambda (CodegenFallback) —
+    measured ~2.4 ms/doc vs ~0.1 ms/doc here. NOT deduped: MinHash minima
+    don't care, Jaccard callers add .distinct().
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("__id__").orderBy("pos")
+    leads = [F.lead("tok", k).over(w) for k in range(1, n)]
+    gram = F.concat_ws(" ", F.col("tok"), *leads)
+    return (
+        toks.withColumn(
+            "shingle",
+            F.when(leads[-1].isNotNull() | (F.col("pos") == 0), gram),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .select("__id__", "shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """(id, h0..h{n-1}) minhash signature table, computed *relationally*:
+    shingle rows → one md5 column per hash function → groupBy(id).min().
+
+    This shape matters: building the signature as one nested array
+    expression makes Catalyst's CollapseProject inline the shingle
+    subexpression once per hash × once per band (O(h·b) duplication), the
+    tree blows past the codegen method limit, and execution falls back to
+    interpreted mode (~50× slower — measured). The explode/agg form computes
+    each shingle once, gets map-side combine for free, and its only shuffle
+    carries (id, h0..h11) — tiny at any scale.
+    """
+    sh = word_shingle_rows(df, id_col, text_col, shingle_n)
+    hashed = sh.select(
+        "__id__",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("__id__").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -95,34 +166,26 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs (id_a < id_b).
 
-    shingle → minhash signature → split into ``bands`` bands of r rows →
-    band-key equi-join buckets candidates. The pair join shuffles only on
-    band hashes (tiny keys), never on document text — the 100 TB-safe shape.
-    Returns (id_a, id_b, band) candidate pairs, distinct on (id_a, id_b).
+    shingle → minhash signature (relational, see minhash_signatures) →
+    ``bands`` bands of r hashes → band-key equi-join buckets candidates.
+    The pair join shuffles only (band, bucket) keys, never document text —
+    the 100 TB-safe shape. Returns distinct (id_a, id_b) candidate pairs.
     """
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id__"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "__sig__"
-        ),
-    )
+    sig = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
     banded = sig.select(
         "__id__",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", *[F.col("__sig__")[b * r + j] for j in range(r)]
-                        ).alias("bucket"),
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * r + j}") for j in range(r)]
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("__id__", "bb.band", "bb.bucket")
+        ).alias("band", "bucket"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -154,10 +217,7 @@ def ngram_jaccard_pairs(
     then on (id_a,id_b): both keys are small; hot shingles (stop-gram skew)
     are the known hazard — cap or salt them upstream for skewed corpora.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id__"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    sh = word_shingle_rows(df, id_col, text_col, shingle_n).distinct()
     sizes = sh.groupBy("__id__").agg(F.count("*").alias("__size__"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -212,19 +272,62 @@ def simhash_bits(text: Column, num_bits: int = 16) -> Column:
     def bit_of(h: Column, b: int) -> Column:
         nibble = _hex_nibble_value(F.substring(h, b // 4 + 1, 1))
         return F.when(
-            F.bitwise_and(nibble, F.lit(1 << (3 - b % 4))) > 0, F.lit(1)
+            nibble.bitwiseAND(F.lit(1 << (3 - b % 4))) > 0, F.lit(1)
         ).otherwise(F.lit(-1))
+    def vote_sum(b: int):
+        # closure factory — a default-arg lambda would change the UDF arity
+        # pyspark infers for F.aggregate's merge function
+        return lambda acc, h: acc + bit_of(h, b)
+
     return F.array(
         *[
             F.when(
-                F.aggregate(
-                    hashes, F.lit(0), lambda acc, h, b=b: acc + bit_of(h, b)
-                )
-                > 0,
-                F.lit(1),
+                F.aggregate(hashes, F.lit(0), vote_sum(b)) > 0, F.lit(1)
             ).otherwise(F.lit(0))
             for b in range(num_bits)
         ]
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 16,
+) -> DataFrame:
+    """(id, bits array<int>) simhash table, computed relationally (explode
+    tokens → per-bit ±1 vote columns from one md5 → groupBy(id).sum →
+    signs). Same rationale as minhash_signatures: the nested-expression
+    form duplicates the token-hash subtree once per bit and falls out of
+    codegen; this form hashes each token once and shuffles only (id, 16
+    small ints) with map-side partial sums.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    h = toks.select("__id__", F.md5(F.col("tok")).alias("h"))
+
+    def vote(b: int) -> Column:
+        nibble = _hex_nibble_value(F.substring(F.col("h"), b // 4 + 1, 1))
+        return F.when(
+            nibble.bitwiseAND(F.lit(1 << (3 - b % 4))) > 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    votes = h.select(
+        "__id__", *[vote(b).alias(f"v{b}") for b in range(num_bits)]
+    )
+    sums = votes.groupBy("__id__").agg(
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(num_bits)]
+    )
+    return sums.select(
+        "__id__",
+        F.array(
+            *[
+                F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+                for b in range(num_bits)
+            ]
+        ).alias("bits"),
     )
 
 
@@ -243,10 +346,7 @@ def simhash_pairs(
     with k < bits/2 refined exactly afterwards.
     """
     half = num_bits // 2
-    sig = df.select(
-        F.col(id_col).alias("__id__"),
-        simhash_bits(F.col(text_col), num_bits).alias("bits"),
-    ).withColumn(
+    sig = simhash_signatures(df, id_col, text_col, num_bits).withColumn(
         "prefix", F.concat_ws("", *[F.col("bits")[i] for i in range(half)])
     )
     a = sig.alias("a")

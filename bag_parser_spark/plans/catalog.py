@@ -43,6 +43,7 @@ def register(name: str, sql: str | None, doc: str = ""):
 
 
 def registry() -> dict[str, QueryDef]:
+    _load_extensions()
     return dict(_REGISTRY)
 
 
@@ -527,12 +528,172 @@ def q_f7(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# J4 — explode + join + last-wins overwrite (multi-valued pand_id)
+# reference database_sqlite.py:398-437
+# ---------------------------------------------------------------------------
+
+@register(
+    "j4_explode_join_lastwins",
+    """
+    SELECT j.l_orderkey, p.p_size AS last_size,
+           p.p_retailprice AS last_price
+    FROM (SELECT l_orderkey, MAX(l_partkey) AS last_pk
+          FROM lineitem GROUP BY l_orderkey) j
+    JOIN part p ON p.p_partkey = j.last_pk
+    """,
+    doc="J4: comma-joined multi-value key → split → explode → join dim → "
+    "'only last one remains' overwrite (reference database_sqlite.py:"
+    "398-437). Spark path exercises the real explode mechanics with an "
+    "explicit ordinal for last-wins; oracle states the net semantics.",
+)
+def q_j4(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    # reconstruct the reference's comma-packed multi-value column, then undo
+    # it through the split/explode path (S4 ↔ F9/F10 round trip)
+    packed = l.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_list("l_partkey")), ",").alias(
+            "pand_ids"
+        )
+    )
+    exploded = packed.select(
+        "l_orderkey",
+        F.posexplode(scalars.split_multivalue(F.col("pand_ids"))).alias(
+            "ord", "pk"
+        ),
+    )
+    joined = exploded.join(
+        F.broadcast(p), exploded["pk"].cast("long") == p["p_partkey"]
+    )
+    last = dedup.last_write_wins(
+        joined, keys=["l_orderkey"], order_by=[F.col("ord")]
+    )
+    return last.select(
+        "l_orderkey",
+        F.col("p_size").alias("last_size"),
+        F.col("p_retailprice").alias("last_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — explode + self-join update (nevenadres propagation)
+# reference database_sqlite.py:466-518
+# ---------------------------------------------------------------------------
+
+@register(
+    "j5_explode_self_join",
+    """
+    WITH h AS (SELECT o_custkey, MIN(o_orderkey) AS hoofd
+               FROM orders GROUP BY o_custkey)
+    SELECT o.o_orderkey, h.hoofd AS hoofd_orderkey,
+           ho.o_orderdate AS hoofd_orderdate, o.o_totalprice
+    FROM orders o
+    JOIN h ON o.o_custkey = h.o_custkey
+    JOIN orders ho ON ho.o_orderkey = h.hoofd
+    WHERE o.o_orderkey <> h.hoofd
+    """,
+    doc="J5: hoofd/neven self-join propagation (reference database_sqlite"
+    ".py:466-518): explode the neven list, join back to the hoofd row, "
+    "inherit its attributes and record hoofd_nummer_id.",
+)
+def q_j5(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    # hoofd row per customer carries the comma-packed neven list (as the
+    # reference's nevenadressen column does); explode → (hoofd, neven) pairs
+    packed = o.groupBy("o_custkey").agg(
+        F.min("o_orderkey").alias("hoofd"),
+        F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias(
+            "nevenadressen"
+        ),
+    )
+    pairs = (
+        packed.select(
+            "hoofd",
+            F.explode(scalars.split_multivalue(F.col("nevenadressen"))).alias(
+                "neven_s"
+            ),
+        )
+        .withColumn("neven", F.col("neven_s").cast("long"))
+        .filter(F.col("neven") != F.col("hoofd"))
+    )
+    h = o.select(
+        F.col("o_orderkey").alias("hoofd"),
+        F.col("o_orderdate").alias("hoofd_orderdate"),
+    )
+    n = o.select("o_orderkey", "o_totalprice")
+    return (
+        pairs.join(h, on="hoofd")
+        .join(n, pairs["neven"] == n["o_orderkey"])
+        .select(
+            "o_orderkey",
+            F.col("hoofd").alias("hoofd_orderkey"),
+            "hoofd_orderdate",
+            "o_totalprice",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7/P8/P9 — geometry string round trip + F6 on parsed coords
+# reference bag_parser.py:100-164, utils.py:196-198
+# ---------------------------------------------------------------------------
+
+@register(
+    "p7_geometry_roundtrip",
+    f"""
+    WITH g AS (
+      SELECT event_id,
+             CAST(80000 + (event_id % 997) * 150 AS VARCHAR) || ' ' ||
+             CAST(380000 + (event_id % 211) * 700 AS VARCHAR) || ' 0.0'
+               AS pos
+      FROM events WHERE event_id % 13 = 0
+    )
+    SELECT event_id, '[' || pos || ']' AS geometry,
+           CAST(string_split(pos, ' ')[1] AS DOUBLE) AS rd_x,
+           CAST(string_split(pos, ' ')[2] AS DOUBLE) AS rd_y,
+           {rd.rd_to_wgs84_lat_sql(
+        "CAST(string_split(pos, ' ')[1] AS DOUBLE)",
+        "CAST(string_split(pos, ' ')[2] AS DOUBLE)")} AS latitude
+    FROM g
+    """,
+    doc="P7/P8/P9/U3: posList string → bracket-wrapped geometry (reference "
+    "bag_parser.py:100-101), first-point split → (rd_x, rd_y) doubles "
+    "(utils.py:196-198), then F6 to latitude — the coordinate derivation "
+    "path of bag_parser.py:146-164 as one projection.",
+)
+def q_p7(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    pos = F.concat_ws(
+        " ",
+        (F.lit(80000) + (F.col("event_id") % 997) * 150).cast("string"),
+        (F.lit(380000) + (F.col("event_id") % 211) * 700).cast("string"),
+        F.lit("0.0"),
+    )
+    g = e.select("event_id", pos.alias("pos"))
+    x, y = scalars.pos_to_rd(F.col("pos"))
+    return g.select(
+        "event_id",
+        scalars.bracket_wrap(F.col("pos")).alias("geometry"),
+        x.alias("rd_x"),
+        y.alias("rd_y"),
+        rd.rd_to_wgs84_lat(x, y).alias("latitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: qd.fn for name, qd in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {name: qd.sql for name, qd in _REGISTRY.items() if qd.sql is not None}
+
+
+def _load_extensions() -> None:
+    # registers the extension queries into _REGISTRY on first use
+    from bag_parser_spark.plans import catalog_ext  # noqa: F401

@@ -1,0 +1,383 @@
+"""Extension query catalog: training-data-pipeline operators (dedup,
+similarity search, text analysis, multimodal plumbing, windowed streaming
+aggregates) registered into the same oracle-checked registry as the parity
+catalog. These are the BASELINE.json north-star operators — designed for
+100 TB corpora, validated on the synthetic documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bag_parser_spark.operators import aggregates as agg
+from bag_parser_spark.operators import dedup, multimodal, similarity, text
+from bag_parser_spark.plans import oracles as O
+from bag_parser_spark.plans.catalog import register
+from bag_parser_spark.sources.parquet import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup via content-hash groupBy: one shuffle on md5(text), "
+    "map-side combine keeps shuffle volume at #distinct. Representative "
+    "row = min id (deterministic).",
+)
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count")
+    )
+
+
+# Perturbed-copy corpus: each doc plus a near-duplicate (one appended token).
+# Built inside the query so near-dup detection is non-trivially exercised on
+# synthetic data that has no natural duplicates.
+_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             text || ' zz' || CAST(doc_id % 7 AS VARCHAR) AS text
+      FROM documents
+"""
+
+
+def _corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zz"), (F.col("doc_id") % 7).cast("string")
+        ).alias("text"),
+    )
+    return d.unionAll(perturbed)
+
+
+_MH_HASHES, _MH_BANDS, _MH_N = 12, 4, 3
+_mh_sig = O.minhash_sig_sql(O.shingles_sql("text", _MH_N), _MH_HASHES)
+_mh_bands = " UNION ALL ".join(
+    f"SELECT id, {b} AS band, {expr} AS bucket FROM sig"
+    for b, expr in O.band_selects_sql(_MH_HASHES, _MH_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sig AS (SELECT doc_id AS id, {_mh_sig} AS sig FROM corpus),
+    bands AS ({_mh_bands})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """,
+    doc="MinHash+LSH near-dup candidates: shingle → md5-min signature → "
+    "band buckets → equi-join. Shuffles only (band, bucket-hash) keys, "
+    "never text — the 100 TB-safe shape. Corpus = docs ∪ perturbed copies.",
+)
+def q_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=_MH_N,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({O.shingles_sql('text', 3)}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS intersection
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, i.intersection,
+           sa.sz AS size_a, sb.sz AS size_b,
+           i.intersection / (sa.sz + sb.sz - i.intersection) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.intersection / (sa.sz + sb.sz - i.intersection) >= 0.01
+    """,
+    doc="n-gram Jaccard near-dup pairs via shingle inverted index — only "
+    "docs sharing a shingle ever meet (never O(n²)); hot-shingle skew is "
+    "the scale hazard (salt/cap upstream).",
+)
+def q_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=3,
+        threshold=0.01,
+    )
+
+
+_SH_BITS, _SH_HAMMING = 16, 3
+_sh_bits = O.simhash_bits_sql("text", _SH_BITS)
+_sh_prefix = " || ".join(f"CAST(bits[{i + 1}] AS VARCHAR)" for i in range(_SH_BITS // 2))
+_sh_hamming = (
+    "list_sum(list_transform(range(0, "
+    + str(_SH_BITS)
+    + "), i -> CASE WHEN a.bits[i+1] <> b.bits[i+1] THEN 1 ELSE 0 END))"
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sig AS (SELECT doc_id AS id, {_sh_bits} AS bits FROM corpus),
+    pref AS (SELECT id, bits, {_sh_prefix} AS prefix FROM sig)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST({_sh_hamming} AS BIGINT) AS hamming
+    FROM pref a JOIN pref b
+      ON a.prefix = b.prefix AND a.id < b.id
+    WHERE {_sh_hamming} <= {_SH_HAMMING}
+    """,
+    doc="SimHash near-dup pairs: ±1 bit votes from per-token md5, prefix "
+    "blocking (1-band LSH on the sign vector) for candidate generation, "
+    "exact hamming refine.",
+)
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(
+        _corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        num_bits=_SH_BITS,
+        max_hamming=_SH_HAMMING,
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_quality_metrics",
+    f"""
+    SELECT doc_id,
+           len({O.words_sql('text')}) AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS n_tokens_bpe,
+           round({O.stopword_ratio_sql('text')}, 6) AS stopword_ratio,
+           round({O.punct_ratio_sql('text')}, 6) AS punct_ratio,
+           round({O.mean_word_length_sql('text')}, 6) AS mean_word_len,
+           {O.quality_score_sql('text')} AS quality,
+           CASE WHEN {O.stopword_ratio_sql('text')} >= 0.08
+                THEN 'en' ELSE 'und' END AS lang_pred,
+           {O.fingerprint_sql('text', 5)} AS fingerprint
+    FROM documents
+    """,
+    doc="Text analysis pack: whitespace + BPE-ish token counts, stopword/"
+    "punct ratios, composite quality score, stopword-overlap language ID, "
+    "winnowing-style rolling-hash fingerprint. Map-only projection — "
+    "pipelines with the scan at any scale.",
+)
+def q_text_quality(spark, sf_dir):
+    return text.quality_metrics(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search family
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_COS_Q = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    SELECT vec_id,
+           round({O.cosine_sql('embedding', _COS_Q)}, 6) AS cosine_sim
+    FROM embeddings
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-k (exact ANN baseline): literal query "
+    "vector, embarrassingly parallel scan, TakeOrderedAndProject keeps k "
+    "rows per partition. Left-fold accumulation matches the oracle bitwise.",
+)
+def q_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        query_vec=_query_vec(spark, sf_dir),
+        k=10,
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    import bag_parser_spark.operators.similarity as S
+
+    dim, planes = 64, 8
+    plane_vecs = [S._pseudo_random_plane(p, dim) for p in range(planes)]
+    bits = " || ".join(
+        f"(CASE WHEN {O.dot_sql('embedding', O.double_list_literal(pv))} >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for pv in plane_vecs
+    )
+    qbits = " || ".join(
+        f"(CASE WHEN {O.dot_sql(_COS_Q, O.double_list_literal(pv))} >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for pv in plane_vecs
+    )
+    return f"""
+    SELECT vec_id,
+           round({O.cosine_sql('embedding', _COS_Q)}, 6) AS cosine_sim
+    FROM embeddings
+    WHERE ({bits}) = ({qbits})
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "sim_lsh_bucket_topk",
+    _lsh_oracle_sql(),
+    doc="Random-hyperplane LSH ANN: sign-bit bucket filter prunes the scan "
+    "to ~n/2^planes candidates before exact scoring — the 100 TB path "
+    "(bucket can be a partition column). Approximate by construction.",
+)
+def q_lsh_topk(spark, sf_dir):
+    return similarity.lsh_bucket_topk(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        query_vec=_query_vec(spark, sf_dir),
+        k=10,
+        num_planes=8,
+    )
+
+
+@register(
+    "sim_knn_join",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16
+    ),
+    scored AS (
+      SELECT p.qid, e.vec_id AS cid,
+             round({O.cosine_sql('e.embedding', 'p.qv')}, 6) AS cosine_sim
+      FROM probes p CROSS JOIN embeddings e
+      WHERE p.qid <> e.vec_id
+    )
+    SELECT qid, cid, cosine_sim FROM (
+      SELECT qid, cid, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine_sim DESC, cid ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="k-NN join: broadcast the probe side, per-probe top-k window. Exact "
+    "and quadratic — LSH bucketing is the scale path.",
+)
+def q_knn_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 16)
+    return similarity.knn_join_brute(
+        probes, e, left_id="vec_id", right_id="vec_id", vec_col="embedding", k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregation (batch twin of the streaming pipeline)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_windowed_agg",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           {agg.exact_sum_sql('value', 6)} AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling-window aggregate — the batch twin of the Structured "
+    "Streaming pipeline in streaming/events.py (same grouping, same exact-"
+    "decimal sum); watermarked streaming variant tested in tests/.",
+)
+def q_windowed(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            agg.exact_sum(F.col("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (metadata path oracle-checked; decode path rows-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_binary_metadata",
+    """
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS checksum_md5
+    FROM documents
+    """,
+    doc="Multimodal metadata plumbing: opaque binary payload + typed "
+    "metadata struct; filters on metadata prune row groups without "
+    "touching payload bytes.",
+)
+def q_mm_meta(spark, sf_dir):
+    d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.checksum_md5").alias("checksum_md5"),
+    )
+
+
+@register(
+    "mm_image_features",
+    None,  # mapInPandas stub-decode path — rows-only check by design
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads "
+    "(deterministic fake decode — real codec is a one-function swap; see "
+    "operators/multimodal.py). Non-SQL-expressible: Python UDF surface.",
+)
+def q_mm_features(spark, sf_dir):
+    d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_image_features(d, deterministic_fake=True)
