@@ -38,11 +38,15 @@ def temporal_validity_predicate(
 ) -> Column:
     """P3: active-record predicate (reference bag_parser.py:15-31).
 
-    begindatum[0:10] <= snapshot AND (einddatum = '' OR einddatum[0:10] >=
-    snapshot), compared as strings exactly like the reference. NULL einddatum
-    is treated as '' (still valid) to match ''-defaulted parse output.
+    begindatum non-empty AND begindatum[0:10] <= snapshot AND (einddatum =
+    '' OR einddatum[0:10] >= snapshot), compared as strings exactly like the
+    reference (an absent begindatum is *invalid* — bag_parser.py:15-22 —
+    while an absent einddatum means still valid). NULL einddatum is treated
+    as '' to match ''-defaulted parse output.
     """
-    start_ok = iso_date_prefix(begindatum) <= F.lit(snapshot_date)
+    start_ok = (F.coalesce(begindatum, F.lit("")) != F.lit("")) & (
+        iso_date_prefix(begindatum) <= F.lit(snapshot_date)
+    )
     end_empty = F.coalesce(einddatum, F.lit("")) == F.lit("")
     end_ok = iso_date_prefix(einddatum) >= F.lit(snapshot_date)
     return start_ok & (end_empty | end_ok)

@@ -1,0 +1,126 @@
+"""End-to-end BAG import job (SURVEY §3.1): the reference's import_bag.py
+as one Spark application.
+
+Reference stages → Spark mapping:
+  unzip + per-entity XML parse (×8, process pool)  → 8 lazy source DAGs
+  DDL + per-row REPLACE inside one transaction     → dedup + atomic parquet
+                                                     job commit per entity
+  woonplaats enrichment, adressen build, cleaning  → one composed lineage
+  invariant battery                                → validate_bag report
+  shrink/VACUUM                                    → drop source outputs
+                                                     (optional, like
+                                                     delete_no_longer_needed
+                                                     _bag_tables)
+
+Entity XML paths: ``{xml_root}/{entity_file_code}*`` mirroring the
+reference's zip-member naming (9999WPL…, reference bag_parser.py:401-407).
+
+Every stage is lazy until a sink forces it; per-entity writes run
+independently (no false sequencing — the reference's strict stage order
+dissolves into lineage dependencies).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bag_parser_spark.config import DEFAULT_CONFIG, EngineConfig
+from bag_parser_spark.plans import bag_pipeline as P
+from bag_parser_spark.plans.validate import validate_bag
+from bag_parser_spark.sources.bag_schemas import ENTITIES
+from bag_parser_spark.sources.bag_xml import read_bag_entity
+from bag_parser_spark.sources.gemeenten_csv import (
+    gemeenten_table,
+    provincies_table,
+    read_gemeenten_csv,
+)
+
+XML_ENTITIES = [
+    "Woonplaats",
+    "GemeenteWoonplaatsRelatie",
+    "OpenbareRuimte",
+    "Nummeraanduiding",
+    "Pand",
+    "Verblijfsobject",
+    "Ligplaats",
+    "Standplaats",
+]
+
+ENTITY_TABLE_NAMES = {
+    "Woonplaats": "woonplaatsen",
+    "GemeenteWoonplaatsRelatie": "gemeente_woonplaatsen",
+    "OpenbareRuimte": "openbare_ruimten",
+    "Nummeraanduiding": "nummers",
+    "Pand": "panden",
+    "Verblijfsobject": "verblijfsobjecten",
+    "Ligplaats": "ligplaatsen",
+    "Standplaats": "standplaatsen",
+}
+
+
+def entity_xml_path(xml_root: str, entity_name: str) -> str:
+    return os.path.join(xml_root, f"{ENTITIES[entity_name].file_code}*")
+
+
+def import_bag(
+    spark: SparkSession,
+    xml_root: str,
+    gemeenten_csv: str,
+    out_dir: str | None = None,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> dict[str, DataFrame]:
+    """Run the full import; returns all tables (adressen included). When
+    ``out_dir`` is set, each table is persisted as parquet (atomic job
+    commit — the transaction equivalent) and read back, cutting lineage
+    exactly where the reference commits its per-entity transaction."""
+    csv_df = read_gemeenten_csv(spark, gemeenten_csv)
+    tables: dict[str, DataFrame] = {
+        "gemeenten": gemeenten_table(csv_df),
+        "provincies": provincies_table(csv_df),
+    }
+    for entity in XML_ENTITIES:
+        tables[ENTITY_TABLE_NAMES[entity]] = read_bag_entity(
+            spark, entity_xml_path(xml_root, entity), entity, cfg
+        )
+
+    if out_dir:
+        for name in list(tables):
+            path = os.path.join(out_dir, name)
+            tables[name].write.mode("overwrite").parquet(path)
+            tables[name] = spark.read.parquet(path)
+
+    tables["woonplaatsen"] = P.enrich_woonplaatsen(
+        tables["woonplaatsen"], tables["gemeente_woonplaatsen"]
+    )
+    adressen = P.build_adressen(
+        tables["nummers"],
+        tables["openbare_ruimten"],
+        tables["woonplaatsen"],
+        tables["verblijfsobjecten"],
+        tables["panden"],
+        tables["ligplaatsen"],
+        tables["standplaatsen"],
+        cfg,
+    )
+    adressen = P.clean_adressen(adressen, tables["openbare_ruimten"], cfg)
+    if out_dir:
+        path = os.path.join(out_dir, "adressen")
+        adressen.write.mode("overwrite").parquet(path)
+        adressen = spark.read.parquet(path)
+    tables["adressen"] = adressen
+    return tables
+
+
+def run_bag_validation(tables: dict[str, DataFrame],
+                       cfg: EngineConfig = DEFAULT_CONFIG):
+    """The §3.3 entry point: run the invariant battery on imported tables."""
+    return validate_bag(
+        tables["adressen"],
+        tables["gemeenten"],
+        tables["woonplaatsen"],
+        tables["openbare_ruimten"],
+        tables["provincies"],
+        cfg,
+    )

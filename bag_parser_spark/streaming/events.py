@@ -1,0 +1,89 @@
+"""Structured Streaming extension (SURVEY §2.9 extension; reference has no
+streaming — its iterparse is memory management, not stream processing).
+
+The events table doubles as a stream: file-source readStream → watermarked
+tumbling-window aggregate → sink. The batch twin (catalog query
+``events_windowed_agg``) computes the same grouping with the same exact-
+decimal sum, so stream output is verifiable against the batch result —
+tested with Trigger.AvailableNow into a memory sink.
+
+Scale notes: the windowed aggregate is stateful; the watermark bounds state
+(late rows beyond it are dropped). State lives in the state store, keyed by
+(window, event_type) — partitioned by the grouping key, no skew here. For
+custom stateful logic beyond windows, applyInPandasWithState slots into the
+same readStream → writeStream shape (see sessionize_stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see sources.parquet)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos ts → timestamp).
+    ``path`` may be a directory or a single file — the file source wants a
+    directory, so a file path becomes (dirname, pathGlobFilter=basename)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if path.endswith(".parquet"):
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate — the streaming twin of the
+    batch ``events_windowed_agg`` catalog query (same columns, same
+    exact-decimal sum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, path: str, table_name: str = "events_windowed"
+) -> None:
+    """Drain the stream with Trigger.AvailableNow into an in-memory sink
+    (complete mode) — used by tests to compare against the batch twin."""
+    agg = windowed_event_counts(read_events_stream(spark, path))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
