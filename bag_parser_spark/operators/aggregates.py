@@ -68,6 +68,22 @@ def grouped_stats(
     return df.groupBy(group_key.alias(key_name)).agg(*aggs)
 
 
+def observed(df: DataFrame, name: str, metrics: dict[str, Column]):
+    """A6: running counters (reference bag_parser.py:461-467 xml_tags_
+    completed / tags-per-second, statusbar/status.py:25-42) as
+    ``df.observe()`` — the Spark-native replacement for the reference's
+    progress counters. Metrics accumulate on executors *during* the job
+    (zero extra pass, no second scan) and are read driver-side after the
+    action. Returns (observed_df, Observation); call ``obs.get`` after an
+    action completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    return out, obs
+
+
 def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     """O1/O2: ORDER BY … LIMIT k (reference database_sqlite.py:640-646).
     Spark plans TakeOrderedAndProject — per-partition heaps, no full sort."""

@@ -71,6 +71,28 @@ def update_join(
     return out.drop(*drop)
 
 
+def conditional_orphan_delete(
+    df: DataFrame,
+    dim: DataFrame,
+    on: Column | str | list[str],
+    threshold: int,
+) -> DataFrame:
+    """P12: delete orphan rows only when their count is below a threshold
+    (reference database_sqlite.py:604-612, config.py:48 — orphan adressen
+    are deleted only if fewer than ``delete_addresses_without_public_spaces_
+    threshold``; a large count signals systemic breakage and the reference
+    refuses to mass-delete).
+
+    The orphan count is one driver-side action — the same control-flow
+    decision the reference makes; both branches stay fully distributed
+    (left_anti count, then left_semi keep or unchanged pass-through).
+    """
+    n_orphans = df.join(dim, on=on, how="left_anti").count()
+    if n_orphans < threshold:
+        return df.join(dim, on=on, how="left_semi")
+    return df
+
+
 def anti_join(left: DataFrame, right: DataFrame, on: Column | str | list[str]) -> DataFrame:
     """J7: NOT IN subquery semantics (reference database_sqlite.py:649-677).
     Spark's left_anti is NULL-safe unlike SQL NOT IN; the reference's probe

@@ -76,6 +76,18 @@ def _pseudo_random_plane(plane: int, dim: int) -> list[float]:
     return out
 
 
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string over the given hyperplanes — the LSH bucket
+    key shared by lsh_bucket_topk and embedding_neardup_pairs."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     id_col: str,
@@ -95,13 +107,7 @@ def lsh_bucket_topk(
     planes = [_pseudo_random_plane(p, dim) for p in range(num_planes)]
 
     def bucket_of(vec: Column) -> Column:
-        bits = [
-            F.when(
-                dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")
-            ).otherwise(F.lit("0"))
-            for plane in planes
-        ]
-        return F.concat(*bits)
+        return lsh_bucket_expr(vec, planes)
 
     qb = "".join(
         "1" if sum(q * w for q, w in zip(query_vec, plane)) >= 0 else "0"
@@ -117,6 +123,124 @@ def lsh_bucket_topk(
         )
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the SAME left-fold accumulation order as the
+    Column form, so centroid orderings computed on the driver match the
+    distributed (and oracle) orderings bit-for-bit."""
+    d = 0.0
+    for x, y in zip(a, b):
+        d = d + float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb = nb + float(y) * float(y)
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    centroids: DataFrame,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
+    centroid cell, then probe only the ``nprobe`` cells nearest the query.
+
+    ``centroids`` is (cid, cv) and small by design (~√n cells), so the
+    assignment pass is a broadcast crossJoin + per-vector argmax window —
+    map-side only, no shuffle of the corpus. At 100 TB the cell id becomes
+    a partition column of the stored corpus, so probing prunes partitions
+    at the scan and the per-query cost is |cell|·nprobe, not n. Probe-cell
+    selection runs on the driver over the collected centroid set (tiny).
+    Approximate by construction — recall < 1 when the true neighbor lands
+    in an unprobed cell; cosine math matches cosine_topk bitwise.
+    """
+    from pyspark.sql import Window
+
+    c = centroids.select("cid", "cv")
+    w = Window.partitionBy("__vid__").orderBy(
+        F.col("__sim__").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        df.select(F.col(id_col).alias("__vid__"), F.col(vec_col).alias("__vec__"))
+        .crossJoin(F.broadcast(c))
+        .withColumn("__sim__", cosine(F.col("__vec__"), F.col("cv")))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("__vid__", "__vec__", "cid")
+    )
+    cents = [(r["cid"], [float(x) for x in r["cv"]]) for r in c.collect()]
+    ranked = sorted(
+        cents, key=lambda t: (-_py_cosine(t[1], query_vec), t[0])
+    )
+    probe_cids = [cid for cid, _ in ranked[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (
+        assigned.filter(F.col("cid").isin(probe_cids))
+        .select(
+            F.col("__vid__").alias(id_col),
+            F.round(cosine(F.col("__vec__"), q), 6).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-family member the
+    MinHash/SimHash variants can't cover: semantic near-dups).
+
+    All-pairs cosine is O(n²); instead vectors are bucketed by their
+    random-hyperplane sign signature and paired ONLY within buckets — an
+    equi self-join that shuffles on the bucket key (~n/2^planes candidates
+    per bucket), then exact cosine verifies each candidate. Approximate by
+    construction (a near-dup pair straddling a hyperplane is missed —
+    standard LSH recall/planes trade-off; more bands = higher recall).
+    Comparison happens on the ROUNDED similarity so the threshold cut is
+    reproducible across engines.
+    """
+    planes = [_pseudo_random_plane(p, dim) for p in range(num_planes)]
+    b = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket__")
+    )
+    left = b.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("__av__"),
+        "__bucket__",
+    )
+    right = b.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("__bv__"),
+        "__bucket__",
+    )
+    pairs = left.join(right, on="__bucket__").filter(
+        F.col("a_id") < F.col("b_id")
+    )
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("__av__"), F.col("__bv__")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
 
 
 def knn_join_brute(

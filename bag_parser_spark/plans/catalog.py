@@ -433,6 +433,37 @@ def q_p11(spark, sf_dir):
     )
 
 
+@register(
+    "p12_orphan_delete",
+    """
+    WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0),
+         orph AS (SELECT count(*) AS n
+                  FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+                  WHERE d.c_custkey IS NULL)
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
+    FROM orders o
+    WHERE (SELECT n FROM orph) >= 10000
+       OR o.o_custkey IN (SELECT c_custkey FROM dim)
+    """,
+    doc="P12: conditional orphan delete (reference database_sqlite.py:"
+    "604-612, config.py:48) — orphans are removed only when their count is "
+    "below a threshold; a large count means systemic breakage and the table "
+    "passes through unchanged. Count = one driver action; both branches "
+    "distributed (left_anti count → left_semi keep).",
+)
+def q_p12(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select("c_custkey")
+    )
+    kept = joins.conditional_orphan_delete(
+        o, dim, on=F.col("o_custkey") == F.col("c_custkey"), threshold=10000
+    )
+    return kept.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
 # ---------------------------------------------------------------------------
 # F1/F2/F11 — scalar pack (SQLite quirks made explicit)
 # ---------------------------------------------------------------------------

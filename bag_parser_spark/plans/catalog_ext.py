@@ -311,6 +311,121 @@ def q_knn_join(spark, sf_dir):
     )
 
 
+def _neardup_oracle_sql(threshold: float, num_planes: int, dim: int) -> str:
+    planes = [
+        similarity._pseudo_random_plane(p, dim) for p in range(num_planes)
+    ]
+
+    def bits(col: str) -> str:
+        return " || ".join(
+            f"(CASE WHEN {O.dot_sql(col, O.double_list_literal(pv))} >= 0 "
+            f"THEN '1' ELSE '0' END)"
+            for pv in planes
+        )
+
+    cos = O.cosine_sql("a.embedding", "c.embedding")
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, ({bits('embedding')}) AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+           round({cos}, 6) AS cosine_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round({cos}, 6) >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    _neardup_oracle_sql(0.35, 6, 64),
+    doc="Embedding-cosine near-dup pairs (semantic dedup): LSH sign-bucket "
+    "self-join restricts candidates to ~n/2^planes per bucket (equi-join "
+    "shuffle on the bucket key, never an n² cross join), then exact cosine "
+    "verifies each pair against the threshold. Approximate by construction "
+    "(pairs straddling a hyperplane are missed — add bands for recall).",
+)
+def q_emb_neardup(spark, sf_dir):
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.35,
+        num_planes=6,
+        dim=64,
+    )
+
+
+def _ivf_oracle_sql() -> str:
+    acos = O.cosine_sql("e.embedding", "c.cv")
+    qcos = O.cosine_sql(_COS_Q, "c.cv")
+    rcos = O.cosine_sql("a.embedding", _COS_Q)
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                   FROM embeddings WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {acos} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (ORDER BY {qcos} DESC, c.cid ASC) AS rn
+        FROM cents c
+      ) WHERE rn <= 2
+    )
+    SELECT a.vec_id, round({rcos}, 6) AS cosine_sim
+    FROM assign a
+    WHERE a.cid IN (SELECT cid FROM qcells)
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "sim_ivf_topk",
+    _ivf_oracle_sql(),
+    doc="IVF ANN: corpus coarse-quantized to nearest-centroid cells "
+    "(broadcast assignment, no corpus shuffle), query probes the nprobe=2 "
+    "nearest cells only. At 100 TB the cell id is a partition column so "
+    "probing prunes partitions at the scan — per-query cost |cell|*nprobe. "
+    "Same left-fold cosine as the exact baseline; approximate recall.",
+)
+def q_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return similarity.ivf_topk(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_vec=_query_vec(spark, sf_dir),
+        k=10,
+        centroids=cents,
+        nprobe=2,
+    )
+
+
+@register(
+    "a7_approx_distinct",
+    None,  # HLL sketch differs per engine — rows-only; error bound unit-tested
+    doc="approx_count_distinct (HyperLogLog++) beside the exact count: the "
+    "sketch mergeable across partitions makes distinct-cardinality O(1) "
+    "memory at 100 TB where exact COUNT(DISTINCT) shuffles every key. "
+    "Engine-specific sketch → no cross-engine hash oracle; the relative-"
+    "error bound (<5%) is asserted in tests/test_extensions.py.",
+)
+def q_a7(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windowed aggregation (batch twin of the streaming pipeline)
 # ---------------------------------------------------------------------------

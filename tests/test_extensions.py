@@ -1,0 +1,121 @@
+"""Unit tests for the extension operators whose semantics the DuckDB oracle
+can't fully pin down: approximate aggregates (error bound), P12's two
+control-flow branches, LSH/IVF candidate-set containment vs brute force,
+and the observe() metrics surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bag_parser_spark.operators import aggregates as agg
+from bag_parser_spark.operators import joins, similarity
+from bag_parser_spark.sources.parquet import load_table
+from tests.conftest import SF_CORRECT
+
+
+def test_approx_distinct_error_bound(spark):
+    l = load_table(spark, SF_CORRECT, "lineitem")
+    row = l.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.count_distinct("l_partkey").alias("exact"),
+    ).head()
+    rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
+    assert rel_err < 0.05, f"approx={row['approx']} exact={row['exact']}"
+
+
+def _orphan_fixture(spark):
+    df = spark.createDataFrame(
+        [(i, i % 10) for i in range(100)], "id long, fk long"
+    )
+    dim = spark.createDataFrame(
+        [(k,) for k in range(10) if k % 3 != 0], "key long"
+    )  # fks 0,3,6,9 are orphaned -> 40 orphan rows
+    return df, dim
+
+
+def test_p12_deletes_below_threshold(spark):
+    df, dim = _orphan_fixture(spark)
+    out = joins.conditional_orphan_delete(
+        df, dim, on=F.col("fk") == F.col("key"), threshold=50
+    )
+    assert out.count() == 60
+    assert out.filter(F.col("fk") % 3 == 0).count() == 0
+
+
+def test_p12_refuses_mass_delete(spark):
+    df, dim = _orphan_fixture(spark)
+    out = joins.conditional_orphan_delete(
+        df, dim, on=F.col("fk") == F.col("key"), threshold=40
+    )
+    assert out.count() == 100  # 40 orphans >= 40 -> unchanged
+
+
+def _brute_pairs(spark, threshold):
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    l = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("av"))
+    r = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv"))
+    return (
+        l.crossJoin(r)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(similarity.cosine(F.col("av"), F.col("bv")), 6).alias("cs"),
+        )
+        .filter(F.col("cs") >= threshold)
+    )
+
+
+def test_neardup_pairs_subset_of_bruteforce(spark):
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    got = similarity.embedding_neardup_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.35, num_planes=6
+    ).collect()
+    assert len(got) > 0  # non-trivial at sf0.01
+    brute = {
+        (r["a_id"], r["b_id"]): r["cs"]
+        for r in _brute_pairs(spark, 0.35).collect()
+    }
+    for r in got:
+        key = (r["a_id"], r["b_id"])
+        assert key in brute  # no false positives: exact verify after bucket
+        assert r["cosine_sim"] == brute[key]
+
+
+def test_ivf_topk_scores_match_exact(spark):
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    got = similarity.ivf_topk(
+        e, id_col="vec_id", vec_col="embedding", query_vec=qv, k=10,
+        centroids=cents, nprobe=2,
+    ).collect()
+    assert len(got) == 10
+    q = F.array(*[F.lit(x) for x in qv])
+    exact = {
+        r["vec_id"]: r["cs"]
+        for r in e.select(
+            "vec_id",
+            F.round(similarity.cosine(F.col("embedding"), q), 6).alias("cs"),
+        ).collect()
+    }
+    for r in got:  # scores are exact even though the candidate set is pruned
+        assert r["cosine_sim"] == exact[r["vec_id"]]
+    assert got[0]["vec_id"] == 0  # query vector is in the corpus -> sim 1.0
+
+
+def test_observe_metrics(spark):
+    l = load_table(spark, SF_CORRECT, "lineitem")
+    observed, obs = agg.observed(
+        l,
+        "scan_metrics",
+        {
+            "rows_seen": F.count(F.lit(1)),
+            "qty_sum": F.sum("l_quantity"),
+        },
+    )
+    n = observed.count()  # run an action through the observed node
+    assert obs.get["rows_seen"] == n
+    assert obs.get["qty_sum"] > 0
