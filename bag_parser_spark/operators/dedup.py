@@ -167,9 +167,14 @@ def minhash_lsh_pairs(
     """MinHash + LSH banding near-dup candidate pairs (id_a < id_b).
 
     shingle → minhash signature (relational, see minhash_signatures) →
-    ``bands`` bands of r hashes → band-key equi-join buckets candidates.
-    The pair join shuffles only (band, bucket) keys, never document text —
-    the 100 TB-safe shape. Returns distinct (id_a, id_b) candidate pairs.
+    ``bands`` bands of r hashes → group by band bucket → explode in-bucket
+    pairs. A naive self-join on the bucket key would execute the whole
+    signature subtree TWICE (Spark self-joins duplicate lineage, verified
+    via .explain); the groupBy/collect_list form computes signatures once
+    and shuffles only (band, bucket, id) — never document text — then
+    expands pairs with two generators. The 100 TB-safe shape: shuffle
+    volume is one row per (doc, band). Returns distinct (id_a, id_b)
+    candidate pairs (id_a < id_b).
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
@@ -186,17 +191,27 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("__id__")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # all (ids[i], ids[j]) with i < j: posexplode anchors id_a, a second
+    # explode over the array tail yields each id_b — both codegen'd
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id__") < F.col("b.__id__")),
+        buckets.select(
+            F.posexplode("ids").alias("i", "id_a"),
+            F.col("ids"),
         )
         .select(
-            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
+            "id_a",
+            F.explode(
+                F.slice(
+                    F.col("ids"),
+                    F.col("i") + F.lit(2),
+                    F.size("ids") - F.col("i") - F.lit(1),
+                )
+            ).alias("id_b"),
         )
         .distinct()
     )
@@ -211,41 +226,61 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shingle inverted index.
 
-    explode shingles → self-join on shingle (the inverted-index trick: only
-    docs sharing ≥1 shingle ever meet — never the O(n²) cross join) →
-    |A∩B| per pair → Jaccard with |A|,|B| → threshold. Shuffles on shingle
-    then on (id_a,id_b): both keys are small; hot shingles (stop-gram skew)
-    are the known hazard — cap or salt them upstream for skewed corpora.
+    explode shingles → inverted index (group by shingle — only docs sharing
+    ≥1 shingle ever meet, never the O(n²) cross join) → in-posting-list
+    pair expansion → |A∩B| per pair → Jaccard with |A|,|B| → threshold.
+
+    Single-lineage shape: a self-join formulation would execute the whole
+    shingle subtree twice and the sizes agg a third time (Spark self-joins
+    duplicate lineage). Here the shingle tree runs ONCE: the window inside
+    word_shingle_rows leaves rows hash-partitioned by __id__, which already
+    satisfies both the per-doc distinct and the per-doc size window below
+    (partitioning on a subset of the grouping keys — zero extra exchanges,
+    verified via .explain), and doc sizes ride along in the posting-list
+    struct so no join is ever needed. Shuffles: by __id__ (shingling), by
+    shingle (inverted index), by pair (intersection count) — keys only,
+    never document text. Hot shingles (stop-gram skew) remain the known
+    hazard — cap or salt posting lists upstream for skewed corpora.
     """
-    sh = word_shingle_rows(df, id_col, text_col, shingle_n).distinct()
-    sizes = sh.groupBy("__id__").agg(F.count("*").alias("__size__"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.__id__") < F.col("b.__id__")),
-        )
-        .groupBy(
-            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
-        )
-        .agg(F.count("*").alias("intersection"))
+    sh = word_shingle_rows(df, id_col, text_col, shingle_n)
+    shd = sh.dropDuplicates(["__id__", "shingle"])
+    from pyspark.sql import Window
+
+    with_size = shd.withColumn(
+        "__size__", F.count("*").over(Window.partitionBy("__id__"))
     )
+    buckets = (
+        with_size.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__id__", "__size__"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.posexplode("members").alias("i", "a"), F.col("members")
+        )
+        .select(
+            "a",
+            F.explode(
+                F.slice(
+                    F.col("members"),
+                    F.col("i") + F.lit(2),
+                    F.size("members") - F.col("i") - F.lit(1),
+                )
+            ).alias("b"),
+        )
+    )
+    inter = pairs.groupBy(
+        F.col("a.__id__").alias("id_a"),
+        F.col("a.__size__").alias("size_a"),
+        F.col("b.__id__").alias("id_b"),
+        F.col("b.__size__").alias("size_b"),
+    ).agg(F.count("*").alias("intersection"))
     return (
-        inter.join(
-            F.broadcast(sizes).withColumnRenamed("__id__", "id_a").withColumnRenamed(
-                "__size__", "size_a"
-            ),
-            on="id_a",
-        )
-        .join(
-            F.broadcast(sizes).withColumnRenamed("__id__", "id_b").withColumnRenamed(
-                "__size__", "size_b"
-            ),
-            on="id_b",
-        )
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("intersection")
             / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
@@ -341,23 +376,43 @@ def simhash_pairs(
     """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Candidate generation blocks on the first half of the bits (a 1-band LSH
-    on the sign vector) so the join key is a small int — only pairs agreeing
-    on the prefix meet, which is the standard scale trick for ≤k hamming
-    with k < bits/2 refined exactly afterwards.
+    on the sign vector) — only pairs agreeing on the prefix meet, the
+    standard scale trick for ≤k hamming with k < bits/2 refined exactly
+    afterwards. Single-lineage: blocking groups prefix buckets and expands
+    in-bucket pairs from the collected (id, bits) list, so the signature
+    subtree runs once (a self-join would execute it twice); the prefix
+    shuffle carries only (prefix, id, bits).
     """
     half = num_bits // 2
     sig = simhash_signatures(df, id_col, text_col, num_bits).withColumn(
         "prefix", F.concat_ws("", *[F.col("bits")[i] for i in range(half)])
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.prefix") == F.col("b.prefix"))
-            & (F.col("a.__id__") < F.col("b.__id__")),
+    buckets = (
+        sig.groupBy("prefix")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__id__", "bits"))).alias(
+                "members"
+            )
         )
-        .withColumn(
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.posexplode("members").alias("i", "a"), F.col("members")
+        )
+        .select(
+            "a",
+            F.explode(
+                F.slice(
+                    F.col("members"),
+                    F.col("i") + F.lit(2),
+                    F.size("members") - F.col("i") - F.lit(1),
+                )
+            ).alias("b"),
+        )
+    )
+    return (
+        pairs.withColumn(
             "hamming",
             F.aggregate(
                 F.zip_with(

@@ -307,7 +307,8 @@ def q_knn_join(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 16)
     return similarity.knn_join_brute(
-        probes, e, left_id="vec_id", right_id="vec_id", vec_col="embedding", k=3
+        probes, e, left_id="vec_id", right_id="vec_id", vec_col="embedding",
+        k=3, dim=64,
     )
 
 
