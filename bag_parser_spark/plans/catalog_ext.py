@@ -461,6 +461,32 @@ def q_windowed(spark, sf_dir):
     )
 
 
+def _sessionize_sql():
+    from bag_parser_spark.streaming.sessionize import (
+        sessionize_batch_oracle_sql,
+    )
+
+    return sessionize_batch_oracle_sql(360)
+
+
+@register(
+    "events_sessionize",
+    _sessionize_sql(),
+    doc="Gap-based sessionization (batch twin of the applyInPandasWithState "
+    "streaming operator in streaming/sessionize.py): lag() gap flag → "
+    "running-sum session number → grouped session stats. One shuffle on "
+    "user_id; numbering and grouping reuse its partitioning. Stream/batch "
+    "parity is tested in tests/test_streaming.py.",
+)
+def q_sessionize(spark, sf_dir):
+    from bag_parser_spark.streaming.sessionize import sessionize_batch
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return sessionize_batch(e, gap_minutes=360)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (metadata path oracle-checked; decode path rows-only)
 # ---------------------------------------------------------------------------

@@ -38,8 +38,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
+            # integer div, NOT `/ 1000`: float division of ~1.7e18 nanos
+            # exceeds double's 2^53 precision and lands a micro off
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -44,9 +44,8 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer div — float division of nano epochs loses the last micro
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(

@@ -23,3 +23,54 @@ def test_stream_matches_batch(spark):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_sessionize_stream_matches_batch(spark):
+    """Closed sessions from the applyInPandasWithState stream must equal
+    the batch twin's sessions, excluding each user's FINAL session (its
+    event-time timeout may not fire before the AvailableNow drain ends —
+    that emission path is exercised, not awaited). Float sums accumulate
+    in the same per-session event order but stream-side in float64 vs
+    batch-side exact decimal, so totals compare to 1e-9."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.streaming.sessionize import (
+        run_sessionize_to_memory,
+        sessionize_batch,
+    )
+
+    run_sessionize_to_memory(spark, f"{SF}/events.parquet", "ev_sess_test")
+    stream_rows = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.table("ev_sess_test").collect()
+    }
+    from bag_parser_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    batch = sessionize_batch(events, gap_minutes=360)
+    last_no = batch.groupBy("user_id").agg(
+        F.max("session_no").alias("last_no")
+    )
+    closed = batch.join(last_no, on="user_id").filter(
+        F.col("session_no") != F.col("last_no")
+    )
+    batch_rows = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in closed.collect()
+    }
+    assert len(batch_rows) > 100  # non-trivial session structure
+    assert set(stream_rows) >= set(batch_rows)
+    for key, (end, n, total) in batch_rows.items():
+        s_end, s_n, s_total = stream_rows[key]
+        assert (s_end, s_n) == (end, n)
+        assert abs(s_total - total) < 1e-9
