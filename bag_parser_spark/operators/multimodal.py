@@ -112,6 +112,56 @@ def extract_image_features(
     )
 
 
+def resize_images_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_w: int = 32,
+    target_h: int = 32,
+) -> DataFrame:
+    """Image-resize plumbing: payload in → resized payload + new dims out
+    (1:1 map, payload-transforming — unlike feature extraction it RETURNS
+    binary, so output batches are as heavy as input batches; size Arrow
+    batches via spark.sql.execution.arrow.maxRecordsPerBatch accordingly).
+    The fake "resize" deterministically re-samples the byte stream to
+    target_w*target_h bytes; a real implementation swaps in a codec at the
+    marked line and keeps the identical schema/batch shape."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    n_out = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                # REAL CODEC GOES HERE: PIL.Image.open(...).resize(...)
+                if data:
+                    step = max(len(data) // n_out, 1)
+                    out = data[::step][:n_out].ljust(n_out, b"\x00")
+                else:
+                    out = b"\x00" * n_out
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "width": target_w,
+                        "height": target_h,
+                        "payload": out,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "payload"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, schema=schema)
+
+
 def frame_sample_stub(
     df: DataFrame,
     id_col: str = "doc_id",

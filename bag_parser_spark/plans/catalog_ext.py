@@ -523,3 +523,28 @@ def q_mm_meta(spark, sf_dir):
 def q_mm_features(spark, sf_dir):
     d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_image_features(d, deterministic_fake=True)
+
+
+@register(
+    "mm_resize",
+    None,  # payload-transforming mapInPandas stub — rows-only by design
+    doc="Image-resize plumbing: 1:1 payload-in/payload-out mapInPandas "
+    "(binary out, so batches stay heavy — sized via Arrow batch config). "
+    "Deterministic fake resampler; real codec is a one-line swap. "
+    "Properties unit-tested in tests/test_extensions.py.",
+)
+def q_mm_resize(spark, sf_dir):
+    d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_images_stub(d, target_w=32, target_h=32)
+
+
+@register(
+    "mm_frame_sample",
+    None,  # UDTF-shaped mapInPandas stub — rows-only by design
+    doc="Video frame-sampling plumbing: 1 payload row -> N frame rows, "
+    "exploded executor-side. Properties unit-tested in "
+    "tests/test_extensions.py.",
+)
+def q_mm_frames(spark, sf_dir):
+    d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_stub(d, every_nth=64)

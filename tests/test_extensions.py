@@ -106,6 +106,30 @@ def test_ivf_topk_scores_match_exact(spark):
     assert got[0]["vec_id"] == 0  # query vector is in the corpus -> sim 1.0
 
 
+def test_multimodal_resize_and_frames(spark):
+    from bag_parser_spark.operators import multimodal
+
+    d = multimodal.attach_binary_payload(
+        load_table(spark, SF_CORRECT, "documents").limit(50)
+    )
+    resized = multimodal.resize_images_stub(d, target_w=8, target_h=8).collect()
+    assert len(resized) == 50
+    for r in resized:
+        assert (r["width"], r["height"]) == (8, 8)
+        assert len(r["payload"]) == 64  # exactly target_w*target_h bytes
+    frames = multimodal.frame_sample_stub(d, every_nth=64)
+    per_doc = dict(
+        (r["doc_id"], r["n"])
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    )
+    lens = {
+        r["doc_id"]: r["media_meta"]["byte_len"]
+        for r in d.select("doc_id", "media_meta").collect()
+    }
+    for doc_id, n in per_doc.items():  # ceil(byte_len / 64) frames per doc
+        assert n == -(-lens[doc_id] // 64)
+
+
 def test_observe_metrics(spark):
     l = load_table(spark, SF_CORRECT, "lineitem")
     observed, obs = agg.observed(
