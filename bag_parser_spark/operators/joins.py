@@ -24,19 +24,29 @@ from pyspark.sql import functions as F
 
 def chained_left_join(
     fact: DataFrame,
-    dims: Sequence[tuple[DataFrame, Column | str | list[str]]],
+    dims: Sequence[
+        tuple[DataFrame, Column | str | list[str]]
+        | tuple[DataFrame, Column | str | list[str], bool]
+    ],
     broadcast_dims: bool = True,
 ) -> DataFrame:
     """J1/J9: fact LEFT JOIN dim1 LEFT JOIN dim2 … (reference
     database_sqlite.py:347-375, exporter.py:52-73).
 
-    Each dim is (DataFrame, join-condition). Dims are broadcast by default —
-    the snowflake lookup chain (adressen ⋈ openbare_ruimten ⋈ gemeenten ⋈
-    woonplaatsen ⋈ provincies) must not shuffle the fact table.
+    Each dim is (DataFrame, join-condition[, broadcast]). True dimension
+    tables broadcast so the snowflake lookup chain (adressen ⋈
+    openbare_ruimten ⋈ gemeenten ⋈ woonplaatsen ⋈ provincies) never
+    shuffles the fact table. Pass ``broadcast=False`` for big-big sides
+    (e.g. nummers ⋈ verblijfsobjecten at NL scale): NO hint is planted and
+    AQE picks sort-merge at scale or converts to broadcast at runtime when
+    the side turns out small — forcing a broadcast hint on a fact-sized
+    side is an OOM at 1000 executors.
     """
     out = fact
-    for dim, on in dims:
-        right = F.broadcast(dim) if broadcast_dims else dim
+    for spec in dims:
+        dim, on = spec[0], spec[1]
+        bcast = spec[2] if len(spec) > 2 else broadcast_dims
+        right = F.broadcast(dim) if bcast else dim
         out = out.join(right, on=on, how="left")
     return out
 
@@ -69,6 +79,45 @@ def update_join(
             out = out.withColumn(name, expr)
     drop = [c for c in src.columns if c not in target.columns]
     return out.drop(*drop)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: hot keys on the skewed side would send
+    one shuffle partition 1000× the work of the rest (the classic
+    straggler at cluster scale). The skewed side gets a deterministic salt
+    (uniform from the row's own key-adjacent content via xxhash64 of all
+    columns), the other side is replicated ``num_salts``× with every salt
+    value, and the join key becomes (key, salt) — hot keys fan out over
+    ``num_salts`` partitions.
+
+    Use when AQE's skew-join (splitting oversized partitions at runtime)
+    isn't available or the skew is in a single key beyond what partition
+    splitting fixes; the replicated side must be the smaller one (cost =
+    num_salts × its size). Result equals the plain join exactly — salt
+    columns are internal.
+    """
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts))
+    ).cast("int")
+    left = skewed.withColumn("__salt__", salt)
+    right = other.withColumn(
+        "__salt__",
+        F.explode(F.array(*[F.lit(i) for i in range(num_salts)])),
+    )
+    out = left.join(
+        right,
+        (F.col(skewed_key) == F.col(other_key))
+        & (left["__salt__"] == right["__salt__"]),
+        how,
+    )
+    return out.drop("__salt__")
 
 
 def conditional_orphan_delete(

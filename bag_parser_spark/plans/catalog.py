@@ -80,13 +80,16 @@ def q_j1(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    # orders/customer are fact-scale tables (the nummers/verblijfsobjecten
+    # analog): no broadcast hint — AQE sort-merges at scale, converts to
+    # broadcast at runtime while they're small. nation/region are true dims.
     joined = joins.chained_left_join(
         l,
         [
-            (o, F.col("l_orderkey") == F.col("o_orderkey")),
-            (c, F.col("o_custkey") == F.col("c_custkey")),
-            (n, F.col("c_nationkey") == F.col("n_nationkey")),
-            (r, F.col("n_regionkey") == F.col("r_regionkey")),
+            (o, F.col("l_orderkey") == F.col("o_orderkey"), False),
+            (c, F.col("o_custkey") == F.col("c_custkey"), False),
+            (n, F.col("c_nationkey") == F.col("n_nationkey"), True),
+            (r, F.col("n_regionkey") == F.col("r_regionkey"), True),
         ],
     )
     return joined.select(
@@ -154,8 +157,9 @@ def q_j2(spark, sf_dir):
 def q_j6(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # no broadcast hint: customer is fact-scale — AQE decides (see q_j1)
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left")
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"), "left")
         .select(
             "o_orderkey",
             F.coalesce(

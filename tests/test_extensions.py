@@ -106,6 +106,26 @@ def test_ivf_topk_scores_match_exact(spark):
     assert got[0]["vec_id"] == 0  # query vector is in the corpus -> sim 1.0
 
 
+def test_salted_join_equals_plain_join(spark):
+    # 90% of rows share one hot key — the shape that melts a shuffle
+    skewed = spark.createDataFrame(
+        [(i, 7 if i % 10 else i % 5, f"v{i}") for i in range(2000)],
+        "row_id long, fk long, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(10)], "key long, dval string"
+    )
+    got = joins.salted_join(skewed, dim, "fk", "key", num_salts=8).select(
+        "row_id", "fk", "payload", "key", "dval"
+    )
+    want = skewed.join(dim, skewed["fk"] == dim["key"]).select(
+        "row_id", "fk", "payload", "key", "dval"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == want.count() > 0
+
+
 def test_multimodal_resize_and_frames(spark):
     from bag_parser_spark.operators import multimodal
 
