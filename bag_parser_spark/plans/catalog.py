@@ -716,6 +716,85 @@ def q_p7(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# F8/U2 — full geometry → WGS84 nested rings (the geometry-enabled path)
+# reference utils.py:172-193
+# ---------------------------------------------------------------------------
+
+_G_X1 = "(80000 + (event_id % 997) * 150)"
+_G_Y1 = "(380000 + (event_id % 211) * 700)"
+
+
+def _f8_oracle_sql() -> str:
+    geom = (
+        f"'[' || CAST({_G_X1} AS VARCHAR) || ' ' || CAST({_G_Y1} AS VARCHAR)"
+        f" || ' 0.0 ' || CAST({_G_X1} + 10 AS VARCHAR) || ' ' ||"
+        f" CAST({_G_Y1} + 10 AS VARCHAR) || ' 0.0],[' ||"
+        f" CAST({_G_X1} + 100 AS VARCHAR) || ' ' ||"
+        f" CAST({_G_Y1} - 50 AS VARCHAR) || ' 0.0]'"
+    )
+    lon = rd.rd_to_wgs84_lon_sql("x", "y")
+    lat = rd.rd_to_wgs84_lat_sql("x", "y")
+    return f"""
+    WITH g AS (
+      SELECT event_id, {geom} AS geom
+      FROM events WHERE event_id % 17 = 0
+    ),
+    rings AS (
+      SELECT event_id, rn AS ring_no,
+             string_split_regex(trim(regexp_replace(
+               string_split(geom, ',')[rn], '^\\[|\\]$', '')), '\\s+') AS nums
+      FROM g CROSS JOIN (VALUES (1), (2)) v(rn)
+    ),
+    pts AS (
+      SELECT event_id, ring_no, p,
+             CAST(nums[(p - 1) * 3 + 1] AS DOUBLE) AS x,
+             CAST(nums[(p - 1) * 3 + 2] AS DOUBLE) AS y
+      FROM rings CROSS JOIN (VALUES (1), (2)) w(p)
+      WHERE p <= len(nums) / 3
+    ),
+    conv AS (
+      SELECT event_id, ring_no, p, [{lon}, {lat}] AS pt FROM pts
+    ),
+    ringagg AS (
+      SELECT event_id, ring_no, list(pt ORDER BY p) AS ring
+      FROM conv GROUP BY event_id, ring_no
+    )
+    SELECT event_id, list(ring ORDER BY ring_no) AS rings
+    FROM ringagg GROUP BY event_id
+    """
+
+
+@register(
+    "f8_geometry_rings",
+    _f8_oracle_sql(),
+    doc="F8/U2: full multi-ring geometry string -> WGS84 nested rings "
+    "array<array<array<double>>> (reference utils.py:172-193; 3D posList, "
+    "z dropped, GeoJSON [lon,lat] order). Map-only projection over "
+    "higher-order functions + the F6 polynomial — no UDF, no shuffle; "
+    "the oracle re-aggregates exploded points with ORDER BY so both "
+    "engines build identical nested lists.",
+)
+def q_f8(spark, sf_dir):
+    from bag_parser_spark.functions import geometry as geo
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    x1 = (F.lit(80000) + (F.col("event_id") % 997) * 150).cast("long")
+    y1 = (F.lit(380000) + (F.col("event_id") % 211) * 700).cast("long")
+    geom = F.concat(
+        F.lit("["),
+        x1.cast("string"), F.lit(" "), y1.cast("string"), F.lit(" 0.0 "),
+        (x1 + 10).cast("string"), F.lit(" "), (y1 + 10).cast("string"),
+        F.lit(" 0.0],["),
+        (x1 + 100).cast("string"), F.lit(" "), (y1 - 50).cast("string"),
+        F.lit(" 0.0]"),
+    )
+    return e.select(
+        "event_id",
+        geo.geometry_to_wgs_rings(geom, is_3d=True).alias("rings"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------
 

@@ -47,6 +47,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """S11 replacement: the reference builds B-tree indices on join keys
+    (reference database_sqlite.py:274-289) to make its update-joins cheap.
+    Spark has no indices; the equivalent is bucketed storage — data
+    pre-shuffled into ``num_buckets`` files by key at WRITE time so every
+    later join/aggregation on that key is exchange-free (the one-time
+    shuffle is amortized over all downstream readers, exactly what an
+    index build is). At 100 TB: bucket both sides of the recurring big-big
+    join (nummers ⋈ verblijfsobjecten) on the join key with equal bucket
+    counts; optional sortBy gives sort-merge join its order for free."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

@@ -150,6 +150,34 @@ def test_multimodal_resize_and_frames(spark):
         assert n == -(-lens[doc_id] // 64)
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    """Bucketed tables joined on the bucket key must plan a sort-merge join
+    with NO shuffle exchange — the amortized 'index' S11 maps to. Broadcast
+    is disabled for the check so the bucket path is actually exercised."""
+    from bag_parser_spark.sources.parquet import write_bucketed
+
+    o = load_table(spark, SF_CORRECT, "orders")
+    l = load_table(spark, SF_CORRECT, "lineitem")
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(l, "t_lineitem_b", ["l_orderkey"], 8, ["l_orderkey"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_lineitem_b").join(
+                spark.table("t_orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan
+            assert joined.count() == l.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
 def test_observe_metrics(spark):
     l = load_table(spark, SF_CORRECT, "lineitem")
     observed, obs = agg.observed(
