@@ -52,6 +52,16 @@ def temporal_validity_predicate(
     return start_ok & (end_empty | end_ok)
 
 
+def parse_bag_datum(c: Column) -> Column:
+    """F5: BAG date string → DATE, NULL when shorter than 16 chars
+    (reference utils.py:162-166 ``bag_date_to_date`` builds a datetime from
+    the y/m/d slices only when ``len >= 16`` — i.e. only full timestamp
+    strings parse, and the time-of-day is dropped)."""
+    return F.when(
+        F.length(c) >= 16, F.to_date(F.substring(c, 1, 10), "yyyy-MM-dd")
+    )
+
+
 def status_predicate(status: Column, wanted: str | None) -> Column:
     """P4: per-entity status equality (reference bag_parser.py:33-35,47-70).
     ``wanted=None`` (Pand/Verblijfsobject) means no status filter."""

@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) for the scalar layer: each property
+generates a batch of adversarial inputs, evaluates the Column expression in
+ONE Spark job over the batch, and compares against a plain-Python model of
+the reference semantics."""
+
+from __future__ import annotations
+
+import math
+from datetime import date
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from bag_parser_spark.functions import rijksdriehoek as rd
+from bag_parser_spark.functions import scalars
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+
+def _eval_batch(spark, values, expr_fn, in_type="string"):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], f"i long, v {in_type}"
+    )
+    rows = df.select("i", expr_fn(F.col("v")).alias("out")).collect()
+    return [r["out"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+# F5 — reference utils.py:162-166: only len>=16 strings parse, y/m/d slices
+def _bag_date_model(s):
+    if len(s) >= 16:
+        return date(int(s[0:4]), int(s[5:7]), int(s[8:10]))
+    return None
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.dates(date(1800, 1, 1), date(2199, 12, 31)),
+            st.booleans(),  # full timestamp vs truncated string
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_parse_bag_datum_matches_reference(spark, cases):
+    values = [
+        d.isoformat() + ("T00:00:00.000+01:00" if full else "")
+        for d, full in cases
+    ]
+    got = _eval_batch(spark, values, scalars.parse_bag_datum)
+    assert got == [_bag_date_model(v) for v in values]
+
+
+# F1 — SQLite SUBSTR 0-start quirk
+def _sqlite_substr_model(s, start, length):
+    if start == 0:  # chars 1..length-1
+        return s[: max(length - 1, 0)]
+    return s[start - 1 : start - 1 + length]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.text(alphabet="abcXYZ09 ,", max_size=12), min_size=1, max_size=30),
+    st.integers(0, 3),
+    st.integers(1, 8),
+)
+def test_sqlite_substr_matches_model(spark, values, start, length):
+    got = _eval_batch(
+        spark, values, lambda c: scalars.sqlite_substr(c, start, length)
+    )
+    assert got == [_sqlite_substr_model(v, start, length) for v in values]
+
+
+# P3 — temporal predicate = the reference's string-compare semantics
+def _active_model(begin, end, today):
+    if begin == "" or begin[0:10] > today:
+        return False
+    return end == "" or end[0:10] >= today
+
+
+_DATESTR = st.dates(date(2000, 1, 1), date(2049, 12, 31)).map(date.isoformat)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.just(""), _DATESTR),
+            st.one_of(st.just(""), _DATESTR),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_temporal_predicate_matches_reference(spark, cases):
+    today = "2024-06-30"
+    df = spark.createDataFrame(
+        [(i, b, e) for i, (b, e) in enumerate(cases)],
+        "i long, b string, e string",
+    )
+    rows = df.select(
+        "i",
+        scalars.temporal_validity_predicate(
+            F.col("b"), F.col("e"), today
+        ).alias("out"),
+    ).collect()
+    got = [r["out"] for r in sorted(rows, key=lambda r: r["i"])]
+    assert got == [_active_model(b, e, today) for b, e in cases]
+
+
+# F6/F7 — RD→WGS84→RD roundtrip stays within the published decimeter-level
+# accuracy (reference readme.MD:121-122); tolerance 1 m over the RD domain.
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(10_000, 270_000),  # NL RD x range
+            st.floats(310_000, 610_000),  # NL RD y range
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_rd_wgs_roundtrip_accuracy(spark, points):
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(points)],
+        "i long, x double, y double",
+    )
+    lat = rd.rd_to_wgs84_lat(F.col("x"), F.col("y"))
+    lon = rd.rd_to_wgs84_lon(F.col("x"), F.col("y"))
+    rows = df.select(
+        "x",
+        "y",
+        rd.wgs84_to_rd_x(lat, lon).alias("x2"),
+        rd.wgs84_to_rd_y(lat, lon).alias("y2"),
+    ).collect()
+    for r in rows:
+        err = math.hypot(r["x2"] - r["x"], r["y2"] - r["y"])
+        assert err < 1.0, f"roundtrip error {err} m at ({r['x']}, {r['y']})"
