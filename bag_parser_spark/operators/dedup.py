@@ -290,6 +290,87 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → duplicate clusters.
+
+    The step every dedup pipeline needs after pair generation (MinHash/
+    SimHash/Jaccard/embedding pairs are edges, not an answer): group
+    transitively-connected docs into one cluster and elect a canonical
+    representative (the minimum id — deterministic). Returns one row per
+    distinct doc appearing in ``pairs``: (out_id, cluster_id, cluster_size)
+    where cluster_id = min doc id of the component, so the canonical doc is
+    the row with out_id == cluster_id.
+
+    Algorithm: iterative hash-min label propagation — every node starts
+    labeled with its own id; each round a node adopts the minimum label
+    among itself and its neighbors; converged when no label changes.
+    Rounds needed = graph diameter (near-dup clusters are shallow — a few
+    rounds in practice; ``max_iter`` guards pathological chains). Each
+    round is one shuffle of (node, label) by node id — edges carry only
+    ids, never document content, so a round costs O(|E|) key-size rows at
+    any corpus scale. ``localCheckpoint`` truncates the plan each round:
+    without it the lineage doubles per iteration and Catalyst re-optimizes
+    an exponentially growing tree (on a cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    fault-tolerant truncation; localCheckpoint trades executor-loss
+    recovery for speed). Convergence check is one tiny count per round —
+    the same driver-side action pattern as the reference's conditional
+    orphan delete (reference database_sqlite.py:604-612).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["lbl"], F.coalesce(F.col("nlbl"), labels["lbl"])
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("id").alias(out_id), F.col("lbl").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+    )
+
+
 def _hex_nibble_value(ch: Column) -> Column:
     """hex char → 0..15 via position arithmetic (engine-portable)."""
     return F.instr(F.lit("0123456789abcdef"), ch) - 1

@@ -100,6 +100,53 @@ def q_minhash(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+    sig AS (SELECT doc_id AS id, {_mh_sig} AS sig FROM corpus),
+    bands AS ({_mh_bands}),
+    p AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+             FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+    doc="Duplicate clusters from near-dup pairs: connected components via "
+    "iterative hash-min label propagation (O(diameter) rounds, each one "
+    "(node,label) shuffle — ids only, never text; localCheckpoint truncates "
+    "the per-round lineage). cluster_id = min doc id of the component = the "
+    "canonical representative. Oracle computes the same components with a "
+    "recursive transitive-closure CTE.",
+)
+def q_dedup_clusters(spark, sf_dir):
+    pairs = dedup.minhash_lsh_pairs(
+        _corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=_MH_N,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+    )
+    return dedup.dup_clusters(pairs, out_id="doc_id")
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS (

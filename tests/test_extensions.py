@@ -191,3 +191,24 @@ def test_observe_metrics(spark):
     n = observed.count()  # run an action through the observed node
     assert obs.get["rows_seen"] == n
     assert obs.get["qty_sum"] > 0
+
+
+def test_dup_clusters_components(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
+    # 10-11-12, isolated pair 20-21 — all must resolve to min-id labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    from bag_parser_spark.operators import dedup
+
+    out = dedup.dup_clusters(pairs, out_id="doc_id")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 3), 11: (10, 3), 12: (10, 3),
+        20: (20, 2), 21: (20, 2),
+    }
