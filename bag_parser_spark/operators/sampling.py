@@ -1,0 +1,117 @@
+"""Dataset splitting and sequence packing for training-data pipelines
+(extension surface).
+
+Both operators are deterministic functions of the data — no RNG state, no
+insertion order — so a re-run (or a retried task on a 1000-executor
+cluster) assigns every document to the same split and the same chunk.
+Spark's own ``randomSplit``/``sample`` are partition-order-sensitive and
+engine-specific; a content-hash bucket is the reproducible, portable way
+to split a 100 TB corpus, and it never shuffles (map-only projection).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPLIT_MOD = 10_000
+
+
+def md5_mod(c: Column, seed: int | str, mod: int = HASH_SPLIT_MOD) -> Column:
+    """Uniform bucket in [0, mod) from the first 8 md5 hex chars of
+    ``seed:value`` — folded to an integer with plain nibble arithmetic so
+    any engine computes the identical bucket (no dependence on a native
+    unhexing builtin). Max fold value 16^8-1 < 2^53: exact in doubles.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+    val = F.lit(0.0)
+    for i in range(8):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+        val = val + nib.cast("double") * float(16 ** (7 - i))
+    return val.cast("long") % mod
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]],
+    seed: int | str = 42,
+    split_name: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-hash bucket.
+
+    ``splits`` is an ordered list of (name, fraction) summing to 1.0; a doc
+    lands in the split whose cumulative-fraction interval contains its
+    ``md5_mod`` bucket. Fractions are exact over the bucket space (e.g.
+    0.8 → buckets [0, 8000) of 10000), and membership depends only on
+    (seed, id) — stable across runs, partitionings, and engines, which is
+    what makes held-out sets trustworthy: a training doc can never migrate
+    into the eval split when the cluster layout changes.
+    """
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    bucket = md5_mod(F.col(id_col), seed)
+    expr: Column | None = None
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        cond = bucket < int(round(acc * HASH_SPLIT_MOD))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_name, out)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column,
+    ctx_len: int,
+    shard_col: Column | str,
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing: lay the corpus out as one
+    token stream per shard (docs in ``order_by`` order), then cut the
+    stream into fixed ``ctx_len`` chunks. Returns per doc: its shard, token
+    count, starting offset in the shard's stream, and the first/last chunk
+    ids it lands in — everything a loader needs to emit packed batches.
+
+    This is the standard pretraining batching step (concatenate documents,
+    chunk at context length — docs straddle chunk boundaries rather than
+    padding). The running offset is a window cumsum, so the layout is a
+    deterministic function of (shard, order) — re-running on different
+    partitioning yields byte-identical packing.
+
+    Scale shape: ONE window per shard — the shard column must be chosen so
+    a shard's docs fit a task (e.g. hash-bucket the corpus into O(cores)
+    shards upstream). A global single-stream layout would serialize on one
+    partition; per-shard streams are the 100 TB form, and the shard id
+    doubles as the output file's partition key so chunks are written
+    co-located and orderable.
+    """
+    shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    order = [F.col(c) for c in (order_by or [id_col])]
+    base = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        offset.alias("token_offset"),
+        F.floor(offset / ctx_len).alias("first_chunk"),
+        F.floor((offset + F.col("n_tokens") - 1) / ctx_len).alias(
+            "last_chunk"
+        ),
+    )

@@ -249,6 +249,86 @@ def q_text_quality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dataset splitting / sequence packing
+# ---------------------------------------------------------------------------
+
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+_SPLIT_SEED = 42
+
+
+def _split_case_sql() -> str:
+    bucket = O.md5_mod_sql("doc_id", _SPLIT_SEED)
+    return (
+        f"CASE WHEN {bucket} < 8000 THEN 'train' "
+        f"WHEN {bucket} < 9000 THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "split_train_test",
+    f"""
+    SELECT doc_id, {_split_case_sql()} AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test split by content-hash bucket "
+    "(md5(seed:id) mod 10000 against cumulative fraction thresholds). "
+    "Map-only, no shuffle, no RNG: membership depends only on (seed, id), "
+    "so held-out sets are stable across runs/partitionings/engines — "
+    "unlike randomSplit, whose assignment shifts with partition layout.",
+)
+def q_split(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.hash_split(
+        d, id_col="doc_id", splits=_SPLITS, seed=_SPLIT_SEED
+    ).select("doc_id", "split")
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len({O.words_sql('text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS token_offset
+      FROM base
+    )
+    SELECT doc_id, shard, n_tokens, token_offset,
+           CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((token_offset + n_tokens - 1) / 512.0) AS BIGINT)
+             AS last_chunk
+    FROM packed
+    """,
+    doc="Concatenate-then-chunk sequence packing (pretraining batch "
+    "layout): per-shard token stream via window cumsum, docs straddle "
+    "fixed ctx_len chunk boundaries. One window per shard — shard count "
+    "O(cores) keeps every stream in a task at 100 TB; deterministic "
+    "function of (shard, order), so repacking is byte-identical.",
+)
+def q_pack(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+    from bag_parser_spark.operators.text import token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.pack_sequences(
+        d,
+        id_col="doc_id",
+        token_count=token_count_ws(F.col("text")),
+        ctx_len=512,
+        shard_col=(F.col("doc_id") % 8),
+        order_by=["doc_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Similarity search family
 # ---------------------------------------------------------------------------
 

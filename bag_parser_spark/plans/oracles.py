@@ -133,3 +133,15 @@ def fingerprint_sql(text: str, ngram: int = 5) -> str:
         f"(CASE WHEN len(__W__) >= {ngram} THEN list_min({grams}) "
         f"ELSE md5(array_to_string(__W__, ' ')) END)"
     ).replace("__W__", f"({w})")
+
+
+def md5_mod_sql(expr: str, seed, mod: int = 10_000) -> str:
+    """Mirrors sampling.md5_mod: first 8 md5 hex chars of 'seed:value'
+    folded to an integer by nibble arithmetic (exact in doubles)."""
+    h = f"md5('{seed}:' || CAST({expr} AS VARCHAR))"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        f" * {float(16 ** (7 - i))}"
+        for i in range(8)
+    )
+    return f"(CAST(({terms}) AS BIGINT) % {mod})"

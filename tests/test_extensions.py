@@ -212,3 +212,49 @@ def test_dup_clusters_components(spark):
         10: (10, 3), 11: (10, 3), 12: (10, 3),
         20: (20, 2), 21: (20, 2),
     }
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    from bag_parser_spark.operators import sampling
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    a = sampling.hash_split(df, "doc_id", splits, seed=42)
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # hash buckets approximate the fractions (±3% absolute at n=5000)
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.03
+    # deterministic: same (seed, id) → same split regardless of layout
+    b = sampling.hash_split(
+        df.repartition(17), "doc_id", splits, seed=42)
+    assert a.select("doc_id", "split").exceptAll(
+        b.select("doc_id", "split")).count() == 0
+    # a different seed reshuffles membership
+    c = sampling.hash_split(df, "doc_id", splits, seed=43)
+    assert a.select("doc_id", "split").exceptAll(
+        c.select("doc_id", "split")).count() > 0
+
+
+def test_pack_sequences_stream_invariants(spark):
+    from bag_parser_spark.operators import sampling
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).alias("ntok"),
+    )
+    out = sampling.pack_sequences(
+        df, "doc_id", F.col("ntok"), ctx_len=64,
+        shard_col=(F.col("doc_id") % 4), order_by=["doc_id"],
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        offset = 0
+        for r in rows:  # offsets are the contiguous token stream
+            assert r["token_offset"] == offset
+            assert r["first_chunk"] == offset // 64
+            assert r["last_chunk"] == (offset + r["n_tokens"] - 1) // 64
+            offset += r["n_tokens"]
