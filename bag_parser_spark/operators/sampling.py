@@ -115,3 +115,30 @@ def pack_sequences(
             "last_chunk"
         ),
     )
+
+
+def sample_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    k: int,
+    seed: int | str = 0,
+    rank_name: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic cap-k-per-key sampling: rank each group's rows by the
+    md5 of ``seed:id`` (a uniform, reproducible shuffle order) and keep the
+    first ``k``. The standard volume-capping step of corpus curation (e.g.
+    "at most N documents per domain") — a biased head(k) would keep
+    whatever order the files arrived in; the hash rank is a fair draw that
+    every re-run and every engine reproduces.
+
+    One shuffle on ``keys``; skewed groups cost their own size only (the
+    window never materializes more than a task's partition — for pathological
+    single-key skew, pre-filter with an aggregate count + salted top-k).
+    """
+    order = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*keys).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )

@@ -179,3 +179,35 @@ def fingerprint(text: Column, ngram: int = 5) -> Column:
     return F.when(F.size(words) >= ngram, F.array_min(grams)).otherwise(
         F.md5(F.array_join(words, " "))
     )
+
+
+def vocab_build(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    lowercase: bool = True,
+):
+    """Corpus vocabulary: (token, doc_freq, term_freq) over whitespace
+    tokens, dropping tokens seen in fewer than ``min_df`` documents — the
+    ingredient for tokenizer training, df-based stopword discovery, and
+    TF-IDF weighting.
+
+    Relational shape: explode tokens → single groupBy(token) computing both
+    frequencies (count_distinct gets map-side partial aggregation; the
+    shuffle carries (token, id) pairs, never documents). The min_df filter
+    prunes the long tail — at corpus scale that tail IS the table, so the
+    filter sits directly on the aggregate before anything else consumes it.
+    """
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = df.select(
+        F.col(id_col).alias("__id__"), F.explode(tokens(t)).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count_distinct("__id__").alias("doc_freq"),
+            F.count("*").alias("term_freq"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+    )

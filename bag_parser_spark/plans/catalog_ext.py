@@ -328,6 +328,58 @@ def q_pack(spark, sf_dir):
     )
 
 
+@register(
+    "sample_per_source",
+    """
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 5
+    """,
+    doc="Cap-k-per-key sampling (≤5 docs per source): rank by md5(seed:id) "
+    "— a reproducible fair draw, where head(k) would keep arrival-order "
+    "bias. One shuffle on the key; reruns and engines agree exactly.",
+)
+def q_sample_per_source(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.sample_per_group(
+        d, keys=["source"], id_col="doc_id", k=5, seed=0
+    ).select("doc_id", "source", "sample_rank")
+
+
+@register(
+    "vocab_build",
+    f"""
+    SELECT token, doc_freq, term_freq FROM (
+      SELECT token, COUNT(DISTINCT doc_id) AS doc_freq,
+             COUNT(*) AS term_freq
+      FROM (SELECT doc_id, unnest({O.words_sql('lower(text)')}) AS token
+            FROM documents)
+      GROUP BY token
+    ) WHERE doc_freq >= 5
+    """,
+    doc="Corpus vocabulary (token, doc_freq, term_freq) with min_df "
+    "pruning — tokenizer-training / TF-IDF ingredient. Single groupBy "
+    "(token) with map-side partial agg; the min_df filter drops the "
+    "long tail at the aggregate, before anything consumes it.",
+)
+def q_vocab(spark, sf_dir):
+    from bag_parser_spark.operators.text import vocab_build
+
+    return vocab_build(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        min_df=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search family
 # ---------------------------------------------------------------------------
