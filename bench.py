@@ -36,13 +36,37 @@ HEADLINE = [
 
 
 def _warmup(spark, sf_dir: str) -> None:
-    """One throwaway job so JVM/codegen/datasource warmup isn't billed to
-    the first timed query (timings should measure queries, not startup)."""
+    """Throwaway jobs so JVM/codegen/datasource warmup isn't billed to the
+    first timed queries (timings should measure queries, not startup).
+    Exercises the machinery the headline queries share — parquet scan,
+    groupBy agg, window, explode, regex/md5 projection, broadcast join,
+    sort/limit — on the 5-row region table, so JIT and codegen
+    infrastructure are hot; nothing here computes or caches any headline
+    result (the noop sink materializes and discards)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    spark.read.parquet(f"{sf_dir}/region.parquet").agg(
-        F.count(F.lit(1))
-    ).write.format("noop").mode("overwrite").save()
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    jobs = [
+        r.agg(F.count(F.lit(1))),
+        r.groupBy("r_regionkey").agg(F.min("r_name")),
+        r.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("r_regionkey").orderBy("r_name")
+            ),
+        ),
+        r.select(
+            F.explode(F.split(F.col("r_name"), r"\s+")).alias("t")
+        ).select(F.md5(F.col("t")).alias("h")),
+        r.select(
+            F.regexp_extract_all(F.col("r_name"), F.lit(r"(\S+)"), 1).alias("g")
+        ),
+        r.join(F.broadcast(r.select("r_regionkey")), "r_regionkey", "left"),
+        r.orderBy(F.col("r_name").desc()).limit(1),
+    ]
+    for df in jobs:
+        df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
