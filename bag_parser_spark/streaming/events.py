@@ -86,3 +86,39 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_events_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once dedup — the streaming twin of the batch
+    last-write-wins/exact-dedup family (SURVEY §2.1 S7): at-least-once
+    sources (Kafka, file backfills, retried producers) re-deliver records,
+    and ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
+    while the watermark bounds the dedup state (a plain dropDuplicates on a
+    stream grows state forever — unusable at corpus scale).
+
+    First-arrival-wins vs the batch operator's last-write-wins is inherent
+    to unbounded input (there is no "last" yet); replaying the deduped
+    stream through the batch operator yields identical sets when keys are
+    unique per event, which is what the parity test asserts.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_dedup_stream_to_memory(
+    spark: SparkSession, path: str, table_name: str = "events_deduped"
+) -> None:
+    """Drain the deduped stream with Trigger.AvailableNow into a memory
+    sink (append mode — dedup emits rows, not updated aggregates)."""
+    deduped = dedup_events_stream(read_events_stream(spark, path))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -74,3 +74,40 @@ def test_sessionize_stream_matches_batch(spark):
         s_end, s_n, s_total = stream_rows[key]
         assert (s_end, s_n) == (end, n)
         assert abs(s_total - total) < 1e-9
+
+
+def test_dedup_stream_matches_batch(spark):
+    """Streaming dropDuplicatesWithinWatermark over a duplicated input
+    equals batch exact dedup on the same data."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.sources.parquet import load_table
+    from bag_parser_spark.streaming.events import run_dedup_stream_to_memory
+
+    base = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # simulate at-least-once redelivery: every event appears twice, as two
+    # files so the stream sees duplicates across micro-batch boundaries too
+    with tempfile.TemporaryDirectory() as d:
+        dup_dir = os.path.join(d, "dups")
+        base.withColumn("ts", F.unix_micros("ts") * 1000).write.parquet(dup_dir)
+        base.withColumn("ts", F.unix_micros("ts") * 1000).write.mode(
+            "append"
+        ).parquet(dup_dir)
+        run_dedup_stream_to_memory(spark, dup_dir, "events_deduped_t")
+        got = spark.table("events_deduped_t")
+        assert got.count() == base.count()
+        assert got.select("event_id").distinct().count() == base.count()
+        # value-level equality, not just counts
+        assert (
+            got.select("event_id", "user_id", "event_type", "value")
+            .exceptAll(
+                base.select("event_id", "user_id", "event_type", "value")
+            )
+            .count()
+            == 0
+        )
