@@ -211,3 +211,51 @@ def vocab_build(
         )
         .filter(F.col("doc_freq") >= min_df)
     )
+
+
+def tfidf_vectors(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    lowercase: bool = True,
+    round_to: int = 6,
+):
+    """Sparse TF-IDF document vectors as (doc, token, tf, tfidf) rows:
+    tf = count/doc_len, idf = ln(N/doc_freq), weights rounded for
+    cross-engine reproducibility.
+
+    Composition shape: term frequencies aggregate once per (doc, token)
+    [shuffle #1], per-doc lengths ride a window over the doc key
+    [shuffle #2], and the min_df-pruned vocabulary — tiny after pruning,
+    by Zipf — broadcasts back onto the term rows, so the corpus-sized side
+    never reshuffles for the join. N (corpus size) is one scalar count.
+    """
+    from pyspark.sql import Window
+
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    n_docs = df.select(id_col).count()
+    term = (
+        df.select(F.col(id_col).alias("__id__"), F.explode(tokens(t)).alias("token"))
+        .groupBy("__id__", "token")
+        .agg(F.count("*").alias("tf_count"))
+    )
+    doc_len = F.sum("tf_count").over(Window.partitionBy("__id__"))
+    term = term.withColumn("doc_len", doc_len)
+    vocab = (
+        term.groupBy("token")
+        .agg(F.count_distinct("__id__").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+    )
+    joined = term.join(F.broadcast(vocab), "token")
+    tfidf = (F.col("tf_count") / F.col("doc_len")) * F.log(
+        F.lit(float(n_docs)) / F.col("doc_freq")
+    )
+    return joined.select(
+        F.col("__id__").alias(id_col),
+        "token",
+        "tf_count",
+        "doc_len",
+        "doc_freq",
+        F.round(tfidf, round_to).alias("tfidf"),
+    )

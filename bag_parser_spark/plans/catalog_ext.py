@@ -380,6 +380,47 @@ def q_vocab(spark, sf_dir):
     )
 
 
+@register(
+    "tfidf_vectors",
+    f"""
+    WITH term AS (
+      SELECT doc_id, token, COUNT(*) AS tf_count
+      FROM (SELECT doc_id, unnest({O.words_sql('lower(text)')}) AS token
+            FROM documents)
+      GROUP BY doc_id, token
+    ),
+    with_len AS (
+      SELECT doc_id, token, tf_count,
+             SUM(tf_count) OVER (PARTITION BY doc_id) AS doc_len
+      FROM term
+    ),
+    vocab AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS doc_freq
+      FROM term GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 5
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.token, t.tf_count, t.doc_len, v.doc_freq,
+           round((t.tf_count / t.doc_len)
+                 * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / v.doc_freq),
+                 6) AS tfidf
+    FROM with_len t JOIN vocab v ON t.token = v.token
+    """,
+    doc="Sparse TF-IDF vectors over the min_df-pruned vocabulary: term "
+    "counts aggregate once per (doc, token); the pruned vocab (tiny, by "
+    "Zipf) broadcasts back onto term rows so the corpus side never "
+    "reshuffles for the join; weights rounded for cross-engine match.",
+)
+def q_tfidf(spark, sf_dir):
+    from bag_parser_spark.operators.text import tfidf_vectors
+
+    return tfidf_vectors(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        min_df=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search family
 # ---------------------------------------------------------------------------
