@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -145,6 +147,40 @@ def lsh_bucket_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _arrow_pair_cosine():
+    """Arrow-batched cosine over vector pairs with per-vector norms
+    precomputed: the vectorized twin of ``dot(a,b)/(norm_a*norm_b)``.
+
+    Bit-exactness contract: the accumulation is an explicit left fold over
+    dimensions (``acc = acc + a[:,d]*b[:,d]``), vectorized across ROWS —
+    numpy's own ``dot``/``reduce`` use pairwise summation and would round
+    differently than the Column fold / the DuckDB oracle. Inputs upcast to
+    float64 before multiplying, exactly like ``_as_double``.
+
+    Why a UDF here when the engine's rule is "expressions first": Spark
+    evaluates higher-order-function lambdas interpreted, one expression
+    tree per element — measured ~2s for 30k pair-dots at dim 64. The Arrow
+    path moves the same arithmetic to numpy at ~100 ns/dot, and at 100 TB
+    it rides mapInPandas batches with zero extra shuffle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(
+        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(a), dtype=np.float64)
+        for d in range(a.shape[1]):
+            acc = acc + a[:, d] * b[:, d]
+        return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+
+    return pair_cosine
+
+
 def _py_cosine(a: list[float], b: list[float]) -> float:
     """Driver-side cosine with the SAME left-fold accumulation order as the
     Column form, so centroid orderings computed on the driver match the
@@ -189,10 +225,23 @@ def ivf_topk(
     w = Window.partitionBy("__vid__").orderBy(
         F.col("__sim__").desc(), F.col("cid").asc()
     )
+    # norms once per vector/centroid (Column-side, tiny); the |corpus|×|cells|
+    # assignment scoring itself runs Arrow-vectorized — the hot stage here
+    pair_cos = _arrow_pair_cosine()
     assigned = (
-        df.select(F.col(id_col).alias("__vid__"), F.col(vec_col).alias("__vec__"))
-        .crossJoin(F.broadcast(c))
-        .withColumn("__sim__", cosine(F.col("__vec__"), F.col("cv")))
+        df.select(
+            F.col(id_col).alias("__vid__"),
+            F.col(vec_col).alias("__vec__"),
+            norm(F.col(vec_col)).alias("__vnorm__"),
+        )
+        .crossJoin(F.broadcast(c.withColumn("__cnorm__", norm(F.col("cv")))))
+        .withColumn(
+            "__sim__",
+            pair_cos(
+                F.col("__vec__"), F.col("cv"),
+                F.col("__vnorm__"), F.col("__cnorm__"),
+            ),
+        )
         .withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
         .select("__vid__", "__vec__", "cid")
@@ -271,13 +320,18 @@ def embedding_neardup_pairs(
             ).alias("b"),
         )
     )
+    pair_cos = _arrow_pair_cosine()
     return (
         pairs.select(
             F.col("a.__mid__").alias("a_id"),
             F.col("b.__mid__").alias("b_id"),
             F.round(
-                dot(F.col("a.__mvec__"), F.col("b.__mvec__"))
-                / (F.col("a.__mnorm__") * F.col("b.__mnorm__")),
+                pair_cos(
+                    F.col("a.__mvec__"),
+                    F.col("b.__mvec__"),
+                    F.col("a.__mnorm__"),
+                    F.col("b.__mnorm__"),
+                ),
                 6,
             ).alias("cosine_sim"),
         )

@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 from bag_parser_spark.plans.catalog import registry
 from bag_parser_spark.session import get_spark
 
@@ -64,9 +66,23 @@ def _warmup(spark, sf_dir: str) -> None:
         ),
         r.join(F.broadcast(r.select("r_regionkey")), "r_regionkey", "left"),
         r.orderBy(F.col("r_name").desc()).limit(1),
+        _pandas_udf_warmup(r),
     ]
     for df in jobs:
         df.write.format("noop").mode("overwrite").save()
+
+
+def _pandas_udf_warmup(r):
+    """One trivial Arrow-batched job so Python worker + Arrow serialization
+    startup isn't billed to the first pandas_udf-backed query."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _ident(s: pd.Series) -> pd.Series:
+        return s
+
+    return r.select(_ident(F.col("r_regionkey").cast("long")).alias("x"))
 
 
 def main() -> None:
