@@ -329,6 +329,56 @@ def q_pack(spark, sf_dir):
 
 
 @register(
+    "curate_corpus",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text, source,
+             {O.quality_score_sql('text')} AS quality,
+             CASE WHEN {O.stopword_ratio_sql('text')} >= 0.08
+                  THEN 'en' ELSE 'und' END AS lang_pred
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored WHERE quality >= 0.7 AND lang_pred = 'en'
+    ),
+    deduped AS (
+      SELECT doc_id, source, quality FROM (
+        SELECT doc_id, source, quality,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id ASC) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, source, quality, {_split_case_sql()} AS split
+    FROM deduped
+    """,
+    doc="End-to-end corpus curation as ONE lineage: quality+language gate "
+    "(map-only, prunes before anything shuffles) -> exact content dedup "
+    "(hash groupBy, min-id representative) -> deterministic split "
+    "assignment (map-only). The composition a 100 TB curation job runs "
+    "nightly; operator order matters — the cheap filters run at the scan, "
+    "the shuffle sees only surviving docs.",
+)
+def q_curate(spark, sf_dir):
+    from bag_parser_spark.operators import dedup, sampling
+    from bag_parser_spark.operators.text import language_id, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text", "source",
+        quality_score(F.col("text")).alias("quality"),
+        language_id(F.col("text")).alias("lang_pred"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.7) & (F.col("lang_pred") == "en")
+    ).withColumn("__content__", F.md5("text"))
+    unique = dedup.dedup_exact(kept, on=["__content__"], id_col="doc_id")
+    return sampling.hash_split(
+        unique, id_col="doc_id", splits=_SPLITS, seed=_SPLIT_SEED
+    ).select("doc_id", "source", "quality", "split")
+
+
+@register(
     "sample_per_source",
     """
     SELECT doc_id, source, sample_rank FROM (
