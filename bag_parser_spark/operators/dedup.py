@@ -307,16 +307,18 @@ def dup_clusters(
     where cluster_id = min doc id of the component, so the canonical doc is
     the row with out_id == cluster_id.
 
-    Algorithm: iterative hash-min label propagation — every node starts
-    labeled with its own id; each round a node adopts the minimum label
-    among itself and its neighbors; converged when no label changes.
-    Rounds needed = graph diameter (near-dup clusters are shallow — a few
-    rounds in practice; ``max_iter`` guards pathological chains). Each
-    round is one shuffle of (node, label) by node id — edges carry only
-    ids, never document content, so a round costs O(|E|) key-size rows at
-    any corpus scale. ``localCheckpoint`` truncates the plan each round:
-    without it the lineage doubles per iteration and Catalyst re-optimizes
-    an exponentially growing tree (on a cluster prefer
+    Algorithm: iterative hash-min label propagation with path compression —
+    every node starts labeled with its own id; each round a node adopts the
+    minimum label among itself, its neighbors, and *its label's label*
+    (pointer doubling). The compression step is what makes convergence
+    O(log n) rounds instead of O(diameter): without it a duplicate CHAIN of
+    length > max_iter would silently come back as several clusters. If the
+    loop still hits ``max_iter`` unconverged it raises rather than return
+    wrong labels. Each round shuffles only (node, label) pairs — edges
+    carry ids, never document content, so a round costs O(|E|) key-size
+    rows at any corpus scale. ``localCheckpoint`` truncates the plan each
+    round: without it the lineage doubles per iteration and Catalyst
+    re-optimizes an exponentially growing tree (on a cluster prefer
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
     fault-tolerant truncation; localCheckpoint trades executor-loss
     recovery for speed). Convergence check is one tiny count per round —
@@ -337,18 +339,32 @@ def dup_clusters(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 labels["id"],
                 F.least(
                     labels["lbl"], F.coalesce(F.col("nlbl"), labels["lbl"])
+                ).alias("lbl"),
+            )
+        )
+        # path compression (pointer doubling): adopt the label's own label
+        parent = stepped.select(
+            F.col("id").alias("p_id"), F.col("lbl").alias("p_lbl")
+        )
+        new_labels = (
+            stepped.join(parent, stepped["lbl"] == parent["p_id"], "left")
+            .select(
+                stepped["id"],
+                F.least(
+                    stepped["lbl"], F.coalesce(F.col("p_lbl"), stepped["lbl"])
                 ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
@@ -361,7 +377,13 @@ def dup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds 2^rounds; raise max_iter"
+        )
     w = Window.partitionBy("cluster_id")
     return (
         labels.select(

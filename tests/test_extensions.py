@@ -275,3 +275,17 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert len(files) == n and n < 40
     # contents survive the rewrite
     assert spark.read.parquet(src).count() == 10000
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    # 80-node chain: diameter 79 — plain hash-min would need 79 rounds;
+    # path compression converges within the default max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "id_a long, id_b long"
+    )
+    from bag_parser_spark.operators import dedup
+
+    out = dedup.dup_clusters(pairs, out_id="doc_id").collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert all(r["cluster_size"] == 81 for r in out)
+    assert len(out) == 81
