@@ -210,24 +210,35 @@ def ivf_topk(
     centroid cell, then probe only the ``nprobe`` cells nearest the query.
 
     ``centroids`` is (cid, cv) and small by design (~√n cells), so the
-    assignment pass is a broadcast crossJoin + per-vector argmax window —
-    map-side only, no shuffle of the corpus. At 100 TB the cell id becomes
-    a partition column of the stored corpus, so probing prunes partitions
-    at the scan and the per-query cost is |cell|·nprobe, not n. Probe-cell
-    selection runs on the driver over the collected centroid set (tiny).
-    Approximate by construction — recall < 1 when the true neighbor lands
-    in an unprobed cell; cosine math matches cosine_topk bitwise.
+    assignment pass is a broadcast crossJoin + per-vector argmax as a
+    map-side partial aggregation: every copy of a vector lives in the
+    partition that produced it (broadcast join never splits a left row's
+    fan-out), so the partial ``max(struct(sim, -cid, vec))`` collapses the
+    |corpus|×|cells| product back to one row per vector BEFORE the
+    exchange — the shuffle moves n rows, not n·√n (a row_number() window
+    here would shuffle the whole product; round-1 flaw). At 100 TB the
+    cell id becomes a partition column of the stored corpus, so probing
+    prunes partitions at the scan and the per-query cost is
+    |cell|·nprobe, not n. Probe-cell selection runs on the driver over
+    the collected centroid set (tiny). Approximate by construction —
+    recall < 1 when the true neighbor lands in an unprobed cell; cosine
+    math matches cosine_topk bitwise.
     """
-    from pyspark.sql import Window
-
     dim = len(query_vec)
     c = centroids.select("cid", "cv")
-    w = Window.partitionBy("__vid__").orderBy(
-        F.col("__sim__").desc(), F.col("cid").asc()
-    )
     # norms once per vector/centroid (Column-side, tiny); the |corpus|×|cells|
     # assignment scoring itself runs Arrow-vectorized — the hot stage here
     pair_cos = _arrow_pair_cosine()
+    # argmax = max over struct(sim, -cid, vec): field-order comparison gives
+    # max sim with deterministic min-cid tiebreak (max_by semantics plus a
+    # total order); vec rides along so no second join is needed
+    best = F.max(
+        F.struct(
+            F.col("__sim__").alias("s"),
+            (-F.col("cid")).alias("__negcid__"),
+            F.col("__vec__").alias("v"),
+        )
+    ).alias("__best__")
     assigned = (
         df.select(
             F.col(id_col).alias("__vid__"),
@@ -242,9 +253,13 @@ def ivf_topk(
                 F.col("__vnorm__"), F.col("__cnorm__"),
             ),
         )
-        .withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select("__vid__", "__vec__", "cid")
+        .groupBy("__vid__")
+        .agg(best)
+        .select(
+            "__vid__",
+            F.col("__best__.v").alias("__vec__"),
+            (-F.col("__best__.__negcid__")).alias("cid"),
+        )
     )
     cents = [(r["cid"], [float(x) for x in r["cv"]]) for r in c.collect()]
     ranked = sorted(
@@ -278,15 +293,20 @@ def embedding_neardup_pairs(
     All-pairs cosine is O(n²); instead vectors are bucketed by their
     random-hyperplane sign signature and paired ONLY within buckets
     (~n/2^planes candidates per bucket), then exact cosine verifies each
-    candidate. Single-lineage shape: buckets are grouped and in-bucket
-    pairs expanded from the collected member list — a bucket self-join
-    would execute the signature projection twice (Spark self-joins
-    duplicate lineage). Norms are computed once per VECTOR before pairing,
-    not once per pair, and all vector math is unrolled fixed-dim
-    expressions (whole-stage codegen; F.aggregate lambdas are interpreted).
-    Approximate by construction (a near-dup pair straddling a hyperplane
-    is missed — standard LSH recall/planes trade-off). Comparison happens
-    on the ROUNDED similarity so the threshold cut is reproducible across
+    candidate. The pair expansion is a bucket EQUI-JOIN over the
+    signature projection materialized once (localCheckpoint): the
+    round-1 shape collected each bucket's members into a single array
+    cell, whose width grows linearly with corpus size at fixed plane
+    count — a 1B-doc corpus would put ~16M structs in one row. The
+    equi-join keeps every row bounded (one member pair), shuffles only
+    (bucket, id, vec, norm), and the materialization kills the usual
+    self-join objection (lineage would otherwise execute the signature
+    computation twice). ``a_id < b_id`` on the join condition halves the
+    product and fixes pair orientation. Norms are computed once per
+    VECTOR before pairing, not once per pair. Approximate by
+    construction (a near-dup pair straddling a hyperplane is missed —
+    standard LSH recall/planes trade-off). Comparison happens on the
+    ROUNDED similarity so the threshold cut is reproducible across
     engines.
     """
     planes = [_pseudo_random_plane(p, dim) for p in range(num_planes)]
@@ -295,42 +315,35 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("__mvec__"),
         norm(F.col(vec_col)).alias("__mnorm__"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket__"),
+    ).localCheckpoint(eager=False)
+    a = b.select(
+        F.col("__bucket__"),
+        F.col("__mid__").alias("a_id"),
+        F.col("__mvec__").alias("__avec__"),
+        F.col("__mnorm__").alias("__anorm__"),
     )
-    buckets = (
-        b.groupBy("__bucket__")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("__mid__", "__mvec__", "__mnorm__"))
-            ).alias("members")
-        )
-        .filter(F.size("members") > 1)
+    c = b.select(
+        F.col("__bucket__").alias("__bucket2__"),
+        F.col("__mid__").alias("b_id"),
+        F.col("__mvec__").alias("__bvec__"),
+        F.col("__mnorm__").alias("__bnorm__"),
     )
-    pairs = (
-        buckets.select(
-            F.posexplode("members").alias("i", "a"), F.col("members")
-        )
-        .select(
-            "a",
-            F.explode(
-                F.slice(
-                    F.col("members"),
-                    F.col("i") + F.lit(2),
-                    F.size("members") - F.col("i") - F.lit(1),
-                )
-            ).alias("b"),
-        )
+    pairs = a.join(
+        c,
+        (F.col("__bucket__") == F.col("__bucket2__"))
+        & (F.col("a_id") < F.col("b_id")),
     )
     pair_cos = _arrow_pair_cosine()
     return (
         pairs.select(
-            F.col("a.__mid__").alias("a_id"),
-            F.col("b.__mid__").alias("b_id"),
+            "a_id",
+            "b_id",
             F.round(
                 pair_cos(
-                    F.col("a.__mvec__"),
-                    F.col("b.__mvec__"),
-                    F.col("a.__mnorm__"),
-                    F.col("b.__mnorm__"),
+                    F.col("__avec__"),
+                    F.col("__bvec__"),
+                    F.col("__anorm__"),
+                    F.col("__bnorm__"),
                 ),
                 6,
             ).alias("cosine_sim"),

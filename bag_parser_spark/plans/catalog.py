@@ -751,28 +751,26 @@ def _f8_oracle_sql() -> str:
              CAST(nums[(p - 1) * 3 + 2] AS DOUBLE) AS y
       FROM rings CROSS JOIN (VALUES (1), (2)) w(p)
       WHERE p <= len(nums) / 3
-    ),
-    conv AS (
-      SELECT event_id, ring_no, p, [{lon}, {lat}] AS pt FROM pts
-    ),
-    ringagg AS (
-      SELECT event_id, ring_no, list(pt ORDER BY p) AS ring
-      FROM conv GROUP BY event_id, ring_no
     )
-    SELECT event_id, list(ring ORDER BY ring_no) AS rings
-    FROM ringagg GROUP BY event_id
+    SELECT event_id, ring_no, p AS point_no,
+           {lon} AS lon, {lat} AS lat
+    FROM pts
     """
 
 
 @register(
     "f8_geometry_rings",
     _f8_oracle_sql(),
-    doc="F8/U2: full multi-ring geometry string -> WGS84 nested rings "
-    "array<array<array<double>>> (reference utils.py:172-193; 3D posList, "
-    "z dropped, GeoJSON [lon,lat] order). Map-only projection over "
-    "higher-order functions + the F6 polynomial — no UDF, no shuffle; "
-    "the oracle re-aggregates exploded points with ORDER BY so both "
-    "engines build identical nested lists.",
+    doc="F8/U2: full multi-ring geometry string -> WGS84 rings (reference "
+    "utils.py:172-193; 3D posList, z dropped, [lon,lat] order). The nested "
+    "array<array<array<double>>> form (geometry_to_wgs_rings) is the "
+    "engine-internal representation and the GeoJSON string "
+    "(geometry_to_wgs_geojson, reference utils.py:193 json.dumps) the "
+    "export form; the oracle row is the rings EXPLODED to flat "
+    "(event_id, ring_no, point_no, lon, lat) rows so both engines hash "
+    "raw doubles — nested-list cells crash the driver canonicalization "
+    "and cross-engine JSON float formatting is not byte-stable. Map-only "
+    "projection + generators — no UDF, no shuffle.",
 )
 def q_f8(spark, sf_dir):
     from bag_parser_spark.functions import geometry as geo
@@ -788,9 +786,27 @@ def q_f8(spark, sf_dir):
         (x1 + 100).cast("string"), F.lit(" "), (y1 - 50).cast("string"),
         F.lit(" 0.0]"),
     )
-    return e.select(
+    rings = e.select(
         "event_id",
         geo.geometry_to_wgs_rings(geom, is_3d=True).alias("rings"),
+    )
+    return (
+        rings.select(
+            "event_id",
+            F.posexplode("rings").alias("__ri__", "__ring__"),
+        )
+        .select(
+            "event_id",
+            (F.col("__ri__") + 1).alias("ring_no"),
+            F.posexplode("__ring__").alias("__pi__", "__pt__"),
+        )
+        .select(
+            "event_id",
+            "ring_no",
+            (F.col("__pi__") + 1).alias("point_no"),
+            F.col("__pt__")[0].alias("lon"),
+            F.col("__pt__")[1].alias("lat"),
+        )
     )
 
 

@@ -295,10 +295,10 @@ def q_split(spark, sf_dir):
     ),
     packed AS (
       SELECT doc_id, shard, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS token_offset
+               AS BIGINT) AS token_offset
       FROM base
     )
     SELECT doc_id, shard, n_tokens, token_offset,
@@ -441,7 +441,8 @@ def q_vocab(spark, sf_dir):
     ),
     with_len AS (
       SELECT doc_id, token, tf_count,
-             SUM(tf_count) OVER (PARTITION BY doc_id) AS doc_len
+             CAST(SUM(tf_count) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS doc_len
       FROM term
     ),
     vocab AS (

@@ -113,9 +113,10 @@ def sessionize_batch_oracle_sql(gap_minutes: int = 360) -> str:
       FROM l
     ),
     numbered AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_no
       FROM flagged
     )
     SELECT user_id, session_no,

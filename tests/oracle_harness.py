@@ -1,6 +1,18 @@
 """Local mimic of the driver's DuckDB oracle comparison: run the Spark query
 and the oracle SQL on the same parquet tables, compare row count, column
-names, and order-insensitive values (exact after per-cell normalization)."""
+names, and order-insensitive values.
+
+Driver parity (hard-won in round 1): the driver canonicalizes BOTH results
+as pandas DataFrames before hashing, so dtype differences that Python-level
+fetchall() hides are fatal there. Concretely, DuckDB SUM(BIGINT) returns
+HUGEINT, which `.fetchall()` converts to plain int (masking the bug) but
+`.df()` converts to float64 — while Spark's bigint arrives as int64. The
+driver hashed those differently on three round-1 queries that were green
+here. So this harness now (a) converts both sides to pandas exactly like
+the driver, (b) fails on dtype-KIND mismatches (int vs float vs object vs
+datetime) before comparing values, and (c) fails on list-valued object
+cells, which crash the driver's pandas sort (unhashable type: 'list').
+"""
 
 from __future__ import annotations
 
@@ -8,6 +20,7 @@ import math
 from decimal import Decimal
 
 import duckdb
+import pandas as pd
 
 from bag_parser_spark.sources.parquet import TABLES
 
@@ -24,45 +37,117 @@ def duck_con(sf_dir: str = SF_DIR) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
     if v is None:
         return None
+    # numpy scalars -> Python scalars so both engines compare equal
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if isinstance(v, Decimal):
         return float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return None
+        return v.to_pydatetime()
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
     return v
 
 
-def _norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+def _object_classes(series: pd.Series) -> set[str]:
+    classes: set[str] = set()
+    for v in series:
+        if v is None:
+            continue
+        try:
+            if not isinstance(v, (list, tuple)) and pd.isna(v):
+                continue
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, bool):
+            classes.add("bool")
+        elif isinstance(v, Decimal):
+            classes.add("decimal")
+        elif isinstance(v, int):
+            classes.add("int")
+        elif isinstance(v, float):
+            classes.add("float")
+        elif isinstance(v, (list, tuple)):
+            classes.add("list")
+        else:
+            classes.add(type(v).__name__)
+    return classes
+
+
+def _dtype_gate(name: str, spdf: pd.DataFrame, dpdf: pd.DataFrame):
+    """Fail like the driver would, before any value comparison."""
+    for col in spdf.columns:
+        sk, dk = spdf[col].dtype.kind, dpdf[col].dtype.kind
+        if sk != dk:
+            return (
+                f"{name}: column {col!r} pandas dtype-kind mismatch: "
+                f"spark {spdf[col].dtype} vs duck {dpdf[col].dtype} — the "
+                "driver hashes these differently (DuckDB HUGEINT/DECIMAL "
+                "becomes float64; CAST sums/windows to BIGINT or DOUBLE "
+                "in the oracle)"
+            )
+        if sk == "O":
+            s_cls = _object_classes(spdf[col])
+            d_cls = _object_classes(dpdf[col])
+            if "list" in s_cls or "list" in d_cls:
+                return (
+                    f"{name}: column {col!r} contains list cells "
+                    f"(spark={sorted(s_cls)} duck={sorted(d_cls)}) — the "
+                    "driver canonicalization crashes on unhashable lists; "
+                    "emit a JSON string or explode to flat rows"
+                )
+            if ("decimal" in d_cls) != ("decimal" in s_cls):
+                return (
+                    f"{name}: column {col!r} object-class mismatch "
+                    f"spark={sorted(s_cls)} duck={sorted(d_cls)} — Decimal "
+                    "on one side only hashes differently in the driver"
+                )
+    return None
+
+
+def _norm_rows(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    out = [
+        tuple(_norm_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
     out.sort(key=repr)
-    return [cols[i] for i in order], out
+    return out
 
 
 def compare(spark, name, fn, sql, sf_dir: str = SF_DIR):
     """Returns (ok, message)."""
     sdf = fn(spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
     con = duck_con(sf_dir)
-    res = con.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    dpdf = con.execute(sql).df()
     con.close()
+    scols, dcols = list(spdf.columns), list(dpdf.columns)
     if sorted(scols) != sorted(dcols):
         return False, f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
-    if len(srows) != len(drows):
-        return False, f"{name}: row count spark={len(srows)} duck={len(drows)}"
-    _, sn = _norm_rows(scols, srows)
-    _, dn = _norm_rows(dcols, drows)
+    if len(spdf) != len(dpdf):
+        return False, f"{name}: row count spark={len(spdf)} duck={len(dpdf)}"
+    dtype_err = _dtype_gate(name, spdf, dpdf)
+    if dtype_err:
+        return False, dtype_err
+    sn = _norm_rows(spdf)
+    dn = _norm_rows(dpdf)
     for i, (a, b) in enumerate(zip(sn, dn)):
         if a != b:
             return False, (
                 f"{name}: value mismatch at sorted row {i}:\n  spark={a}\n  duck ={b}"
             )
-    return True, f"{name}: OK ({len(srows)} rows)"
+    return True, f"{name}: OK ({len(spdf)} rows)"
