@@ -167,14 +167,16 @@ def minhash_lsh_pairs(
     """MinHash + LSH banding near-dup candidate pairs (id_a < id_b).
 
     shingle → minhash signature (relational, see minhash_signatures) →
-    ``bands`` bands of r hashes → group by band bucket → explode in-bucket
-    pairs. A naive self-join on the bucket key would execute the whole
-    signature subtree TWICE (Spark self-joins duplicate lineage, verified
-    via .explain); the groupBy/collect_list form computes signatures once
-    and shuffles only (band, bucket, id) — never document text — then
-    expands pairs with two generators. The 100 TB-safe shape: shuffle
-    volume is one row per (doc, band). Returns distinct (id_a, id_b)
-    candidate pairs (id_a < id_b).
+    ``bands`` bands of r hashes → bucket equi-join within each band.
+    The banded (id, band, bucket) projection is persisted once, so the
+    self-join does NOT execute the signature subtree twice (Spark
+    self-joins duplicate lineage; persist dedupes it while staying
+    recomputable on executor loss — the signature is deterministic).
+    Earlier form collected each bucket's ids into ONE array cell: ids
+    only, but a giant exact-duplicate class still concentrates a whole
+    equivalence class in one row. The equi-join keeps every row bounded
+    (one candidate pair) and shuffles only (band, bucket, id) — never
+    document text. Returns distinct (id_a, id_b) pairs (id_a < id_b).
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
@@ -190,29 +192,23 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band", "bucket"),
+    ).persist()
+    a = banded.select(
+        "band", "bucket", F.col("__id__").alias("id_a")
     )
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("__id__")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    b = banded.select(
+        F.col("band").alias("__band2__"),
+        F.col("bucket").alias("__bucket2__"),
+        F.col("__id__").alias("id_b"),
     )
-    # all (ids[i], ids[j]) with i < j: posexplode anchors id_a, a second
-    # explode over the array tail yields each id_b — both codegen'd
     return (
-        buckets.select(
-            F.posexplode("ids").alias("i", "id_a"),
-            F.col("ids"),
+        a.join(
+            b,
+            (F.col("band") == F.col("__band2__"))
+            & (F.col("bucket") == F.col("__bucket2__"))
+            & (F.col("id_a") < F.col("id_b")),
         )
-        .select(
-            "id_a",
-            F.explode(
-                F.slice(
-                    F.col("ids"),
-                    F.col("i") + F.lit(2),
-                    F.size("ids") - F.col("i") - F.lit(1),
-                )
-            ).alias("id_b"),
-        )
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -223,6 +219,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shingle inverted index.
 
@@ -239,13 +236,36 @@ def ngram_jaccard_pairs(
     verified via .explain), and doc sizes ride along in the posting-list
     struct so no join is ever needed. Shuffles: by __id__ (shingling), by
     shingle (inverted index), by pair (intersection count) — keys only,
-    never document text. Hot shingles (stop-gram skew) remain the known
-    hazard — cap or salt posting lists upstream for skewed corpora.
+    never document text.
+
+    ``max_df`` is the hot-shingle (stop-gram skew) guard: shingles
+    appearing in more than ``max_df`` documents are dropped from the
+    shingle universe BEFORE sizes and posting lists are computed, so the
+    Jaccard is exact over the pruned universe (both intersection and the
+    size denominators see the same set — a consistent, oracle-mirrorable
+    rule). Rationale: a shingle shared by k docs expands to k(k-1)/2
+    pair rows — a stop-gram with k ~ corpus size is a quadratic bucket,
+    and it carries no Jaccard discrimination precisely because everyone
+    has it. The hot list is tiny by Zipf (few shingles exceed any sane
+    max_df), so it broadcasts: the pruning anti-join never reshuffles
+    the shingle rows, which stay partitioned by __id__ for the size
+    window below.
     """
     sh = word_shingle_rows(df, id_col, text_col, shingle_n)
     shd = sh.dropDuplicates(["__id__", "shingle"])
     from pyspark.sql import Window
 
+    if max_df is not None:
+        # persist: the hot-list aggregate and the main pipeline would
+        # otherwise each execute the tokenize+window shingle subtree
+        shd = shd.persist()
+        hot = (
+            shd.groupBy("shingle")
+            .agg(F.count("*").alias("__df__"))
+            .filter(F.col("__df__") > max_df)
+            .select("shingle")
+        )
+        shd = shd.join(F.broadcast(hot), "shingle", "left_anti")
     with_size = shd.withColumn(
         "__size__", F.count("*").over(Window.partitionBy("__id__"))
     )
@@ -481,46 +501,50 @@ def simhash_pairs(
     Candidate generation blocks on the first half of the bits (a 1-band LSH
     on the sign vector) — only pairs agreeing on the prefix meet, the
     standard scale trick for ≤k hamming with k < bits/2 refined exactly
-    afterwards. Single-lineage: blocking groups prefix buckets and expands
-    in-bucket pairs from the collected (id, bits) list, so the signature
-    subtree runs once (a self-join would execute it twice); the prefix
-    shuffle carries only (prefix, id, bits).
+    afterwards. Pair expansion is a bucket EQUI-JOIN over the signature
+    projection persisted once (same shape as embedding_neardup_pairs):
+    the previous collect_list form put an entire prefix bucket's
+    (id, bits) structs into ONE array cell — with 2^(bits/2)=256 fixed
+    buckets, cell width grows linearly with corpus size (a 1B-doc corpus
+    would put ~4M structs in one row). The equi-join keeps every row
+    bounded (one candidate pair), shuffles only (prefix, id, bits), and
+    ``id_a < id_b`` on the join condition halves the product and fixes
+    pair orientation. persist() (not localCheckpoint) dedupes the double
+    lineage execution a self-join would otherwise cause while keeping the
+    plan recomputable on executor loss — simhash_signatures is
+    deterministic, so recompute is safe.
     """
     half = num_bits // 2
-    sig = simhash_signatures(df, id_col, text_col, num_bits).withColumn(
-        "prefix", F.concat_ws("", *[F.col("bits")[i] for i in range(half)])
+    sig = (
+        simhash_signatures(df, id_col, text_col, num_bits)
+        .withColumn(
+            "prefix",
+            F.concat_ws("", *[F.col("bits")[i] for i in range(half)]),
+        )
+        .persist()
     )
-    buckets = (
-        sig.groupBy("prefix")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("__id__", "bits"))).alias(
-                "members"
-            )
-        )
-        .filter(F.size("members") > 1)
+    a = sig.select(
+        "prefix",
+        F.col("__id__").alias("id_a"),
+        F.col("bits").alias("__abits__"),
     )
-    pairs = (
-        buckets.select(
-            F.posexplode("members").alias("i", "a"), F.col("members")
-        )
-        .select(
-            "a",
-            F.explode(
-                F.slice(
-                    F.col("members"),
-                    F.col("i") + F.lit(2),
-                    F.size("members") - F.col("i") - F.lit(1),
-                )
-            ).alias("b"),
-        )
+    b = sig.select(
+        F.col("prefix").alias("__prefix2__"),
+        F.col("__id__").alias("id_b"),
+        F.col("bits").alias("__bbits__"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("prefix") == F.col("__prefix2__"))
+        & (F.col("id_a") < F.col("id_b")),
     )
     return (
         pairs.withColumn(
             "hamming",
             F.aggregate(
                 F.zip_with(
-                    F.col("a.bits"),
-                    F.col("b.bits"),
+                    F.col("__abits__"),
+                    F.col("__bbits__"),
                     lambda x, y: F.when(x != y, 1).otherwise(0),
                 ),
                 F.lit(0),
@@ -528,9 +552,5 @@ def simhash_pairs(
             ),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("a.__id__").alias("id_a"),
-            F.col("b.__id__").alias("id_b"),
-            "hamming",
-        )
+        .select("id_a", "id_b", "hamming")
     )

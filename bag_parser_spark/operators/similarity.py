@@ -231,7 +231,11 @@ def ivf_topk(
     pair_cos = _arrow_pair_cosine()
     # argmax = max over struct(sim, -cid, vec): field-order comparison gives
     # max sim with deterministic min-cid tiebreak (max_by semantics plus a
-    # total order); vec rides along so no second join is needed
+    # total order); vec rides along so no second join is needed.
+    # REQUIRES a numeric cid (the negation is the tiebreak); for string/UUID
+    # centroid ids, map them to a dense numeric index first — a one-column
+    # broadcast dimension — rather than reverting to a row_number() window,
+    # which would shuffle the whole |corpus|×|cells| product
     best = F.max(
         F.struct(
             F.col("__sim__").alias("s"),
@@ -294,20 +298,22 @@ def embedding_neardup_pairs(
     random-hyperplane sign signature and paired ONLY within buckets
     (~n/2^planes candidates per bucket), then exact cosine verifies each
     candidate. The pair expansion is a bucket EQUI-JOIN over the
-    signature projection materialized once (localCheckpoint): the
-    round-1 shape collected each bucket's members into a single array
-    cell, whose width grows linearly with corpus size at fixed plane
-    count — a 1B-doc corpus would put ~16M structs in one row. The
-    equi-join keeps every row bounded (one member pair), shuffles only
-    (bucket, id, vec, norm), and the materialization kills the usual
-    self-join objection (lineage would otherwise execute the signature
-    computation twice). ``a_id < b_id`` on the join condition halves the
-    product and fixes pair orientation. Norms are computed once per
-    VECTOR before pairing, not once per pair. Approximate by
-    construction (a near-dup pair straddling a hyperplane is missed —
-    standard LSH recall/planes trade-off). Comparison happens on the
-    ROUNDED similarity so the threshold cut is reproducible across
-    engines.
+    signature projection persisted once: the round-1 shape collected
+    each bucket's members into a single array cell, whose width grows
+    linearly with corpus size at fixed plane count — a 1B-doc corpus
+    would put ~16M structs in one row. The equi-join keeps every row
+    bounded (one member pair), shuffles only (bucket, id, vec, norm),
+    and persist() kills the usual self-join objection (lineage would
+    otherwise execute the signature computation twice) while — unlike
+    localCheckpoint, whose executor-local storage makes executor loss
+    fatal — staying recomputable: _pseudo_random_plane is deterministic,
+    so a lost cache partition just recomputes. ``a_id < b_id`` on the
+    join condition halves the product and fixes pair orientation. Norms
+    are computed once per VECTOR before pairing, not once per pair.
+    Approximate by construction (a near-dup pair straddling a hyperplane
+    is missed — standard LSH recall/planes trade-off). Comparison
+    happens on the ROUNDED similarity so the threshold cut is
+    reproducible across engines.
     """
     planes = [_pseudo_random_plane(p, dim) for p in range(num_planes)]
     b = df.select(
@@ -315,7 +321,7 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("__mvec__"),
         norm(F.col(vec_col)).alias("__mnorm__"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket__"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     a = b.select(
         F.col("__bucket__"),
         F.col("__mid__").alias("a_id"),

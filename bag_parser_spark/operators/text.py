@@ -229,12 +229,15 @@ def tfidf_vectors(
     [shuffle #1], per-doc lengths ride a window over the doc key
     [shuffle #2], and the min_df-pruned vocabulary — tiny after pruning,
     by Zipf — broadcasts back onto the term rows, so the corpus-sized side
-    never reshuffles for the join. N (corpus size) is one scalar count.
+    never reshuffles for the join. N (corpus size) is a 1-row aggregate
+    broadcast-crossJoined onto the term rows — part of the SAME job, not
+    a driver-side df.count() that would add a whole extra corpus scan per
+    invocation (the oracle phrases it the same way: (SELECT n_docs FROM n)).
     """
     from pyspark.sql import Window
 
     t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    n_docs = df.select(id_col).count()
+    n = df.select(F.count(F.lit(1)).alias("__n_docs__"))
     term = (
         df.select(F.col(id_col).alias("__id__"), F.explode(tokens(t)).alias("token"))
         .groupBy("__id__", "token")
@@ -247,9 +250,9 @@ def tfidf_vectors(
         .agg(F.count_distinct("__id__").alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_df)
     )
-    joined = term.join(F.broadcast(vocab), "token")
+    joined = term.join(F.broadcast(vocab), "token").crossJoin(F.broadcast(n))
     tfidf = (F.col("tf_count") / F.col("doc_len")) * F.log(
-        F.lit(float(n_docs)) / F.col("doc_freq")
+        F.col("__n_docs__").cast("double") / F.col("doc_freq")
     )
     return joined.select(
         F.col("__id__").alias(id_col),

@@ -669,6 +669,134 @@ def q_j5(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# J3 — ligplaats/standplaats overlay (coordinate + geometry + object_type
+# overwrite on matching nummer_id)  reference database_sqlite.py:440-464
+# ---------------------------------------------------------------------------
+
+@register(
+    "j3_plaats_overlay",
+    """
+    WITH adressen AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS nummer_id,
+             CAST(c_custkey % 1000 AS DOUBLE) AS rd_x,
+             CAST(c_custkey % 500 AS DOUBLE) AS rd_y,
+             52.0::DOUBLE AS latitude, 4.0::DOUBLE AS longitude,
+             '[base]' AS geometry, 'verblijfsobject' AS object_type
+      FROM customer
+    ),
+    plaatsen AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS nummer_id,
+             CAST(o_orderkey AS DOUBLE) AS rd_x,
+             CAST(o_orderkey % 100 AS DOUBLE) AS rd_y,
+             53.0::DOUBLE AS latitude, 5.0::DOUBLE AS longitude,
+             '[plaats]' AS geometry
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    winner AS (
+      SELECT nummer_id, rd_x, rd_y, latitude, longitude, geometry FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nummer_id
+                                     ORDER BY rd_x DESC) AS rn
+        FROM plaatsen
+      ) WHERE rn = 1
+    )
+    SELECT a.nummer_id,
+           CASE WHEN w.nummer_id IS NOT NULL THEN w.rd_x ELSE a.rd_x END
+             AS rd_x,
+           CASE WHEN w.nummer_id IS NOT NULL THEN w.rd_y ELSE a.rd_y END
+             AS rd_y,
+           CASE WHEN w.nummer_id IS NOT NULL THEN w.latitude
+                ELSE a.latitude END AS latitude,
+           CASE WHEN w.nummer_id IS NOT NULL THEN w.longitude
+                ELSE a.longitude END AS longitude,
+           CASE WHEN w.nummer_id IS NOT NULL THEN w.geometry
+                ELSE a.geometry END AS geometry,
+           CASE WHEN w.nummer_id IS NOT NULL THEN 'ligplaats'
+                ELSE a.object_type END AS object_type
+    FROM adressen a LEFT JOIN winner w ON a.nummer_id = w.nummer_id
+    """,
+    doc="J3: ligplaats/standplaats overlay (reference database_sqlite.py:"
+    "440-464) — plaats rows dedupe last-write-wins per nummer_id, then "
+    "coordinates + geometry + object_type overwrite matching adressen; "
+    "unmatched rows pass through. Same apply_plaats_overlay used by the "
+    "full BAG pipeline (plans/bag_pipeline.py), mapped onto the synthetic "
+    "tables: customer = adressen, filtered orders = plaatsen (o_orderkey "
+    "as the deterministic last-wins order).",
+)
+def q_j3(spark, sf_dir):
+    from bag_parser_spark.plans.bag_pipeline import apply_plaats_overlay
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    adressen = c.select(
+        F.col("c_custkey").cast("string").alias("nummer_id"),
+        (F.col("c_custkey") % 1000).cast("double").alias("rd_x"),
+        (F.col("c_custkey") % 500).cast("double").alias("rd_y"),
+        F.lit(52.0).alias("latitude"),
+        F.lit(4.0).alias("longitude"),
+        F.lit("[base]").alias("geometry"),
+        F.lit("verblijfsobject").alias("object_type"),
+    )
+    plaatsen = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_custkey").cast("string").alias("nummer_id"),
+        F.col("o_orderkey").cast("double").alias("rd_x"),
+        (F.col("o_orderkey") % 100).cast("double").alias("rd_y"),
+        F.lit(53.0).alias("latitude"),
+        F.lit(5.0).alias("longitude"),
+        F.lit("[plaats]").alias("geometry"),
+    )
+    return apply_plaats_overlay(adressen, plaatsen, "ligplaats").select(
+        "nummer_id", "rd_x", "rd_y", "latitude", "longitude",
+        "geometry", "object_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — BAG date parse (length-gated timestamp string → DATE)
+# reference utils.py:162-166
+# ---------------------------------------------------------------------------
+
+@register(
+    "f5_bag_date_parse",
+    """
+    WITH s AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d')
+                  ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS bag_datum
+      FROM events WHERE event_id % 9 = 0
+    )
+    SELECT event_id, bag_datum,
+           CASE WHEN length(bag_datum) >= 16
+                THEN CAST(CAST(substring(bag_datum, 1, 10) AS DATE)
+                          AS VARCHAR) END AS parsed_date
+    FROM s
+    """,
+    doc="F5: BAG date parse (reference utils.py:162-166 bag_date_to_date): "
+    "only full timestamp strings (len >= 16) parse — the y/m/d prefix "
+    "becomes a DATE, time-of-day dropped; shorter strings yield NULL. "
+    "Oracle compares the ISO string form of the parsed date (CAST both "
+    "sides) so the null-mixed date column hashes engine-stably; the DATE "
+    "dtype surface itself is covered by a3_latest_date.",
+)
+def q_f5(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0)
+    s = e.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy-MM-dd")
+        ).otherwise(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+        ).alias("bag_datum"),
+    )
+    return s.select(
+        "event_id",
+        "bag_datum",
+        scalars.parse_bag_datum(F.col("bag_datum"))
+        .cast("string")
+        .alias("parsed_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P7/P8/P9 — geometry string round trip + F6 on parsed coords
 # reference bag_parser.py:100-164, utils.py:196-198
 # ---------------------------------------------------------------------------

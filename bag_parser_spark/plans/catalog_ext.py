@@ -146,12 +146,23 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dup_clusters(pairs, out_id="doc_id")
 
 
+_NGRAM_MAX_DF = 100
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT doc_id AS id, unnest({O.shingles_sql('text', 3)}) AS shingle
       FROM documents
+    ),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) > {_NGRAM_MAX_DF}
+    ),
+    sh AS (
+      SELECT * FROM sh0
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
     ),
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
     inter AS (
@@ -168,8 +179,12 @@ def q_dedup_clusters(spark, sf_dir):
     WHERE i.intersection / (sa.sz + sb.sz - i.intersection) >= 0.01
     """,
     doc="n-gram Jaccard near-dup pairs via shingle inverted index — only "
-    "docs sharing a shingle ever meet (never O(n²)); hot-shingle skew is "
-    "the scale hazard (salt/cap upstream).",
+    "docs sharing a shingle ever meet (never O(n²)). Hot shingles (df > "
+    f"max_df={_NGRAM_MAX_DF}) are pruned from the shingle universe before "
+    "sizes/postings: a stop-gram shared by k docs is a k²/2 pair bucket "
+    "with zero Jaccard discrimination — the cap bounds every posting list "
+    "at max_df. Jaccard is exact over the pruned universe; oracle mirrors "
+    "the rule.",
 )
 def q_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
@@ -178,6 +193,7 @@ def q_jaccard(spark, sf_dir):
         text_col="text",
         shingle_n=3,
         threshold=0.01,
+        max_df=_NGRAM_MAX_DF,
     )
 
 
@@ -683,18 +699,32 @@ def q_ivf_topk(spark, sf_dir):
 
 @register(
     "a7_approx_distinct",
-    None,  # HLL sketch differs per engine — rows-only; error bound unit-tested
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem
+    """,
     doc="approx_count_distinct (HyperLogLog++) beside the exact count: the "
     "sketch mergeable across partitions makes distinct-cardinality O(1) "
     "memory at 100 TB where exact COUNT(DISTINCT) shuffles every key. "
-    "Engine-specific sketch → no cross-engine hash oracle; the relative-"
-    "error bound (<5%) is asserted in tests/test_extensions.py.",
+    "The HLL sketch value itself is engine-specific, so the oracle-"
+    "comparable surface is (exact count, |approx-exact|/exact <= 0.05): "
+    "Spark's HLL is deterministic on fixed data, so the boolean is stable; "
+    "DuckDB returns the exact count and literal TRUE. The raw relative-"
+    "error bound is additionally asserted in tests/test_extensions.py.",
 )
 def q_a7(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     return l.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("__approx__"),
         F.count_distinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "exact_parts",
+        (
+            F.abs(F.col("__approx__") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        ).alias("within_bound"),
     )
 
 

@@ -2,8 +2,17 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}. Each query is materialized via the
-noop sink (full execution, no driver collect cost).
+"queries": {name: sec, ...}, "sf": ..., "reps": n, "details": {name:
+{"min": s, "median": s, "runs": [...]}}}. Each query is materialized via
+the noop sink (full execution, no driver collect cost).
+
+Methodology: every query runs $SPARK_GRAFT_BENCH_REPS (default 3) times in
+interleaved rounds; "queries" and the headline total report the per-query
+MINIMUM, "details" adds the median and raw runs. Local sf0.1 timings are
+warmup/noise-dominated (±30-60% run-to-run measured in round 2) — a single
+rep cannot distinguish a real 1.5× regression from scheduler noise; the
+warm minimum is the stable estimator of the query's actual cost, and the
+median exposes variance to the reader.
 """
 
 from __future__ import annotations
@@ -85,20 +94,36 @@ def _pandas_udf_warmup(r):
     return r.select(_ident(F.col("r_regionkey").cast("long")).alias("x"))
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    m = n // 2
+    return s[m] if n % 2 else (s[m - 1] + s[m]) / 2.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bag-parser-spark-bench")
     reg = registry()
     _warmup(spark, sf_dir)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in reg:
-            continue
-        fn = reg[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    names = [n for n in HEADLINE if n in reg]
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    # interleaved rounds: a transient machine-load spike hits one rep of
+    # many queries instead of every rep of one query
+    for _ in range(reps):
+        for name in names:
+            fn = reg[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()  # each rep re-executes persisted subtrees
+    timings = {n: min(rs) for n, rs in runs.items()}
+    details = {
+        n: {"min": min(rs), "median": round(_median(rs), 3), "runs": rs}
+        for n, rs in runs.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -108,6 +133,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "details": details,
             }
         )
     )

@@ -16,10 +16,12 @@ cells, which crash the driver's pandas sort (unhashable type: 'list').
 
 from __future__ import annotations
 
+import datetime
 import math
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from bag_parser_spark.sources.parquet import TABLES
@@ -37,6 +39,10 @@ def duck_con(sf_dir: str = SF_DIR) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    # np.ndarray first: pd.isna(ndarray) raises and the generic .item()
+    # fallback crashes on size>1 arrays (ADVICE r2) — flatten like list.
+    if isinstance(v, np.ndarray):
+        return tuple(_norm_cell(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if v is None:
@@ -80,11 +86,35 @@ def _object_classes(series: pd.Series) -> set[str]:
             classes.add("int")
         elif isinstance(v, float):
             classes.add("float")
-        elif isinstance(v, (list, tuple)):
+        elif isinstance(v, (list, tuple, np.ndarray)):
+            # Arrow toPandas / duckdb .df() hand back arrays as np.ndarray
+            # cells — same driver-crash hazard as Python lists.
             classes.add("list")
         else:
             classes.add(type(v).__name__)
     return classes
+
+
+def _normalize_date_columns(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Spark toPandas() renders DateType as object-dtype datetime.date cells
+    while DuckDB .df() gives datetime64[us] — semantically equal, hashed
+    equal by the driver (a3_latest_date is green in CORRECTNESS_r02), so
+    the kind gate must not treat O(date) vs M as fatal. Convert pure-date
+    object columns to datetime64 on BOTH sides before the gate."""
+    out = pdf
+    for col in pdf.columns:
+        s = pdf[col]
+        if s.dtype.kind != "O":
+            continue
+        non_null = [v for v in s if v is not None and not (isinstance(v, float) and math.isnan(v))]
+        if non_null and all(
+            isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
+            for v in non_null
+        ):
+            if out is pdf:
+                out = pdf.copy()
+            out[col] = pd.to_datetime(s)
+    return out
 
 
 def _dtype_gate(name: str, spdf: pd.DataFrame, dpdf: pd.DataFrame):
@@ -140,6 +170,8 @@ def compare(spark, name, fn, sql, sf_dir: str = SF_DIR):
         return False, f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
     if len(spdf) != len(dpdf):
         return False, f"{name}: row count spark={len(spdf)} duck={len(dpdf)}"
+    spdf = _normalize_date_columns(spdf)
+    dpdf = _normalize_date_columns(dpdf)
     dtype_err = _dtype_gate(name, spdf, dpdf)
     if dtype_err:
         return False, dtype_err
