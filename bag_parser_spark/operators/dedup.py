@@ -310,6 +310,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Train/test contamination check (eval-set decontamination — the step
+    every LLM data pipeline runs before trusting a benchmark number): for
+    each TEST document, count how many of its word ``shingle_n``-grams
+    also appear anywhere in the TRAIN corpus.
+
+    Returns (id, n_shingles, n_contaminated, contamination_ratio) — one
+    row per test doc; ratio 0 means clean, 1 means every n-gram of the
+    test doc exists in training data (a leaked document).
+
+    Scale shape: the train side reduces to a DISTINCT shingle set (one
+    shuffle on the shingle key, carrying shingle strings only — at 100 TB
+    hash the shingle to a 64-bit key first if string volume matters); the
+    test side joins against it on the shingle key (second shuffle,
+    test-corpus sized — typically tiny next to train) and aggregates per
+    doc. Never any all-pairs product and never document text in a
+    shuffle. Left join + count(non-null) keeps clean docs in the output
+    with ratio 0 — an inner join would silently drop them.
+    """
+    tr = (
+        word_shingle_rows(train, id_col, text_col, shingle_n)
+        .select("shingle")
+        .dropDuplicates(["shingle"])
+        .withColumn("__hit__", F.lit(1))
+    )
+    te = word_shingle_rows(test, id_col, text_col, shingle_n).dropDuplicates(
+        ["__id__", "shingle"]
+    )
+    return (
+        te.join(tr, "shingle", "left")
+        .groupBy("__id__")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__hit__").alias("n_contaminated"),
+        )
+        .select(
+            F.col("__id__").alias(id_col),
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles"), 6
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

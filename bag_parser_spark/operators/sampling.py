@@ -117,6 +117,84 @@ def pack_sequences(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: Column,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling at a data-dependent rate
+    (importance/temperature sampling over sources: up-weight books, down-
+    weight web — the mixture-shaping step of corpus curation): keep a row
+    iff md5_mod(seed:id) < rate·MOD.
+
+    ``rate`` is any Column in [0, 1] (typically a CASE over the source
+    column). Same determinism argument as hash_split: membership depends
+    only on (seed, id, rate), so reruns, retried tasks, and other engines
+    reproduce the exact sample — Spark's own ``sample()`` is partition-
+    order-sensitive and irreproducible across layouts. Map-only: pipelines
+    with the scan, no shuffle. Note buckets are shared with hash_split for
+    the same seed — use a different seed than the split so sampling is
+    independent of split assignment.
+    """
+    threshold = (rate * HASH_SPLIT_MOD).cast("long")
+    return df.filter(md5_mod(F.col(id_col), seed) < threshold)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ctx_len: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Per-document sliding-window chunking: split each doc's token stream
+    into windows of ``ctx_len`` tokens advancing by ``ctx_len - overlap``
+    (the fine-tuning / embedding-indexing layout, where each example must
+    be a self-contained span of ONE document — ``pack_sequences`` is the
+    pretraining layout where docs concatenate and straddle boundaries).
+
+    Chunk i covers tokens [i·step, i·step + ctx_len); the last window is
+    the first one whose end reaches the document end, so every token
+    appears in ≥1 chunk and no degenerate tail-only chunks are emitted.
+    Returns (id, chunk_no, token_start, n_chunk_tokens, chunk_text).
+
+    Map-only explode: the generator runs executor-side, output size is
+    input·(1 + overlap/step) — no shuffle at any corpus size. Integer
+    chunk-count arithmetic ((n - ctx + step - 1) div step) is exact in
+    any engine, unlike float ceil().
+    """
+    if not 0 <= overlap < ctx_len:
+        raise ValueError(f"need 0 <= overlap < ctx_len, got {overlap}/{ctx_len}")
+    step = ctx_len - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), toks.alias("__toks__"), F.size(toks).alias("__n__")
+    )
+    extra = (
+        (F.col("__n__") - ctx_len + step - 1) / step
+    ).cast("long")  # exact: small positive ints in double space
+    n_chunks = F.when(F.col("__n__") > ctx_len, F.lit(1) + extra).otherwise(
+        F.lit(1)
+    )
+    chunks = base.select(
+        id_col,
+        "__toks__",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_no"
+        ),
+    )
+    start = F.col("chunk_no") * step
+    piece = F.slice(F.col("__toks__"), (start + 1).cast("int"), ctx_len)
+    return chunks.select(
+        id_col,
+        "chunk_no",
+        start.alias("token_start"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def sample_per_group(
     df: DataFrame,
     keys: Sequence[str],

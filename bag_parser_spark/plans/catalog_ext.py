@@ -420,6 +420,124 @@ def q_sample_per_source(spark, sf_dir):
 
 
 @register(
+    "decontaminate_check",
+    f"""
+    WITH labeled AS (
+      SELECT doc_id, text, {_split_case_sql()} AS split FROM documents
+    ),
+    tr AS (
+      SELECT DISTINCT unnest({O.shingles_sql('text', 8)}) AS shingle
+      FROM labeled WHERE split = 'train'
+    ),
+    te AS (
+      SELECT doc_id, unnest({O.shingles_sql('text', 8)}) AS shingle
+      FROM labeled WHERE split = 'test'
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(tr.shingle) AS n_contaminated,
+           round(CAST(COUNT(tr.shingle) AS DOUBLE) / COUNT(*), 6)
+             AS contamination_ratio
+    FROM te t LEFT JOIN tr ON t.shingle = tr.shingle
+    GROUP BY t.doc_id
+    """,
+    doc="Eval-set decontamination: per TEST doc, the fraction of its word "
+    "8-grams that appear anywhere in the TRAIN split (same hash_split as "
+    "split_train_test). Train side reduces to a distinct shingle set; "
+    "test side equi-joins on the shingle key — never an all-pairs "
+    "product, never text in a shuffle. Left join keeps clean docs at "
+    "ratio 0.",
+)
+def q_decontaminate(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = sampling.hash_split(
+        d, id_col="doc_id", splits=_SPLITS, seed=_SPLIT_SEED
+    )
+    train = labeled.filter(F.col("split") == "train")
+    test = labeled.filter(F.col("split") == "test")
+    return dedup.contamination_check(
+        train, test, id_col="doc_id", text_col="text", shingle_n=8
+    )
+
+
+@register(
+    "sample_weighted_sources",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {O.md5_mod_sql('doc_id', 7)} <
+          CAST((1 + (CAST(substring(source, 4, 10) AS INTEGER) % 4))
+               / 4.0 * 10000 AS BIGINT)
+    """,
+    doc="Importance sampling by source (mixture shaping): deterministic "
+    "per-row Bernoulli keep at rate 0.25/0.5/0.75/1.0 depending on the "
+    "source id — md5(seed:id) bucket under a rate-scaled threshold. "
+    "Map-only, no RNG, reproducible across engines/partitionings where "
+    "Spark's sample() is not.",
+)
+def q_weighted_sample(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    srcnum = F.substring(F.col("source"), 4, 10).cast("int")
+    rate = (F.lit(1) + (srcnum % 4)) / F.lit(4.0)
+    return sampling.weighted_sample(d, id_col="doc_id", rate=rate, seed=7).select(
+        "doc_id", "source"
+    )
+
+
+_CHUNK_CTX, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STEP = _CHUNK_CTX - _CHUNK_OVERLAP
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) > {_CHUNK_CTX}
+                  THEN 1 + (len(toks) - {_CHUNK_CTX} + {_CHUNK_STEP - 1})
+                           // {_CHUNK_STEP}
+                  ELSE 1 END AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(cno AS BIGINT) AS chunk_no,
+           CAST(cno * {_CHUNK_STEP} AS BIGINT) AS token_start,
+           CAST(len(toks[CAST(cno * {_CHUNK_STEP} + 1 AS INTEGER)
+                         : CAST(least(cno * {_CHUNK_STEP} + {_CHUNK_CTX}, n)
+                                AS INTEGER)]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(
+             toks[CAST(cno * {_CHUNK_STEP} + 1 AS INTEGER)
+                  : CAST(least(cno * {_CHUNK_STEP} + {_CHUNK_CTX}, n)
+                         AS INTEGER)], ' ') AS chunk_text
+    FROM d, UNNEST(range(0, n_chunks)) AS u(cno)
+    """,
+    doc="Per-document sliding-window chunking (fine-tuning / embedding-"
+    "index layout; pack_sequences is the pretraining twin): ctx_len=32 "
+    "tokens advancing by 24 (overlap 8), last window anchored so every "
+    "token is covered. Map-only explode — generator runs executor-side, "
+    "no shuffle at any scale; integer chunk-count arithmetic, exact in "
+    "every engine.",
+)
+def q_chunk_documents(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    return sampling.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        ctx_len=_CHUNK_CTX,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+@register(
     "vocab_build",
     f"""
     SELECT token, doc_freq, term_freq FROM (
@@ -814,12 +932,39 @@ def q_mm_meta(spark, sf_dir):
     )
 
 
+# The deterministic-fake decode is pure byte arithmetic over the payload
+# (= UTF-8 bytes of `text`, pure ASCII in the synthetic corpus — verified:
+# octet_length(encode(text)) == length(text) for every row), so the DuckDB
+# twin recomputes it with per-char ascii() sums. The point of the oracle is
+# the mapInPandas PLUMBING: schema, Arrow batch shape, and the exact byte
+# arithmetic all have to line up value-for-value across 500 docs.
+_MM_BYTE = "ascii(substring(text, i, 1))"
+
+
 @register(
     "mm_image_features",
-    None,  # mapInPandas stub-decode path — rows-only check by design
+    f"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             list_sum(list_transform(range(1, least(64, length(text)) + 1),
+                                     i -> {_MM_BYTE})) AS sum64,
+             list_sum(list_transform(range(1, length(text) + 1),
+                                     i -> {_MM_BYTE})) AS total
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(16 + sum64 % 64 AS INTEGER) AS width,
+           CAST(16 + (sum64 // 64) % 64 AS INTEGER) AS height,
+           CAST(total AS DOUBLE) / n AS mean_byte,
+           CAST(n AS BIGINT) AS n_bytes
+    FROM b
+    """,
     doc="Arrow-batched mapInPandas feature extraction over binary payloads "
     "(deterministic fake decode — real codec is a one-function swap; see "
-    "operators/multimodal.py). Non-SQL-expressible: Python UDF surface.",
+    "operators/multimodal.py). The fake stats are pure byte arithmetic "
+    "(first-64-byte checksum -> pseudo dims, whole-payload mean), so the "
+    "oracle recomputes them per-char in SQL — upgrading this row from "
+    "rows-only to value-level.",
 )
 def q_mm_features(spark, sf_dir):
     d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
@@ -828,24 +973,62 @@ def q_mm_features(spark, sf_dir):
 
 @register(
     "mm_resize",
-    None,  # payload-transforming mapInPandas stub — rows-only by design
+    """
+    WITH p AS (
+      SELECT doc_id, text, length(text) AS n,
+             greatest(length(text) // 1024, 1) AS step
+      FROM documents
+    ),
+    sel AS (
+      SELECT doc_id, text, step,
+             least((n + step - 1) // step, 1024) AS n_sel
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(32 AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           array_to_string(
+             list_transform(range(0, n_sel),
+                            i -> hex(substring(text, CAST(i AS INTEGER) * step + 1, 1))),
+             '') || repeat('00', 1024 - n_sel) AS payload_hex
+    FROM sel
+    """,
     doc="Image-resize plumbing: 1:1 payload-in/payload-out mapInPandas "
     "(binary out, so batches stay heavy — sized via Arrow batch config). "
-    "Deterministic fake resampler; real codec is a one-line swap. "
-    "Properties unit-tested in tests/test_extensions.py.",
+    "Deterministic fake resampler (stride-subsample bytes to 32*32, "
+    "zero-pad); real codec is a one-line swap. Value-level oracle: the "
+    "output payload is compared byte-for-byte as its HEX string (raw "
+    "binary cells hash engine-unstably in pandas: bytes vs bytearray), "
+    "recomputed in SQL via per-char stride selection over the ASCII text.",
 )
 def q_mm_resize(spark, sf_dir):
     d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return multimodal.resize_images_stub(d, target_w=32, target_h=32)
+    return multimodal.resize_images_stub(
+        d, target_w=32, target_h=32
+    ).select(
+        "doc_id", "width", "height", F.hex("payload").alias("payload_hex")
+    )
 
 
 @register(
     "mm_frame_sample",
-    None,  # UDTF-shaped mapInPandas stub — rows-only by design
+    """
+    SELECT doc_id,
+           CAST(fno AS INTEGER) AS frame_no,
+           hex(substring(text, CAST(fno AS INTEGER) * 64 + 1, 64))
+             AS frame_hex
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+           AS t(fno)
+    """,
     doc="Video frame-sampling plumbing: 1 payload row -> N frame rows, "
-    "exploded executor-side. Properties unit-tested in "
-    "tests/test_extensions.py.",
+    "exploded executor-side (UDTF shape; never on the driver). Fake "
+    "frames are 64-byte payload slices; value-level oracle compares each "
+    "frame byte-for-byte as HEX (substring clamps at end-of-payload in "
+    "both engines, matching Python slicing).",
 )
 def q_mm_frames(spark, sf_dir):
     d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return multimodal.frame_sample_stub(d, every_nth=64)
+    return multimodal.frame_sample_stub(d, every_nth=64).select(
+        "doc_id", "frame_no", F.hex("frame_bytes").alias("frame_hex")
+    )

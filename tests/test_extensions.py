@@ -289,3 +289,98 @@ def test_dup_clusters_long_chain_converges(spark):
     assert all(r["cluster_id"] == 0 for r in out)
     assert all(r["cluster_size"] == 81 for r in out)
     assert len(out) == 81
+
+
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
+    # Skewed corpus: every doc shares the stop-gram "the quick fox" (df=10),
+    # while only pair-mates (2p, 2p+1) share discriminating shingles. The
+    # hot shingle alone would make ALL C(10,2)=45 doc pairs candidates — the
+    # quadratic bucket max_df exists to prevent; with it pruned, only true
+    # near-dup pairs survive, and Jaccard is exact over the pruned universe.
+    from bag_parser_spark.operators import dedup
+
+    docs = []
+    for i in range(10):
+        p = i // 2
+        toks = ["the", "quick", "fox", f"p{p}a", f"p{p}b", f"p{p}c"]
+        if i % 2 == 1:
+            toks.append(f"x{i}")
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.01
+    )
+    assert uncapped.count() == 45  # hot shingle makes every pair a candidate
+
+    capped = dedup.ngram_jaccard_pairs(
+        df, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.01,
+        max_df=5,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in capped}
+    assert set(got) == {(2 * p, 2 * p + 1) for p in range(5)}
+    for r in got.values():
+        # even doc: 4 shingles - 1 hot = 3; odd doc: 5 - 1 = 4; overlap 3
+        assert (r["size_a"], r["size_b"], r["intersection"]) == (3, 4, 3)
+        assert abs(r["jaccard"] - 0.75) < 1e-12
+
+
+def test_chunk_documents_invariants(spark):
+    # every token covered, windows overlap by exactly `overlap`, last
+    # window reaches the document end, no degenerate tail chunks
+    from bag_parser_spark.operators import sampling
+
+    texts = [
+        (1, " ".join(f"t{i}" for i in range(100))),   # multi-chunk
+        (2, " ".join(f"t{i}" for i in range(32))),    # exactly ctx
+        (3, " ".join(f"t{i}" for i in range(5))),     # shorter than ctx
+        (4, " ".join(f"t{i}" for i in range(33))),    # ctx + 1
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = sampling.chunk_documents(
+        df, id_col="doc_id", text_col="text", ctx_len=32, overlap=8
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_tokens = {1: 100, 2: 32, 3: 5, 4: 33}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_no"])
+        n = n_tokens[doc_id]
+        covered = set()
+        for r in rows:
+            assert r["token_start"] == r["chunk_no"] * 24
+            end = min(r["token_start"] + 32, n)
+            assert r["n_chunk_tokens"] == end - r["token_start"]
+            assert len(r["chunk_text"].split(" ")) == r["n_chunk_tokens"]
+            covered.update(range(r["token_start"], end))
+        assert covered == set(range(n)), f"doc {doc_id} missed tokens"
+        assert rows[-1]["token_start"] + 32 >= n  # last window hits the end
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+    assert len(by_doc[4]) == 2
+
+
+def test_contamination_check_known_leak(spark):
+    # doc 10 is a verbatim copy of train doc 0 -> ratio 1.0; doc 11 shares
+    # nothing -> ratio 0.0 and must still appear in the output (left join)
+    from bag_parser_spark.operators import dedup
+
+    train = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(20))),
+         (1, " ".join(f"v{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, " ".join(f"w{i}" for i in range(20))),
+         (11, " ".join(f"z{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.contamination_check(
+            train, test, id_col="doc_id", text_col="text", shingle_n=8
+        ).collect()
+    }
+    assert out[10]["contamination_ratio"] == 1.0
+    assert out[11]["contamination_ratio"] == 0.0
+    assert out[10]["n_shingles"] == 13  # 20 tokens -> 13 8-grams
