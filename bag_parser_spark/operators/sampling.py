@@ -220,3 +220,97 @@ def sample_per_group(
         df.withColumn(rank_name, F.row_number().over(w))
         .filter(F.col(rank_name) <= k)
     )
+
+
+def global_shuffle_rank(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+    pos_name: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-data shuffle: assign each row its exact
+    0-shuffle-order rank under a seeded hash permutation (``md5(seed:id)``),
+    reproducible across engines and re-runs.
+
+    The naive form — ``row_number() OVER (ORDER BY hash)`` — is a
+    single-partition window: one task sorts the whole corpus, dead at scale.
+    This is the two-pass distributed exact rank instead:
+
+    1. bucket = first 2 hex chars of the hash (256 range buckets; the hash
+       is uniform so buckets are balanced by construction — no sampling
+       pass needed, unlike ``repartitionByRange``);
+    2. per-bucket counts (tiny 256-row aggregate) → running offsets via a
+       window over the 256-row side only;
+    3. rank = bucket offset (broadcast join) + row_number within the
+       bucket, a window PARTITIONED on bucket — every task sorts only its
+       bucket's rows.
+
+    Because the bucket is a prefix of the hash, (bucket, hash) order equals
+    global hash order, so the result is IDENTICAL to the single-partition
+    form — the oracle states it that way.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    with_h = df.withColumn("__h__", h).withColumn(
+        "__bkt__", F.substring(F.col("__h__"), 1, 2)
+    )
+    offsets = (
+        with_h.groupBy("__bkt__")
+        .agg(F.count("*").alias("__cnt__"))
+        .withColumn(
+            "__offset__",
+            F.coalesce(
+                F.sum("__cnt__").over(
+                    Window.orderBy("__bkt__").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__bkt__", "__offset__")
+    )
+    w = Window.partitionBy("__bkt__").orderBy(
+        F.col("__h__").asc(), F.col(id_col).asc()
+    )
+    return (
+        with_h.join(F.broadcast(offsets), "__bkt__")
+        .withColumn(
+            pos_name, (F.col("__offset__") + F.row_number().over(w)).cast("long")
+        )
+        .drop("__h__", "__bkt__", "__offset__")
+    )
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    value_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile-calibrated outlier filter: keep rows whose ``value_col``
+    lies within the corpus's [lo_p, hi_p] percentile band — the standard
+    data-driven alternative to hand-tuned length/quality cutoffs (the
+    thresholds adapt to each corpus snapshot instead of going stale).
+
+    The bounds come from Spark's exact ``percentile`` AGGREGATE (distributed
+    partial aggregation — not a global-sort window), broadcast back onto
+    the rows as a 1-row crossJoin in the same job. At 100 TB the drop-in
+    scale variant is ``approx_percentile`` with a bounded error budget —
+    same plan shape, sketch-mergeable partials; exact is kept here because
+    the oracle comparison demands bit-equality.
+    """
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, {lo_p})").alias("__lo__"),
+        F.expr(f"percentile({value_col}, {hi_p})").alias("__hi__"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col(value_col) >= F.col("__lo__"))
+            & (F.col(value_col) <= F.col("__hi__"))
+        )
+        .withColumn("band_lo", F.round(F.col("__lo__"), round_to))
+        .withColumn("band_hi", F.round(F.col("__hi__"), round_to))
+        .drop("__lo__", "__hi__")
+    )

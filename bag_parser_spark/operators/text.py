@@ -213,6 +213,122 @@ def vocab_build(
     )
 
 
+def remove_common_lines(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    max_df_frac: float = 0.5,
+):
+    """CCNet/RefinedWeb-style boilerplate removal: drop every line (text
+    segment between ``sep``) that occurs in more than ``max_df_frac`` of
+    all documents, preserving the original order of surviving lines.
+    Returns (id, clean_text, n_kept, n_removed); a fully-boilerplate doc
+    survives with ``clean_text = ''`` so downstream joins never lose rows.
+
+    Scale shape: posexplode lines → distinct (line, doc) pairs → one
+    groupBy(line) doc-frequency aggregate (map-side combine; the shuffle
+    carries line hashes, not documents) → the hot-line set — tiny by
+    construction (bounded by 1/max_df_frac distinct values CAN'T exceed the
+    corpus, and in practice boilerplate is a short head) — broadcasts back
+    as a keep-flag join. Reassembly groups per document: the collected
+    array is bounded by ONE document's line count, never by corpus size —
+    unlike bucket-collect antipatterns, per-doc width is an input invariant.
+    """
+    n = df.select(F.count(F.lit(1)).alias("__n_docs__"))
+    lines = df.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    line_df = (
+        lines.select("__id__", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("__line_df__"))
+    )
+    hot = (
+        line_df.crossJoin(F.broadcast(n))
+        .filter(F.col("__line_df__") > F.lit(max_df_frac) * F.col("__n_docs__"))
+        .select("line")
+    )
+    flagged = lines.join(
+        F.broadcast(hot.withColumn("__hot__", F.lit(True))), "line", "left"
+    ).withColumn("keep", F.col("__hot__").isNull())
+    cells = F.array_sort(
+        F.collect_list(F.struct("pos", "line", "keep"))
+    )
+    kept = F.filter(cells, lambda s: s["keep"])
+    return flagged.groupBy("__id__").agg(
+        F.concat_ws(sep, F.transform(kept, lambda s: s["line"])).alias(
+            "clean_text"
+        ),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_removed"),
+    ).withColumnRenamed("__id__", id_col)
+
+
+def repetition_metrics(
+    df, id_col: str = "doc_id", text_col: str = "text", round_to: int = 6
+):
+    """Gopher/MassiveText-style within-document repetition signals:
+    duplicate-word fraction (1 - distinct/total), top-word fraction
+    (most frequent word's share), and duplicate-bigram fraction. High
+    values flag the degenerate machine-generated pages a pretraining
+    filter drops.
+
+    Word stats go through explode → groupBy(doc, word) → groupBy(doc):
+    two shuffles on the doc key with map-side combine, robust to
+    arbitrarily long documents (the array-expression alternative is
+    O(distinct x len) per doc — quadratic on adversarial inputs). The
+    bigram fraction IS array arithmetic (linear, map-only): a
+    sequence/transform over the token array with no shuffle at all.
+    """
+    t = F.col(text_col)
+    toks = df.select(
+        F.col(id_col).alias("__id__"), F.explode(tokens(t)).alias("word")
+    )
+    wc = toks.groupBy("__id__", "word").agg(F.count("*").alias("c"))
+    stats = wc.groupBy("__id__").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    ws = tokens(t)
+    nw = F.size(ws)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), nw - 1),
+        lambda i: F.concat(
+            F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+        ),
+    )
+    dup_bg = F.when(
+        nw >= 2,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / (nw - 1).cast("double"),
+            round_to,
+        ),
+    ).otherwise(F.lit(0.0))
+    doc_level = df.select(
+        F.col(id_col).alias("__id__"), dup_bg.alias("dup_2gram_frac")
+    )
+    out = stats.join(doc_level, "__id__")
+    n = F.col("n_words").cast("double")
+    return out.select(
+        F.col("__id__").alias(id_col),
+        "n_words",
+        "n_distinct",
+        F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / n, round_to).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_c").cast("double") / n, round_to).alias(
+            "top_word_frac"
+        ),
+        "dup_2gram_frac",
+    )
+
+
 def tfidf_vectors(
     df,
     id_col: str = "doc_id",

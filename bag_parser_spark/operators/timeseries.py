@@ -1,0 +1,173 @@
+"""Time-series operators: as-of join and ordered per-key window batteries.
+
+The reference engine's event surface stops at ordered scans (SURVEY.md
+section 2.5-2.6: SQLite has window functions but the reference uses none);
+these are the operators a training-data/event pipeline layers on top, built
+scale-first:
+
+- ``asof_join`` — Spark has no ASOF JOIN physical operator (DuckDB and
+  Pandas do). The classic distributed formulation is NOT a range join
+  (which explodes to |L|x|R| candidate pairs per key before pruning) but a
+  union + ordered window: tag both sides, sort each key's timeline once,
+  and carry the most recent right-side row forward with
+  ``last(..., ignorenulls=True)``. One shuffle on the key column, one sort
+  per key — identical asymptotics to the sort-merge join Spark would pick
+  for an equi-join, so it survives 100 TB where a range join dies. Skewed
+  keys behave exactly like a skewed sort-merge join (AQE skew handling
+  applies); there is no per-key materialized array anywhere.
+
+- ``running_battery`` — per-key ordered analytics (row_number, ordered
+  running sums, lag deltas) as a single window pass. Integer running sums
+  (cents, micros) are used for cross-engine oracle exactness: DuckDB
+  evaluates windowed SUM over a segment tree whose float addition order
+  differs from Spark's sequential fold, so DOUBLE running sums are not
+  bit-stable across engines — integers are associativity-proof.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_RIGHT = "__asof_right__"
+_SIDE = "__asof_side__"
+_TS = "__asof_ts__"
+_TIE = "__asof_tie__"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: Sequence[str] = (),
+    right_tiebreak: str | None = None,
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Backward inclusive as-of join: each left row is matched to the most
+    recent right row with ``right.ts <= left.ts`` for the same key(s)
+    (DuckDB ``ASOF LEFT JOIN`` semantics). Unmatched left rows survive with
+    null payload.
+
+    Matched columns come back as ``{prefix}{right_ts}`` plus
+    ``{prefix}{c}`` for each payload column.
+
+    Determinism: if the right side can hold several rows at the same
+    (key, ts), pass ``right_tiebreak`` — the row with the LARGEST tiebreak
+    wins, mirroring a last-write-wins upsert. Without it, ties are
+    nondeterministic (same as DuckDB).
+
+    Scale shape: union both sides, shuffle once on the key, one ordered
+    window per key with a rows-frame ``last(ignorenulls)`` — no range-join
+    candidate explosion, no collected arrays. The right row is carried as a
+    single struct so genuinely-null payload values cannot make the window
+    skip back to an older right row.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right_payload if c != right_ts]
+
+    # Right rows first (side 0) so equal timestamps match (inclusive).
+    rstruct = F.struct(
+        F.col(right_ts).alias(right_ts),
+        *[F.col(c).alias(c) for c in payload],
+    )
+    tie = (
+        F.col(right_tiebreak)
+        if right_tiebreak is not None
+        else F.lit(0)
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        tie.cast("long").alias(_TIE),
+        rstruct.alias(_RIGHT),
+    )
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(0).cast("long").alias(_TIE),
+        F.lit(None).cast(r.schema[_RIGHT].dataType).alias(_RIGHT),
+    )
+    # Align schemas: right side lacks the non-key left columns.
+    for c in lcols:
+        if c not in keys:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.select(*lcols, _TS, _SIDE, _TIE, _RIGHT)
+
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(_RIGHT, ignorenulls=True).over(w)
+    out = unioned.withColumn("__match__", carried).filter(F.col(_SIDE) == 1)
+    sel: list[Column] = [F.col(c) for c in lcols]
+    sel.append(F.col(f"__match__.{right_ts}").alias(f"{prefix}{right_ts}"))
+    for c in payload:
+        sel.append(F.col(f"__match__.{c}").alias(f"{prefix}{c}"))
+    return out.select(*sel)
+
+
+def running_battery(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    value: str,
+) -> DataFrame:
+    """Per-key ordered window battery in ONE window pass (one shuffle on
+    ``key``, one sort): row_number, ordered running sum of integer cents,
+    previous-row value carry, and the microsecond gap to the previous row.
+
+    The running sum is on ``round(value*100)`` cast to BIGINT, not on the
+    raw DOUBLE: integer addition is order-independent, so the result is
+    bit-identical whether the engine folds sequentially (Spark) or over a
+    segment tree (DuckDB). Gaps use ``unix_micros`` for the same reason.
+    """
+    order = [F.col(ts).asc(), F.col(tiebreak).asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.round(F.col(value) * 100).cast("long")
+    return df.select(
+        key,
+        ts,
+        tiebreak,
+        value,
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum(cents).over(wsum).alias("running_cents"),
+        F.lag(value).over(w).alias("prev_value"),
+        (
+            F.unix_micros(F.col(ts))
+            - F.unix_micros(F.lag(F.col(ts)).over(w))
+        ).alias("gap_us"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def topk_per_key(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    k: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Deterministic top-k rows per key (O2/O3 generalized per group):
+    rank within each key partition and keep ``rn <= k``. The window sort is
+    per-key (shuffle on ``key`` only); Catalyst pushes the ``rn <= k``
+    filter into the window via a rank-limit at execution, so no partition
+    ever materializes more than its own rows.
+    """
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(key).orderBy(oc, F.col(tiebreak).asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

@@ -954,4 +954,4 @@ def oracle_sql() -> dict[str, str]:
 
 def _load_extensions() -> None:
     # registers the extension queries into _REGISTRY on first use
-    from bag_parser_spark.plans import catalog_ext  # noqa: F401
+    from bag_parser_spark.plans import catalog_ext, catalog_ts  # noqa: F401

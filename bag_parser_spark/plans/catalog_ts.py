@@ -1,0 +1,274 @@
+"""Extension catalog, part 2: time-series operators (as-of join, ordered
+window batteries, per-key top-k) and corpus-curation additions (boilerplate
+line removal, repetition metrics, deterministic global shuffle, quantile
+band filter). Same oracle-checked registry as the parity catalog.
+
+The reference engine has no event-time surface at all (SURVEY.md section
+2.5: zero window functions used); these operators extend the engine the
+way a training-data/event pipeline needs, each with a DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bag_parser_spark.operators import sampling, text, timeseries
+from bag_parser_spark.plans.catalog import register
+from bag_parser_spark.sources.parquet import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Time-series family
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'error'
+    ),
+    r AS (
+      SELECT user_id, ts,
+             max_by(value, event_id) AS r_value,
+             MAX(event_id) AS r_event_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.ts AS matched_ts,
+           r.r_value AS matched_value,
+           r.r_event_id AS matched_event_id
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="As-of join: each 'error' event matched to the most recent "
+    "'purchase' at-or-before it for the same user (backward inclusive — "
+    "DuckDB ASOF LEFT JOIN semantics). Spark has no ASOF physical op; the "
+    "implementation is the union + ordered-window carry-forward — one "
+    "shuffle on user_id, no range-join pair explosion (operators/"
+    "timeseries.py:asof_join). Right side deduped last-write-wins per "
+    "(user, ts) so ties are deterministic in both engines.",
+)
+def q_asof(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("r_value"),
+            F.max("event_id").alias("r_event_id"),
+        )
+    )
+    out = timeseries.asof_join(
+        l, r, on="user_id", right_payload=["r_value", "r_event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "matched_ts",
+        F.col("matched_r_value").alias("matched_value"),
+        F.col("matched_r_event_id").alias("matched_event_id"),
+    )
+
+
+@register(
+    "ts_window_battery",
+    """
+    SELECT user_id, ts, event_id, value,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_cents,
+           LAG(value) OVER w AS prev_value,
+           date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Per-user ordered window battery in one pass: row_number, running "
+    "sum, lag carry, inter-event gap, ntile — one shuffle on user_id, one "
+    "sort (operators/timeseries.py:running_battery). Running sum is over "
+    "integer cents: DuckDB's windowed SUM uses a segment tree whose float "
+    "addition order differs from Spark's sequential fold, so a DOUBLE "
+    "running sum is not cross-engine bit-stable; integers are "
+    "associativity-proof. Gaps in unix micros (exact BIGINT) for the same "
+    "reason.",
+)
+def q_battery(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.running_battery(
+        ev, key="user_id", ts="ts", tiebreak="event_id", value="value"
+    )
+
+
+@register(
+    "ts_topk_per_user",
+    """
+    SELECT * FROM (
+      SELECT user_id, event_id, ts, value,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id
+             ) AS BIGINT) AS rn
+      FROM events WHERE event_type = 'click'
+    ) WHERE rn <= 3
+    """,
+    doc="Deterministic top-3 events by value per user (O2/O3 generalized "
+    "per group): rank-within-partition + filter; Spark turns the rn<=k "
+    "filter into a per-partition rank limit, so no task holds more than "
+    "its own group's rows (operators/timeseries.py:topk_per_key).",
+)
+def q_topk_user(spark, sf_dir):
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    return timeseries.topk_per_key(
+        ev, key="user_id", order_col="value", tiebreak="event_id", k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation additions
+# ---------------------------------------------------------------------------
+
+_BP_FRAC = 0.5
+
+@register(
+    "text_boilerplate_removal",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    l AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS line,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    linedf AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM l GROUP BY line
+    ),
+    hot AS (
+      SELECT line FROM linedf, n WHERE line_df > {_BP_FRAC} * n_docs
+    ),
+    k AS (
+      SELECT l.doc_id, l.pos, l.line, h.line IS NULL AS keep
+      FROM l LEFT JOIN hot h ON l.line = h.line
+    )
+    SELECT doc_id,
+           COALESCE(
+             string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY pos), ''
+           ) AS clean_text,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM k GROUP BY doc_id
+    """,
+    doc="CCNet/RefinedWeb-style boilerplate removal: drop every line "
+    "(here: word — the synthetic docs are single-line) occurring in more "
+    "than 50% of documents, preserving surviving-line order; fully-"
+    "boilerplate docs survive as ''. Line doc-frequencies shuffle line "
+    "hashes only; the hot set broadcasts back; reassembly is bounded by "
+    "per-DOC line count, never corpus size (operators/text.py:"
+    "remove_common_lines).",
+)
+def q_boilerplate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.remove_common_lines(
+        d, id_col="doc_id", text_col="text", sep=" ", max_df_frac=_BP_FRAC
+    )
+
+
+@register(
+    "text_repetition_metrics",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+    stats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             COUNT(*) AS n_distinct, MAX(c) AS top_c
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2 THEN round(
+               1.0 - CAST(len(list_distinct(
+                 list_transform(range(1, len(ws)),
+                                i -> ws[i] || ' ' || ws[i + 1])
+               )) AS DOUBLE) / CAST(len(ws) - 1 AS DOUBLE), 6)
+             ELSE 0.0 END AS dup_2gram_frac
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+    SELECT s.doc_id, s.n_words, s.n_distinct,
+           round(1.0 - CAST(s.n_distinct AS DOUBLE)
+                 / CAST(s.n_words AS DOUBLE), 6) AS dup_word_frac,
+           round(CAST(s.top_c AS DOUBLE)
+                 / CAST(s.n_words AS DOUBLE), 6) AS top_word_frac,
+           bg.dup_2gram_frac
+    FROM stats s JOIN bg ON s.doc_id = bg.doc_id
+    """,
+    doc="Gopher/MassiveText repetition signals per doc: duplicate-word "
+    "fraction, top-word fraction, duplicate-bigram fraction. Word stats "
+    "via explode + two keyed aggregates (map-side combine, robust to "
+    "arbitrarily long docs); bigram fraction is map-only array arithmetic "
+    "(operators/text.py:repetition_metrics).",
+)
+def q_repetition(spark, sf_dir):
+    return text.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_global_shuffle",
+    """
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('s3:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+    doc="Deterministic global training-data shuffle: exact rank under a "
+    "seeded md5 permutation. The oracle states the single-window form; the "
+    "Spark plan is the two-pass distributed equivalent — 256 hash-prefix "
+    "range buckets, per-bucket counts -> running offsets (256-row window), "
+    "offset broadcast + per-bucket row_number — identical output, no "
+    "single-partition sort (operators/sampling.py:global_shuffle_rank).",
+)
+def q_global_shuffle(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.global_shuffle_rank(d, id_col="doc_id", seed="s3")
+
+
+@register(
+    "quality_quantile_band",
+    """
+    WITH b AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           round(lo, 6) AS band_lo, round(hi, 6) AS band_hi
+    FROM documents, b
+    WHERE n_chars >= lo AND n_chars <= hi
+    """,
+    doc="Quantile-calibrated outlier filter: keep docs inside the corpus's "
+    "[p05, p95] n_chars band. Bounds via Spark's exact percentile "
+    "aggregate (distributed partials, no global sort) broadcast back as a "
+    "1-row crossJoin; approx_percentile is the documented 100 TB drop-in "
+    "(operators/sampling.py:quantile_band_filter).",
+)
+def q_quantile_band(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.quantile_band_filter(d, "n_chars", 0.05, 0.95)

@@ -384,3 +384,147 @@ def test_contamination_check_known_leak(spark):
     assert out[10]["contamination_ratio"] == 1.0
     assert out[11]["contamination_ratio"] == 0.0
     assert out[10]["n_shingles"] == 13  # 20 tokens -> 13 8-grams
+
+
+# ---------------------------------------------------------------------------
+# Time-series operators (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 02:00:00"),  # matches r@01:00
+            (2, 10, "2024-01-01 01:00:00"),  # equal ts -> inclusive match
+            (3, 10, "2024-01-01 00:30:00"),  # before any right -> null
+            (4, 99, "2024-01-01 05:00:00"),  # user with no right rows
+        ],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-01 01:00:00", 7.0),
+            (10, "2024-01-01 01:30:00", 8.0),
+        ],
+        "user_id long, ts_s string, v double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    return left, right
+
+
+def test_asof_join_backward_inclusive_and_unmatched(spark):
+    from bag_parser_spark.operators import timeseries
+
+    left, right = _asof_fixture(spark)
+    out = {
+        r["event_id"]: (r["matched_ts"], r["matched_v"])
+        for r in timeseries.asof_join(
+            left, right, on="user_id", right_payload=["v"]
+        ).collect()
+    }
+    assert out[1][1] == 8.0          # latest right at-or-before 02:00
+    assert out[2][1] == 7.0          # equal timestamp matches (inclusive)
+    assert out[3] == (None, None)    # left row earlier than all right rows
+    assert out[4] == (None, None)    # key absent from right side entirely
+    assert len(out) == 4             # left join: every left row survives
+
+
+def test_asof_join_right_tiebreak_last_write_wins(spark):
+    from bag_parser_spark.operators import timeseries
+
+    left = spark.createDataFrame(
+        [(1, 5, "2024-01-01 02:00:00")], "event_id long, user_id long, ts_s string"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(5, "2024-01-01 01:00:00", 1.0, 100), (5, "2024-01-01 01:00:00", 2.0, 200)],
+        "user_id long, ts_s string, v double, seq long",
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "v", "seq"
+    )
+    row = timeseries.asof_join(
+        left, right, on="user_id", right_payload=["v"], right_tiebreak="seq"
+    ).head()
+    assert row["matched_v"] == 2.0  # largest tiebreak wins among equal ts
+
+
+def test_topk_per_key_bounded_and_ordered(spark):
+    from bag_parser_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [(k, i, float((i * 7) % 13)) for k in range(3) for i in range(20)],
+        "key long, id long, v double",
+    )
+    out = timeseries.topk_per_key(
+        df, key="key", order_col="v", tiebreak="id", k=4
+    )
+    rows = out.collect()
+    assert len(rows) == 12
+    for k in range(3):
+        vals = sorted(
+            (r["v"] for r in rows if r["key"] == k), reverse=True
+        )
+        top4 = sorted(
+            (float((i * 7) % 13) for i in range(20)), reverse=True
+        )[:4]
+        assert vals == top4
+
+
+def test_global_shuffle_rank_is_exact_permutation(spark):
+    from bag_parser_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(977)], "doc_id long")
+    out = sampling.global_shuffle_rank(df, id_col="doc_id", seed="t").collect()
+    positions = sorted(r["shuffle_pos"] for r in out)
+    assert positions == list(range(1, 978))  # exact, gap-free global rank
+    # equals the single-window form (bucket prefix preserves hash order)
+    single = {
+        r["doc_id"]: r["pos"]
+        for r in df.selectExpr(
+            "doc_id",
+            "row_number() over (order by md5(concat('t:', cast(doc_id as string))), doc_id) as pos",
+        ).collect()
+    }
+    assert all(single[r["doc_id"]] == r["shuffle_pos"] for r in out)
+
+
+def test_remove_common_lines_keeps_empty_docs(spark):
+    from bag_parser_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "boiler a boiler"), (2, "boiler b"), (3, "boiler")],
+        "doc_id long, text string",
+    )
+    # 'boiler' in 3/3 docs -> removed at frac 0.5; doc 3 becomes ''
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in T.remove_common_lines(df, max_df_frac=0.5).collect()
+    }
+    assert out[1] == ("a", 1, 2)
+    assert out[2] == ("b", 1, 1)
+    assert out[3] == ("", 0, 1)  # fully-boilerplate doc survives as ''
+
+
+def test_repetition_metrics_flags_degenerate_doc(spark):
+    from bag_parser_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.repetition_metrics(df).collect()}
+    assert out[1]["dup_word_frac"] == 0.75
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == 0.0
+
+
+def test_quantile_band_filter_bounds(spark):
+    from bag_parser_spark.operators import sampling
+
+    df = spark.createDataFrame([(i, i) for i in range(1, 101)], "id long, v long")
+    out = sampling.quantile_band_filter(df, "v", 0.10, 0.90)
+    rows = out.collect()
+    lo, hi = rows[0]["band_lo"], rows[0]["band_hi"]
+    assert 1 <= lo < hi <= 100
+    assert all(lo <= r["v"] <= hi for r in rows)
+    # exact percentile of 1..100 at p10/p90: linear interpolation
+    assert lo == round(1 + 0.10 * 99, 6) and hi == round(1 + 0.90 * 99, 6)
