@@ -88,3 +88,70 @@ def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     """O1/O2: ORDER BY … LIMIT k (reference database_sqlite.py:640-646).
     Spark plans TakeOrderedAndProject — per-partition heaps, no full sort."""
     return df.orderBy(*order_by).limit(k)
+
+
+def exact_moments(
+    df: DataFrame, group_cols: Sequence[str], col: str
+) -> DataFrame:
+    """Grouped mean / sample variance / stddev over an INTEGER column with
+    cross-engine bit-exactness.
+
+    Native ``stddev``/``var_samp`` accumulate running doubles whose
+    partial-merge order is partition-layout-dependent — a distributed run
+    cannot hash-match a single-threaded oracle. Instead aggregate the exact
+    integer sufficient statistics (n, Σx, Σx²) — associative, overflow-safe
+    in BIGINT for values up to ~3M at a trillion rows — and derive the
+    moments in one final double expression:
+
+        var = (Σx² − Σx·Σx/n) / (n − 1)
+
+    Both engines evaluate the SAME IEEE operations on the SAME integers, so
+    the doubles are identical to the bit. This is also the 100 TB shape:
+    the shuffle carries three longs per group (map-side partial agg), and
+    the double math runs once per group, not per row. Mirrors the decimal
+    trick of :func:`exact_sum`, extended to second moments.
+    """
+    c = F.col(col)
+    grouped = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    )
+    dn = F.col("n").cast("double")
+    d1 = F.col("s1").cast("double")
+    d2 = F.col("s2").cast("double")
+    var = (d2 - d1 * d1 / dn) / (dn - F.lit(1.0))
+    var = F.when(F.col("n") > 1, var)  # null for singleton groups
+    return grouped.select(
+        *group_cols,
+        "n",
+        (d1 / dn).alias("mean"),
+        var.alias("var_samp"),
+        F.sqrt(var).alias("stddev_samp"),
+    )
+
+
+def exact_moments_sql(group_cols: Sequence[str], col: str, table: str) -> str:
+    """DuckDB twin of :func:`exact_moments` — the IDENTICAL expression tree
+    over the identical integer sums (DuckDB SUM(BIGINT) yields HUGEINT, so
+    sums are cast back to BIGINT before the double math)."""
+    keys = ", ".join(group_cols)
+    return f"""
+    WITH s AS (
+      SELECT {keys}, COUNT(*) AS n,
+             CAST(SUM({col}) AS BIGINT) AS s1,
+             CAST(SUM({col} * {col}) AS BIGINT) AS s2
+      FROM {table} GROUP BY {keys}
+    )
+    SELECT {keys}, n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CASE WHEN n > 1 THEN
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+           END AS var_samp,
+           CASE WHEN n > 1 THEN
+             SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+           END AS stddev_samp
+    FROM s
+    """

@@ -152,3 +152,42 @@ def anti_join(left: DataFrame, right: DataFrame, on: Column | str | list[str]) -
 def semi_join(left: DataFrame, right: DataFrame, on: Column | str | list[str]) -> DataFrame:
     """J8: IN subquery / DISTINCT-probe semantics (database_sqlite.py:651,659)."""
     return left.join(right, on=on, how="left_semi")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-mitigated equi-join: scatter each hot join key across ``salt``
+    sub-keys. The left (big, skewed) side gets a deterministic salt from a
+    hash of ``salt_source`` (default: the join key's row via xxhash64 of
+    all columns); the right side is replicated ``salt`` times via a
+    sequence explode, and the join runs on (key, salt).
+
+    Result is IDENTICAL to ``left.join(right, on, how)`` — salting only
+    changes the partition layout, so the oracle for a salted join is the
+    plain join. Use when one key holds a disproportionate share of rows
+    (a power-law domain column, a null-heavy foreign key): a plain
+    shuffle join puts the whole hot key in one task; salted, it spreads
+    over ``salt`` tasks at the cost of replicating the small side
+    ``salt``x — the classic trade, cheap when the right side is
+    dimension-sized. AQE skew-join handles moderate skew automatically;
+    explicit salting is for the extreme tail where one key exceeds a
+    whole executor.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    src = (
+        [F.col(salt_source)]
+        if salt_source is not None
+        else [F.col(c) for c in left.columns]
+    )
+    l = left.withColumn("__salt__", F.pmod(F.xxhash64(*src), F.lit(salt)))
+    r = right.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt__", F.col("__salt__").cast("long"))
+    return l.join(r, on=[on, "__salt__"], how=how).drop("__salt__")

@@ -171,3 +171,138 @@ def topk_per_key(
         df.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    change_ts: str,
+    tiebreak: str,
+    attrs: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change log (one row per
+    attribute change) into validity intervals — ``valid_from`` = the change
+    timestamp, ``valid_to`` = the NEXT change's timestamp for the same key
+    (open interval, null for the current row), ``is_current`` flag.
+
+    One window per key (shuffle on ``key``, ordered by (ts, tiebreak)) —
+    the standard warehouse history-build, linear in the log. Equal-ts
+    changes are ordered by ``tiebreak`` so the earlier row gets a
+    zero-length interval instead of a nondeterministic one.
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(change_ts).asc(), F.col(tiebreak).asc()
+    )
+    nxt = F.lead(F.col(change_ts)).over(w)
+    return df.select(
+        key,
+        tiebreak,
+        *attrs,
+        F.col(change_ts).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag_s: int = 600,
+    right_payload: Sequence[str] = (),
+    prefix: str = "r_",
+) -> DataFrame:
+    """Event-time interval join: pair each left row with EVERY right row of
+    the same key whose timestamp falls in ``(left.ts - max_lag_s, left.ts]``
+    — the batch twin of a Structured Streaming stream-stream join with a
+    time-range condition (streaming/events.py wires the same predicate with
+    watermarks).
+
+    Plan shape: equi-join on the key (hash/sort-merge — pushes both scans'
+    filters, shuffles key-partitioned rows once) with the range predicate
+    evaluated as an exact integer-microsecond filter on join output. This
+    is NOT a range-join explosion: candidates are bounded per key-pair by
+    the join, and the time filter prunes inside the join operator. For
+    low-cardinality keys with long histories, bucketize time into
+    max_lag-sized bands and join on (key, band) ∪ (key, band+1) to bound
+    per-task width.
+    """
+    lag_us = max_lag_s * 1_000_000
+    l = left.alias("l")
+    r = right.alias("r")
+    diff = F.unix_micros(F.col(f"l.{left_ts}")) - F.unix_micros(
+        F.col(f"r.{right_ts}")
+    )
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (diff >= 0)
+        & (diff < lag_us)
+    )
+    sel = [F.col(f"l.{c}") for c in left.columns]
+    sel.append(F.col(f"r.{right_ts}").alias(f"{prefix}{right_ts}"))
+    sel += [F.col(f"r.{c}").alias(f"{prefix}{c}") for c in right_payload]
+    return l.join(r, cond, "inner").select(*sel)
+
+
+def gapfill_resample(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+    bucket_fn: str = "hour",
+) -> DataFrame:
+    """Time-series resample with gap fill and forward fill — the hypertable
+    rollup shape (``time_bucket`` + ``locf`` in timescale terms): bucket
+    events per key, materialize EVERY bucket between each key's first and
+    last event (missing buckets appear with ``n_events = 0``), and carry
+    the last observed value forward across the gaps.
+
+    Columns out: (key, bucket, n_events, ffill_max_value). ``max`` is the
+    per-bucket value statistic because it is order-independent — a float
+    ``avg``'s partial-merge order is layout-dependent and can never
+    hash-match a single-threaded oracle.
+
+    Plan shape, scale notes:
+    - bucketing is one groupBy shuffle on (key, bucket) with map-side
+      partial agg — rows in, (key, bucket, count, max) out;
+    - the spine is generated from a per-key (min, max) agg — a second
+      key-only shuffle over the ALREADY-bucketed (tiny) table, then a
+      ``sequence()`` explode whose width is bounded by the key's time span
+      / step, never by its event count. A hot key with 10^9 events still
+      yields only span/step spine rows;
+    - the spine⋈buckets join and the forward-fill window both run on the
+      same (key) partitioning — AQE coalesces these into adjacent stages
+      with one effective exchange.
+    """
+    bucket = F.date_trunc(bucket_fn, F.col(ts_col)).alias("bucket")
+    hourly = df.groupBy(F.col(key), bucket).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(value_col).alias("max_value"),
+    )
+    spine = (
+        hourly.groupBy(key)
+        .agg(F.min("bucket").alias("__b0__"), F.max("bucket").alias("__b1__"))
+        .select(
+            key,
+            F.explode(
+                F.sequence(
+                    F.col("__b0__"), F.col("__b1__"), F.expr(f"interval {step}")
+                )
+            ).alias("bucket"),
+        )
+    )
+    joined = spine.join(hourly, on=[key, "bucket"], how="left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("max_value", ignorenulls=True).over(w).alias("ffill_max_value"),
+    )

@@ -954,4 +954,8 @@ def oracle_sql() -> dict[str, str]:
 
 def _load_extensions() -> None:
     # registers the extension queries into _REGISTRY on first use
-    from bag_parser_spark.plans import catalog_ext, catalog_ts  # noqa: F401
+    from bag_parser_spark.plans import (  # noqa: F401
+        catalog_agg,
+        catalog_ext,
+        catalog_ts,
+    )

@@ -1,0 +1,238 @@
+"""Catalog extension: multidimensional aggregation, pivot, rank batteries,
+exact moments, JSON extraction, and PII redaction.
+
+These widen the engine past the reference's flat GROUP BY surface
+(reference exporter.py:93-142 is plain one-level grouping) toward the
+shapes a warehouse/training-data pipeline runs daily: ROLLUP subtotal
+lattices, wide pivots, distribution analytics (percent_rank/ntile),
+variance that hash-matches across engines, semi-structured metadata
+extraction, and deterministic text scrubbing.
+
+Every query here is DuckDB-oracle-backed (value-level, not rows-only).
+Cross-engine float rules applied throughout: derived doubles are computed
+from exact integer sufficient statistics with an identical expression tree
+on both sides (see operators/aggregates.py:exact_moments); rank ratios
+(percent_rank, cume_dist) are exact integer divisions under a unique total
+order, so they are bit-stable by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bag_parser_spark.operators import aggregates as agg
+from bag_parser_spark.plans.catalog import register
+from bag_parser_spark.sources.parquet import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "a9_rollup",
+    """
+    SELECT COALESCE(source, 'ALL') AS source,
+           COALESCE(lang, 'ALL') AS lang,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY ROLLUP(source, lang)
+    """,
+    doc="Multidimensional subtotal lattice: GROUP BY ROLLUP(source, lang) "
+    "— per-(source,lang) cells, per-source subtotals, grand total — with "
+    "grouping_id() disambiguating the levels. Spark plans ROLLUP as a "
+    "single Expand + one hash aggregate: each input row is replicated once "
+    "per grouping set BEFORE the exchange, so map-side partial agg still "
+    "collapses the lattice and the shuffle carries one row per (set, key) "
+    "— at 100 TB this beats N separate GROUP BYs by N scans. NULL group "
+    "keys are COALESCEd to 'ALL' on both sides so the subtotal rows sort "
+    "and hash deterministically in the harness.",
+)
+def q_rollup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.col("gid").cast("long").alias("gid"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+@register(
+    "a10_pivot",
+    """
+    SELECT source,
+           COUNT(*) FILTER (WHERE lang = 'de') AS de,
+           COUNT(*) FILTER (WHERE lang = 'en') AS en,
+           COUNT(*) FILTER (WHERE lang = 'es') AS es,
+           COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+           COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+    FROM documents GROUP BY source
+    """,
+    doc="Wide pivot: one row per source, one count column per language. "
+    "Spark's pivot with an EXPLICIT value list compiles to a single hash "
+    "aggregate of conditional counts — exactly the oracle's FILTER "
+    "clauses, one shuffle, no per-value scan. The explicit list is the "
+    "100 TB rule: pivot without it runs a distinct-values job first (a "
+    "full extra scan) and can explode the schema; a curated vocabulary "
+    "keeps the plan static and reviewable. Absent combos surface as 0, "
+    "not null (count semantics on both engines).",
+)
+def q_pivot(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = (
+        d.groupBy("source")
+        .pivot("lang", _LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot-with-count leaves missing combos null; align to FILTER's 0
+    return out.select(
+        "source", *[F.coalesce(c, F.lit(0)).alias(c) for c in _LANGS]
+    )
+
+
+@register(
+    "w3_rank_battery",
+    """
+    SELECT doc_id, source, n_chars,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist,
+           NTILE(4) OVER w AS quartile
+    FROM documents
+    WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+    """,
+    doc="Distribution-rank battery per source: rank, dense_rank, "
+    "percent_rank, cume_dist, ntile(4) in ONE window pass (single shuffle "
+    "on source, single per-key sort — Spark fuses same-spec window "
+    "functions into one physical Window operator). The order key includes "
+    "doc_id so the total order is unique: under a unique order the rank "
+    "ratios are exact integer divisions, bit-identical across engines — "
+    "the float-window-parity rule (ties under a partial order would make "
+    "ntile/percent_rank engine-dependent).",
+)
+def q_rank_battery(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "a11_exact_moments",
+    agg.exact_moments_sql(["source"], "n_chars", "documents"),
+    doc="Grouped mean/variance/stddev with cross-engine bit-exactness: "
+    "aggregates the exact integer sufficient statistics (n, Σx, Σx²) — "
+    "associative, so distributed partial merge is exact — and derives the "
+    "moments in one double expression evaluated identically by both "
+    "engines (operators/aggregates.py:exact_moments). Native stddev's "
+    "running-double accumulation is partition-order-dependent and can "
+    "never hash-match a single-threaded oracle; this shape also carries "
+    "only three longs per group through the shuffle.",
+)
+def q_exact_moments(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return agg.exact_moments(d, ["source"], "n_chars")
+
+
+@register(
+    "ev_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) > 50)
+             AS n_k_gt_50
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured metadata extraction: pull an integer field out of "
+    "a JSON string column (events.props) and aggregate it per event_type "
+    "— the metadata-sidecar pattern of every training-data manifest. "
+    "get_json_object evaluates JVM-side inside whole-stage codegen (no "
+    "Python, no UDF); at 100 TB prefer from_json with an explicit schema "
+    "once the manifest stabilizes, so the parse happens once per row "
+    "into a struct and Catalyst prunes unaccessed fields.",
+)
+def q_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_k_gt_50"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-123-4567' AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones
+    FROM pii
+    """,
+    doc="PII scrubbing: global regex redaction of emails and phone numbers "
+    "plus per-doc match counts — the compliance pass every corpus release "
+    "runs. The synthetic corpus contains no organic PII, so a "
+    "deterministic address/phone is appended per doc to make the "
+    "replacement path real on both engines. Patterns are restricted to "
+    "the Java-regex ∩ RE2 common dialect (no backrefs, no lookaround) so "
+    "Spark and DuckDB match identically. regexp_replace runs JVM-side in "
+    "codegen — map-only, no shuffle, linear scan at any scale.",
+)
+def q_pii_redact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(body, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.regexp_count(body, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(body, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+    )

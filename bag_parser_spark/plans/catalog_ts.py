@@ -272,3 +272,169 @@ def q_global_shuffle(spark, sf_dir):
 def q_quantile_band(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return sampling.quantile_band_filter(d, "n_chars", 0.05, 0.95)
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigated join, SCD2 history, interval join, approx-quantile battery
+# ---------------------------------------------------------------------------
+
+@register(
+    "j10_salted_skew_join",
+    """
+    WITH dim AS (
+      SELECT source, COUNT(*) AS src_docs, CAST(AVG(n_chars) AS DOUBLE)
+             AS src_avg_chars
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars, dim.src_docs, dim.src_avg_chars
+    FROM documents d JOIN dim ON d.source = dim.source
+    """,
+    doc="Skew-mitigated equi-join: documents (5 distinct source values -- "
+    "extreme key skew by construction) joined to a per-source dim through "
+    "operators/joins.py:salted_join, which scatters each hot key over 16 "
+    "sub-keys and replicates the dim side 16x. The oracle is the PLAIN "
+    "join: salting changes partition layout, never results. At corpus "
+    "scale this is the fix for the tail where one key exceeds an executor "
+    "(AQE skew-join covers the moderate middle).",
+)
+def q_salted_join(spark, sf_dir):
+    from bag_parser_spark.operators import joins
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    dim = d.groupBy("source").agg(
+        F.count("*").alias("src_docs"),
+        F.avg("n_chars").alias("src_avg_chars"),
+    )
+    return joins.salted_join(
+        d, dim, on="source", salt=16, salt_source="doc_id"
+    )
+
+
+@register(
+    "ts_scd2_intervals",
+    """
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD2 history build: the 'signup' change log becomes validity "
+    "intervals (valid_from/valid_to/is_current) via one lead() window per "
+    "key — the standard warehouse dimension-history pass, linear in the "
+    "log, shuffle on user_id only (operators/timeseries.py:"
+    "scd2_intervals). Equal-ts changes tiebreak on event_id.",
+)
+def q_scd2(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    return timeseries.scd2_intervals(
+        ev, key="user_id", change_ts="ts", tiebreak="event_id",
+        attrs=["value"],
+    )
+
+
+@register(
+    "ts_interval_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS r_ts, r.event_id AS r_event_id, r.value AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND date_diff('microsecond', r.ts, l.ts) >= 0
+     AND date_diff('microsecond', r.ts, l.ts) < 600000000
+    """,
+    doc="Event-time interval join: every purchase within the 10 minutes "
+    "before each error, per user — the batch twin of a stream-stream "
+    "range join (the streaming form with watermarks is parity-tested in "
+    "tests/test_streaming.py). Equi-join on user_id carries the range "
+    "predicate as exact integer-microsecond arithmetic "
+    "(operators/timeseries.py:interval_join).",
+)
+def q_interval_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return timeseries.interval_join(
+        l, r, on="user_id", max_lag_s=600,
+        right_payload=["event_id", "value"],
+    )
+
+
+@register(
+    "a8_approx_quantiles",
+    """
+    SELECT source,
+           quantile_cont(n_chars, 0.5) AS median_chars,
+           TRUE AS approx_within_tol
+    FROM documents GROUP BY source
+    """,
+    doc="Grouped quantile battery with sketch validation: exact per-source "
+    "median (distributed percentile aggregate) plus a boolean asserting "
+    "Spark's approx_percentile sketch lands within 5% relative tolerance "
+    "— the a7 pattern applied to quantiles. The oracle pins the exact "
+    "median and TRUE; at 100 TB the sketch (t-digest-style, mergeable "
+    "partials) replaces the exact aggregate wholesale.",
+)
+def q_a8(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        F.expr("approx_percentile(n_chars, 0.5, 10000)").alias("__ap__"),
+    )
+    tol = F.abs(F.col("__ap__") - F.col("median_chars")) <= (
+        F.lit(0.05) * F.abs(F.col("median_chars"))
+    )
+    return out.select(
+        "source", "median_chars", tol.alias("approx_within_tol")
+    )
+
+
+@register(
+    "ts_gapfill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n_events, MAX(value) AS max_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+      FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, UNNEST(generate_series(b0, b1, INTERVAL 1 HOUR))
+               AS bucket
+      FROM bounds
+    )
+    SELECT s.user_id, s.bucket,
+           COALESCE(h.n_events, 0) AS n_events,
+           LAST_VALUE(h.max_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_max_value
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.bucket = h.bucket
+    """,
+    doc="Hypertable rollup with gap fill + forward fill (time_bucket + "
+    "locf): hourly per-user buckets, EVERY hour between each user's first "
+    "and last event materialized (empty hours at n_events=0), last "
+    "observed value carried across gaps via last(ignorenulls) "
+    "(operators/timeseries.py:gapfill_resample). Spine width is bounded "
+    "by time-span/step — independent of event count, so a hot key with "
+    "10^9 events still yields span/step rows. Per-bucket stat is MAX "
+    "(order-independent) — a float avg could never hash-match across "
+    "engines.",
+)
+def q_gapfill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.gapfill_resample(
+        ev, key="user_id", ts_col="ts", value_col="value", step="1 hour"
+    )

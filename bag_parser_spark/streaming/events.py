@@ -122,3 +122,65 @@ def run_dedup_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    max_lag_s: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of the batch
+    ``ts_interval_join`` catalog query (operators/timeseries.py:
+    interval_join): each left event pairs with every right event of the
+    same key in ``(left.ts - max_lag_s, left.ts]``.
+
+    Both sides carry watermarks so the join STATE is bounded: Spark keeps
+    a right-side row only until ``watermark + max_lag_s`` has passed its
+    event time (the range condition tells the state store when a buffered
+    row can never match again). An unwatermarked stream-stream join grows
+    state forever — the difference between a demo and a 100 TB/day
+    pipeline. Time-range arithmetic is the same integer-microsecond
+    predicate the batch twin uses, so stream/batch parity is exact.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    diff = F.unix_micros(F.col("l.ts")) - F.unix_micros(F.col("r.ts"))
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (diff >= 0)
+        & (diff < max_lag_s * 1_000_000)
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l.event_id").alias("event_id"),
+        F.col(f"l.{on}").alias(on),
+        F.col("l.ts").alias("ts"),
+        F.col("r.ts").alias("r_ts"),
+        F.col("r.event_id").alias("r_event_id"),
+        F.col("r.value").alias("r_value"),
+    )
+
+
+def run_interval_join_to_memory(
+    spark: SparkSession, path: str, table_name: str = "events_ijoin"
+) -> None:
+    """Drain the stream-stream interval join with AvailableNow into a
+    memory sink (append mode — inner joins emit matched rows as both
+    watermarks pass)."""
+    ev = read_events_stream(spark, path)
+    l = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    q = (
+        interval_join_stream(l, r)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -528,3 +528,104 @@ def test_quantile_band_filter_bounds(spark):
     assert all(lo <= r["v"] <= hi for r in rows)
     # exact percentile of 1..100 at p10/p90: linear interpolation
     assert lo == round(1 + 0.10 * 99, 6) and hi == round(1 + 0.90 * 99, 6)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from bag_parser_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(200)],
+        "id long, key string",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(0, 200, 10)],
+        "key string, payload double",
+    )
+    salted = joins.salted_join(left, right, on="key", salt=8, salt_source="id")
+    plain = left.join(right, on="key")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # left join keeps unmatched rows exactly once
+    right_missing = right.filter(F.col("key") != "hot")
+    lsalted = joins.salted_join(
+        left, right_missing, on="key", salt=8, salt_source="id", how="left"
+    )
+    lplain = left.join(right_missing, on="key", how="left")
+    assert sorted(map(tuple, lsalted.collect())) == sorted(
+        map(tuple, lplain.collect())
+    )
+
+
+def test_scd2_intervals_chain(spark):
+    from bag_parser_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", "a"),
+            (1, 11, "2024-01-02 00:00:00", "b"),
+            (1, 12, "2024-01-03 00:00:00", "c"),
+            (2, 20, "2024-01-01 00:00:00", "x"),
+        ],
+        "k long, seq long, ts_s string, attr string",
+    ).select("k", "seq", F.col("ts_s").cast("timestamp").alias("ts"), "attr")
+    rows = {
+        r["seq"]: r
+        for r in timeseries.scd2_intervals(
+            df, key="k", change_ts="ts", tiebreak="seq", attrs=["attr"]
+        ).collect()
+    }
+    # intervals chain: each valid_to equals the next change's valid_from
+    assert rows[10]["valid_to"] == rows[11]["valid_from"]
+    assert rows[11]["valid_to"] == rows[12]["valid_from"]
+    assert rows[12]["valid_to"] is None and rows[12]["is_current"]
+    assert rows[20]["valid_to"] is None and rows[20]["is_current"]
+    assert not rows[10]["is_current"] and not rows[11]["is_current"]
+
+
+def test_gapfill_resample_fills_and_ffills(spark):
+    from bag_parser_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 5.0),
+            (1, "2024-01-01 03:20:00", 7.0),  # 2 empty hours between
+            (2, "2024-01-01 01:00:00", 1.0),
+        ],
+        "k long, ts_s string, value double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    rows = {
+        (r["k"], r["bucket"].hour): (r["n_events"], r["ffill_max_value"])
+        for r in timeseries.gapfill_resample(
+            df, key="k", ts_col="ts", value_col="value"
+        ).collect()
+    }
+    # key 1: hours 0..3 all present; gaps carry value 5.0 forward
+    assert rows[(1, 0)] == (1, 5.0)
+    assert rows[(1, 1)] == (0, 5.0)
+    assert rows[(1, 2)] == (0, 5.0)
+    assert rows[(1, 3)] == (1, 7.0)
+    # key 2: single bucket, no spine inflation
+    assert rows[(2, 1)] == (1, 1.0)
+    assert len(rows) == 5
+
+
+def test_exact_moments_matches_statistics(spark):
+    import statistics
+
+    from bag_parser_spark.operators import aggregates as agg
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals] + [("solo", 42)], "grp string, x long"
+    )
+    rows = {
+        r["grp"]: r
+        for r in agg.exact_moments(df, ["grp"], "x").collect()
+    }
+    assert rows["g"]["n"] == len(vals)
+    assert rows["g"]["mean"] == statistics.fmean(vals)
+    assert abs(rows["g"]["var_samp"] - statistics.variance(vals)) < 1e-9
+    # singleton group: variance undefined, not a division blowup
+    assert rows["solo"]["var_samp"] is None
+    assert rows["solo"]["stddev_samp"] is None

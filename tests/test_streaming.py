@@ -111,3 +111,24 @@ def test_dedup_stream_matches_batch(spark):
             .count()
             == 0
         )
+
+
+def test_interval_join_stream_matches_batch(spark):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch twin's pairs: with AvailableNow draining a finite file source,
+    every match is within the watermark by end-of-input, so the inner
+    join's emission is complete — set-equality, not containment."""
+    from bag_parser_spark.streaming.events import run_interval_join_to_memory
+
+    run_interval_join_to_memory(spark, f"{SF}/events.parquet", "ev_ij_test")
+    stream_rows = {
+        (r["event_id"], r["r_event_id"]): (r["ts"], r["r_ts"], r["r_value"])
+        for r in spark.table("ev_ij_test").collect()
+    }
+    batch = registry()["ts_interval_join"].fn(spark, SF)
+    batch_rows = {
+        (r["event_id"], r["r_event_id"]): (r["ts"], r["r_ts"], r["r_value"])
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
