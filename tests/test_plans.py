@@ -92,3 +92,59 @@ def test_split_and_pack_shapes(spark):
     pack_plan = _plan(reg["pack_sequences"].fn(spark, SF_CORRECT), "simple")
     # packing = one shuffle (by shard) + in-partition sort for the cumsum
     assert pack_plan.count("Exchange hashpartitioning") == 1
+
+
+def test_a9_rollup_single_expand_single_exchange(spark):
+    df = registry()["a9_rollup"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    # ROLLUP compiles to ONE Expand + one partial/final agg pair — not one
+    # GROUP BY per lattice level (which would re-scan per level at 100 TB)
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_w3_single_window_pass(spark):
+    df = registry()["w3_rank_battery"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    # all five rank functions share one window spec -> Spark fuses them
+    # into ONE physical Window operator: one shuffle, one sort
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort") == 1
+
+
+def test_a11_moments_shuffle_carries_three_longs(spark):
+    df = registry()["a11_exact_moments"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    # sufficient statistics aggregate map-side; the double math is a
+    # post-agg projection, never per-row
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan and "partial_count" in plan
+    # no native stddev/var aggregate anywhere (order-dependent partials);
+    # the native form would plan partial_stddev/partial_var buffers
+    assert "partial_stddev" not in plan and "partial_var" not in plan
+
+
+def test_pii_redact_map_only_codegen(spark):
+    df = registry()["text_pii_redact"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    # pure projection: regex machinery stays in whole-stage codegen,
+    # zero exchanges — linear scan at any corpus size
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    # only the two needed columns leave the scan
+    fplan = _plan(df)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in fplan
+
+
+def test_gapfill_spine_from_aggregate_not_events(spark):
+    df = registry()["ts_gapfill"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    # the spine explodes a per-key (min,max) AGGREGATE — bounded by time
+    # span — never the raw event rows
+    assert "explode(sequence(" in plan
+    assert plan.count("Generate") == 1
+    # bucketing + bounds + window: at most 3 key shuffles before AQE
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("Window") == 1
