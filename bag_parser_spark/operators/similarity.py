@@ -387,3 +387,47 @@ def knn_join_brute(
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the storage/serving
+    compression every embedding index applies before ANN: per vector,
+    ``scale = 127 / max|x|``, each component becomes
+    ``clamp(round(x * scale), -127, 127)``.
+
+    Output is EXPLODED to (id, i, q, scale) rows — one per component,
+    1-based index — because the harness (like the driver) cannot hash
+    array cells; the flat form also lets the oracle recompute every
+    component value-level instead of rows-only.
+
+    Cross-engine exactness: scale and the pre-round product are computed
+    with an identical expression tree over the same float32 inputs
+    (float→double cast, one divide, one multiply), and both engines round
+    half-away-from-zero, so q and scale hash-match to the bit. Zero
+    vectors get scale=1.0 (guarded CASE on both sides) instead of an
+    inf/NaN cascade.
+
+    Scale shape: map-only — a projection plus posexplode, no exchange
+    anywhere; at 100 TB this runs at scan speed and the output feeds the
+    (id, i)-keyed index writer directly. The un-exploded production
+    variant returns ``array<tinyint>`` + scale in one row; the flat form
+    here exists for the value-level gate.
+    """
+    m = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = F.when(
+        m.cast("double") > 0.0, F.lit(127.0) / m.cast("double")
+    ).otherwise(F.lit(1.0))
+    ex = df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    q = F.round(F.col("x").cast("double") * F.col("scale")).cast("long")
+    return ex.select(
+        id_col,
+        (F.col("i") + 1).cast("long").alias("i"),
+        F.greatest(F.lit(-127), F.least(F.lit(127), q)).alias("q"),
+        "scale",
+    )

@@ -236,3 +236,38 @@ def q_pii_redact(spark, sf_dir):
         F.regexp_count(body, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count(body, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
     )
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             CASE WHEN CAST(list_max(list_transform(embedding,
+                        x -> abs(x))) AS DOUBLE) > 0.0
+                  THEN CAST(127 AS DOUBLE)
+                       / CAST(list_max(list_transform(embedding,
+                              x -> abs(x))) AS DOUBLE)
+                  ELSE 1.0 END AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(i AS BIGINT) AS i,
+           GREATEST(-127, LEAST(127,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * scale, 0) AS BIGINT)
+           )) AS q,
+           scale
+    FROM m CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+    """,
+    doc="Symmetric per-vector int8 quantization of the embedding column "
+    "(operators/similarity.py:quantize_int8): scale = 127/max|x|, "
+    "components rounded half-away-from-zero and clamped — exploded to "
+    "(vec_id, i, q, scale) rows so every component is value-checked. "
+    "Map-only (projection + posexplode, zero exchanges); identical "
+    "float->double expression tree on both engines makes q AND the "
+    "double scale bit-exact.",
+)
+def q_quantize(spark, sf_dir):
+    from bag_parser_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(e)
