@@ -1,0 +1,161 @@
+"""K-means over embedding columns, expressed scale-first and relational.
+
+The reference engine has no ML operators; this is extension surface for the
+training-data pipeline (corpus clustering, IVF coarse-quantizer training —
+operators/similarity.py:ivf_topk consumes exactly these centroids).
+
+Design: one k-means step = assignment (nearest centroid by squared L2) +
+update (per-dimension mean of assigned vectors). The classic distributed
+failure mode is float nondeterminism — a Σfloat whose partial-merge order
+is partition-layout-dependent, making runs irreproducible and oracle
+comparison impossible. Here EVERYTHING up to the final division is exact
+integer arithmetic on fixed-point components (``x → round(x · 2^20)``):
+
+- distances: Σ (xq − cq)² over 64-dim int components — associative,
+  overflow-safe (|xq| ≲ 2^21 ⇒ Σ of 64 squares ≲ 2^48);
+- argmin: ``min(struct(d2, cid))`` — a partial-aggregable reduction, never
+  a window over an n×k product;
+- update: Σ xq per (cid, dim) as BIGINT, divided back to double once at
+  the end with one fixed expression tree.
+
+So a 1000-executor run, a local[32] run, and a single-threaded oracle all
+produce bit-identical centroids. The fixed-point trade (≈1e-6 component
+rounding) is far below embedding noise and is the price of distributed
+reproducibility — same trick as aggregates.py:exact_sum's decimals.
+
+Plan shape per step: component explode is map-only; the n×k distance
+product is generated map-side against BROADCAST centroid components and
+collapsed by partial aggregation before the exchange (shuffle carries n·k
+(vec, cid, partial-d2) rows, never n·k·dim); update shuffles n·dim
+(cid, dim, xq) rows with map-side combine. Per iteration that is two
+bounded shuffles — the shape that survives 100 TB. The driver loop
+re-broadcasts k·dim longs per iteration (tiny) and truncates lineage so
+iteration i+1's DAG does not replay iterations 1..i.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^20 fixed-point scale: float32 embeddings carry <= 2^-24 relative
+# precision around |x|<1, so 20 fractional bits round at ~1e-6 absolute —
+# below the data's own noise floor — while keeping 64-dim squared sums
+# far inside BIGINT range.
+FIXED_POINT = 1 << 20
+
+
+def _explode_fixed(df: DataFrame, id_col: str, vec_col: str, out_id: str):
+    """(id, i, q): 1-based component index, fixed-point int component.
+    Map-only; both engines compute round(cast(x as double) * 2^20)."""
+    ex = df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    q = F.round(F.col("x").cast("double") * F.lit(float(FIXED_POINT))).cast(
+        "long"
+    )
+    return ex.select(out_id, (F.col("i") + 1).cast("long").alias("i"), q.alias("q"))
+
+
+def kmeans_step(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """One exact k-means iteration. ``centroids`` is (cid, embedding) with
+    NUMERIC cid; returns exploded new centroids
+    ``(cid, i, centroid_val, n_members)`` — flat rows so every component is
+    value-checkable (the harness cannot hash array cells).
+
+    Empty clusters drop out (standard Lloyd's); the caller decides whether
+    to reseed. ``centroid_val = (Σ xq / n) / 2^20`` evaluated with one
+    fixed expression tree — bit-identical on any engine or cluster layout.
+    """
+    vq = _explode_fixed(vectors, id_col, vec_col, "__vid__")
+    cq = _explode_fixed(centroids, cid_col, vec_col, "__cid__")
+    # n×k distance product: join on the dimension index against broadcast
+    # centroid components; partial agg collapses dims map-side.
+    d = F.col("vq") - F.col("cq")
+    dists = (
+        vq.select("__vid__", "i", F.col("q").alias("vq"))
+        .join(
+            F.broadcast(
+                cq.select("__cid__", "i", F.col("q").alias("cq"))
+            ),
+            "i",
+        )
+        .groupBy("__vid__", "__cid__")
+        .agg(F.sum(d * d).alias("d2"))
+    )
+    assign = (
+        dists.groupBy("__vid__")
+        .agg(F.min(F.struct("d2", "__cid__")).alias("__best__"))
+        .select("__vid__", F.col("__best__.__cid__").alias("__cid__"))
+    )
+    # update: per-(cid, dim) exact integer sums over assigned vectors
+    upd = (
+        vq.join(assign, "__vid__")
+        .groupBy("__cid__", "i")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n_members"))
+    )
+    val = (
+        F.col("s").cast("double")
+        / F.col("n_members").cast("double")
+        / F.lit(float(FIXED_POINT))
+    )
+    return upd.select(
+        F.col("__cid__").alias("cid"),
+        "i",
+        val.alias("centroid_val"),
+        "n_members",
+    )
+
+
+def kmeans(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's loop: seed with the k lowest-id vectors (deterministic —
+    k-means++ would need a sequential scan; at corpus scale seed from a
+    hash-sample instead), run ``kmeans_step`` ``iters`` times. Returns the
+    final exploded centroids.
+
+    Iteration discipline for a distributed loop: each step's output is
+    localCheckpoint-materialized so step i+1's DAG starts from data, not
+    from a lineage replaying steps 1..i (an unchecked loop builds an
+    O(iters)-deep plan that recompiles and recomputes quadratically).
+    The checkpointed table is k·dim rows — trivially small; the big table
+    is scanned once per iteration, which is the algorithm's real cost.
+    """
+    seeds = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col))
+    )
+    cent = seeds
+    for _ in range(iters):
+        stepped = kmeans_step(vectors, cent, id_col, vec_col, "cid")
+        # rebuild (cid, embedding) for the next round; array_agg ordered by
+        # dim — k·dim rows, driver-safe
+        cent = (
+            stepped.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "centroid_val"))
+                ).alias("__pairs__")
+            )
+            .select(
+                "cid",
+                F.transform(
+                    F.col("__pairs__"), lambda p: p["centroid_val"].cast("float")
+                ).alias(vec_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return kmeans_step(vectors, cent, id_col, vec_col, "cid")

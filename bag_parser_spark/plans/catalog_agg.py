@@ -271,3 +271,56 @@ def q_quantize(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return similarity.quantize_int8(e)
+
+
+@register(
+    "ml_kmeans_step",
+    """
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    vq AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE)
+                        * CAST(1048576 AS DOUBLE), 0) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN dims
+    ),
+    cq AS (SELECT vec_id AS cid, i, q FROM vq WHERE vec_id < 8),
+    dists AS (
+      SELECT v.vec_id, c.cid, SUM((v.q - c.q) * (v.q - c.q)) AS d2
+      FROM vq v JOIN cq c USING (i) GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM dists) t WHERE rn = 1
+    ),
+    upd AS (
+      SELECT a.cid, v.i, CAST(SUM(v.q) AS BIGINT) AS s,
+             COUNT(*) AS n_members
+      FROM vq v JOIN assign a USING (vec_id) GROUP BY 1, 2
+    )
+    SELECT cid, i,
+           CAST(s AS DOUBLE) / CAST(n_members AS DOUBLE)
+             / CAST(1048576 AS DOUBLE) AS centroid_val,
+           n_members
+    FROM upd
+    """,
+    doc="One exact k-means iteration (operators/clustering.py:kmeans_step), "
+    "k=8 seeded from the lowest vec_ids: assignment by squared-L2 argmin "
+    "and centroid update, BOTH in fixed-point integer arithmetic "
+    "(components -> round(x*2^20)) so distances, argmin, and sums are "
+    "associative and bit-identical on any cluster layout — the only way "
+    "an iterative float algorithm can be distributed-reproducible AND "
+    "oracle-checked. Centroids explode to (cid, i, centroid_val, "
+    "n_members) flat rows; Spark argmin is min(struct(d2,cid)) (partial-"
+    "aggregable), the oracle's row_number twin is the same total order.",
+)
+def q_kmeans_step(spark, sf_dir):
+    from bag_parser_spark.operators import clustering
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return clustering.kmeans_step(e, cent, cid_col="cid")

@@ -43,6 +43,10 @@ HEADLINE = [
     "text_quality_metrics",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "ts_gapfill",
+    "ts_interval_join",
+    "a9_rollup",
+    "emb_quantize_int8",
 ]
 
 

@@ -629,3 +629,23 @@ def test_exact_moments_matches_statistics(spark):
     # singleton group: variance undefined, not a division blowup
     assert rows["solo"]["var_samp"] is None
     assert rows["solo"]["stddev_samp"] is None
+
+
+def test_kmeans_converges_on_blobs(spark):
+    from bag_parser_spark.operators import clustering
+
+    # two tight blobs in 4-d; seeds (lowest ids) start one in each blob
+    blob_a = [[0.9 + 0.01 * j, 0.1, 0.0, 0.0] for j in range(10)]
+    blob_b = [[0.0, 0.0, 0.8, 0.2 + 0.01 * j] for j in range(10)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate([blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = clustering.kmeans(df, k=2, iters=3).collect()
+    members = {r["cid"]: r["n_members"] for r in out}
+    # each centroid owns exactly its blob
+    assert sorted(members.values()) == [10, 10]
+    # centroid 0 (seeded in blob_a) dim 1 ~ mean of 0.9..0.99
+    c0 = {r["i"]: r["centroid_val"] for r in out if r["cid"] == 0}
+    assert abs(c0[1] - (0.9 + sum(0.01 * j for j in range(1, 10)) / 10 - 0.0)) < 0.05
+    assert c0[3] < 0.01  # no blob_b mass
+    c1 = {r["i"]: r["centroid_val"] for r in out if r["cid"] == 1}
+    assert c1[3] > 0.7 and c1[1] < 0.01
