@@ -324,3 +324,93 @@ def q_kmeans_step(spark, sf_dir):
         F.col("vec_id").alias("cid"), "embedding"
     )
     return clustering.kmeans_step(e, cent, cid_col="cid")
+
+
+@register(
+    "a12_zscore",
+    f"""
+    WITH s AS ({agg.exact_moments_sql(["source"], "n_chars", "documents")})
+    SELECT d.doc_id, d.source, d.n_chars,
+           (CAST(d.n_chars AS DOUBLE) - s.mean) / s.stddev_samp AS z
+    FROM documents d JOIN s USING (source)
+    """,
+    doc="Group-wise z-score normalization: per-doc standardized n_chars "
+    "within its source, composed from the exact-moments operator — the "
+    "stats side is a 20-row broadcast, the fact side never shuffles "
+    "(the training-data feature-normalization shape). Deterministic "
+    "because mean/stddev come from integer sufficient statistics and the "
+    "z expression tree is identical on both engines.",
+)
+def q_zscore(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    stats = agg.exact_moments(d, ["source"], "n_chars").select(
+        "source", "mean", "stddev_samp"
+    )
+    z = (F.col("n_chars").cast("double") - F.col("mean")) / F.col(
+        "stddev_samp"
+    )
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .join(F.broadcast(stats), "source")
+        .select("doc_id", "source", "n_chars", z.alias("z"))
+    )
+
+
+@register(
+    "text_bigram_lm",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    flat AS (
+      SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT unnest(list_transform(t[1:len(t)-1],
+                      (x, i) -> struct_pack(w1 := x, w2 := t[i+1]))) AS b
+        FROM toks) u
+    ),
+    g AS (SELECT w1, w2, COUNT(*) AS c FROM flat GROUP BY 1, 2),
+    cw AS (
+      SELECT w1, w2, c,
+             CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS c_w1
+      FROM g
+    ),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM flat)
+    SELECT w1, w2, c, c_w1, v,
+           CAST(c + 1 AS DOUBLE) / CAST(c_w1 + v AS DOUBLE) AS p_smoothed
+    FROM cw, v WHERE c >= 3
+    """,
+    doc="Bigram language-model counts with add-one smoothing: adjacent "
+    "token pairs (same tokenizer convention as vocab_build — proven "
+    "cross-engine), conditional P(w2|w1) = (c+1)/(c_w1+V) from exact "
+    "integer counts. One groupBy shuffle on (w1,w2); the per-w1 "
+    "denominator is a window over the ALREADY-aggregated bigram table "
+    "(orders of magnitude smaller than the corpus); V rides in as a "
+    "1-row broadcast crossJoin — no second corpus scan. The n-gram-LM "
+    "ingredient for perplexity filtering at corpus scale.",
+)
+def q_bigram_lm(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = F.expr(
+        "transform(slice(__toks__, 1, size(__toks__)-1), "
+        "(x, i) -> struct(x AS w1, __toks__[i+1] AS w2))"
+    )
+    flat = (
+        d.select(toks.alias("__toks__"))
+        .select(F.explode(pairs).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    g = flat.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cw = g.withColumn(
+        "c_w1", F.sum("c").over(Window.partitionBy("w1")).cast("long")
+    )
+    v = flat.agg(F.count_distinct("w2").alias("v"))
+    p = (F.col("c") + F.lit(1)).cast("double") / (
+        F.col("c_w1") + F.col("v")
+    ).cast("double")
+    return (
+        cw.crossJoin(F.broadcast(v))
+        .filter(F.col("c") >= 3)
+        .select("w1", "w2", "c", "c_w1", "v", p.alias("p_smoothed"))
+    )
