@@ -131,7 +131,10 @@ def kmeans(
     from a lineage replaying steps 1..i (an unchecked loop builds an
     O(iters)-deep plan that recompiles and recomputes quadratically).
     The checkpointed table is k·dim rows — trivially small; the big table
-    is scanned once per iteration, which is the algorithm's real cost.
+    is scanned twice per iteration (assignment product + update sums),
+    the algorithm's real cost — persist the exploded components between
+    the two uses only if executor memory can hold the dim-fold inflation,
+    otherwise the columnar re-scan is the cheaper side of the trade.
     """
     seeds = (
         vectors.orderBy(F.col(id_col).asc())

@@ -148,3 +148,15 @@ def test_gapfill_spine_from_aggregate_not_events(spark):
     # bucketing + bounds + window: at most 3 key shuffles before AQE
     assert plan.count("Exchange hashpartitioning") <= 3
     assert plan.count("Window") == 1
+
+
+def test_kmeans_step_broadcast_centroids_partial_aggs(spark):
+    df = registry()["ml_kmeans_step"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    # centroid components ride a broadcast; the n*k distance product is
+    # collapsed map-side before any exchange
+    assert "BroadcastExchange" in plan
+    assert "partial_sum(((vq" in plan or "partial_sum" in plan
+    # argmin is a partial-aggregable min(struct), NEVER a window over n*k
+    assert "partial_min(struct(d2" in plan
+    assert "Window" not in plan
