@@ -414,3 +414,37 @@ def q_bigram_lm(spark, sf_dir):
         .filter(F.col("c") >= 3)
         .select("w1", "w2", "c", "c_w1", "v", p.alias("p_smoothed"))
     )
+
+
+@register(
+    "a13_above_cust_avg",
+    """
+    WITH w AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM w WHERE o_totalprice > cust_avg
+    """,
+    doc="Correlated scalar subquery, decorrelated: 'orders above their "
+    "customer's average' — the textbook correlated form re-executes the "
+    "inner aggregate per outer row; the scale form is ONE window pass "
+    "(single shuffle on the correlation key), which is exactly how "
+    "Catalyst decorrelates such subqueries. The per-customer mean uses "
+    "the exact-decimal-sum trick (aggregates.py:exact_sum) so the double "
+    "compare is bit-identical across engines and partitionings.",
+)
+def q_above_cust_avg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", cust_avg.alias("cust_avg"))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+    )

@@ -138,3 +138,30 @@ def test_rd_wgs_roundtrip_accuracy(spark, points):
     for r in rows:
         err = math.hypot(r["x2"] - r["x"], r["y2"] - r["y"])
         assert err < 1.0, f"roundtrip error {err} m at ({r['x']}, {r['y']})"
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-10.0, max_value=10.0, width=32, allow_nan=False),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_quantize_int8_roundtrip_bound(spark, vec):
+    """Dequantized components must sit within half a quantization step of
+    the input (the defining property of round-to-nearest), and q stays in
+    [-127, 127]."""
+    import numpy as np
+
+    from bag_parser_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
+    rows = quantize_int8(df).collect()
+    assert len(rows) == len(vec)
+    for r in rows:
+        assert -127 <= r["q"] <= 127
+        if r["scale"] > 0:
+            # r["q"] may be clamped only at exactly |x| = max -> q = ±127
+            x32 = float(np.float32(vec[r["i"] - 1]))
+            assert abs(r["q"] / r["scale"] - x32) <= 0.5 / r["scale"] + 1e-12
