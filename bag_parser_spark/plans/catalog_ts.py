@@ -438,3 +438,58 @@ def q_gapfill(spark, sf_dir):
     return timeseries.gapfill_resample(
         ev, key="user_id", ts_col="ts", value_col="value", step="1 hour"
     )
+
+
+@register(
+    "events_sliding_distinct",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800
+                                 * 1000000 AS BIGINT)) AS b
+      FROM events
+    ),
+    x AS (
+      SELECT user_id, ts,
+             unnest([b, b - INTERVAL 30 MINUTE]) AS window_start
+      FROM e
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           TRUE AS approx_ok
+    FROM x
+    WHERE ts >= window_start
+      AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY window_start
+    """,
+    doc="Sliding-window distinct users: 1-hour windows sliding every 30 "
+    "minutes (each event lands in exactly two windows — Spark's window() "
+    "plans this as a 2-way Expand before ONE aggregate, not a self-union) "
+    "with exact per-window distinct users plus a boolean pinning "
+    "approx_count_distinct (HLL++, mergeable sketch) within 5% of exact "
+    "— the a7 validation pattern. At 100 TB the exact distinct is the "
+    "expensive half (full shuffle of (window, user) pairs); the sketch "
+    "column is the scale path, and windows are the streaming twin of "
+    "readStream + window(ts, '1 hour', '30 minutes').",
+)
+def q_sliding_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("__ad__"),
+    )
+    # small windows: HLL's relative guarantee is meaningless at n~10, so
+    # the bound is max(absolute 2, 5% relative) — tight where it matters
+    ok = F.abs(F.col("__ad__") - F.col("n_users")) <= F.greatest(
+        F.lit(2.0), F.lit(0.05) * F.col("n_users")
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "n_events",
+        "n_users",
+        ok.alias("approx_ok"),
+    )
