@@ -47,6 +47,8 @@ HEADLINE = [
     "ts_interval_join",
     "a9_rollup",
     "emb_quantize_int8",
+    "ml_kmeans_step",
+    "text_bigram_lm",
 ]
 
 

@@ -160,3 +160,38 @@ def test_kmeans_step_broadcast_centroids_partial_aggs(spark):
     # argmin is a partial-aggregable min(struct), NEVER a window over n*k
     assert "partial_min(struct(d2" in plan
     assert "Window" not in plan
+
+
+def test_no_rdd_api_and_bounded_driver_actions():
+    """Design-discipline gate, enforced mechanically: the engine is
+    DataFrame-first (no RDD API anywhere — Catalyst can't see through an
+    RDD), and driver-side actions (.collect/.count/.toPandas) appear ONLY
+    at the documented tiny-result sites — validation counters, k-sized
+    centroid pulls, convergence probes. A new .collect() in an operator
+    hot path fails here, not in a 100 TB postmortem."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).parent.parent / "bag_parser_spark"
+    allowed_actions = {
+        "plans/validate.py",      # invariant battery: count/collect scalars
+        "plans/bag_pipeline.py",  # orphan-count report (two scalar counts)
+        "operators/joins.py",     # orphan_delete's documented count
+        "operators/dedup.py",     # CC convergence probe (1-row count)
+        "operators/similarity.py",  # IVF centroid pull (k rows)
+    }
+    action_re = re.compile(r"\.collect\(\)|\.count\(\)|\.toPandas\(\)")
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        src = py.read_text()
+        # strip comments and docstrings so prose mentioning the API is fine
+        code = re.sub(r'"""[\s\S]*?"""', "", src)
+        code = "\n".join(l.split("#")[0] for l in code.splitlines())
+        assert ".rdd" not in code and "parallelize(" not in code, (
+            f"{rel}: RDD API leaked into the DataFrame-first engine"
+        )
+        if action_re.search(code) and rel not in allowed_actions:
+            raise AssertionError(
+                f"{rel}: driver-side action outside the allow-list — "
+                "distribute it or document it here"
+            )
