@@ -448,3 +448,44 @@ def q_above_cust_avg(spark, sf_dir):
         o.select("o_orderkey", "o_custkey", "o_totalprice", cust_avg.alias("cust_avg"))
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
     )
+
+
+def _zorder_sql() -> str:
+    from bag_parser_spark.operators.layout import zorder_key_sql
+
+    zk = zorder_key_sql(
+        "CAST(user_id % 65536 AS BIGINT)",
+        "CAST(date_part('day', ts) AS BIGINT)",
+    )
+    return f"""
+    SELECT event_id,
+           CAST(user_id % 65536 AS BIGINT) AS a16,
+           CAST(date_part('day', ts) AS BIGINT) AS b16,
+           CAST({zk} AS BIGINT) AS zval
+    FROM events
+    """
+
+
+@register(
+    "layout_zorder_key",
+    _zorder_sql(),
+    doc="Z-order (Morton) clustering key over (user_id, day-of-month): "
+    "exact bit-interleaving via the mask ladder "
+    "(operators/layout.py:zorder_key), checked bit-for-bit against the "
+    "identical SQL ladder. Map-only; the write-side zorder_layout "
+    "range-partitions on this key so every output file's (a,b) min/max "
+    "stats cover a compact rectangle - two-column data skipping, the "
+    "lake's replacement for the reference's B-tree index.",
+)
+def q_zorder(spark, sf_dir):
+    from bag_parser_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    a = (F.col("user_id") % 65536).cast("long")
+    b = F.dayofmonth("ts").cast("long")
+    return ev.select(
+        "event_id",
+        a.alias("a16"),
+        b.alias("b16"),
+        zorder_key(a, b).cast("long").alias("zval"),
+    )

@@ -649,3 +649,25 @@ def test_kmeans_converges_on_blobs(spark):
     assert c0[3] < 0.01  # no blob_b mass
     c1 = {r["i"]: r["centroid_val"] for r in out if r["cid"] == 1}
     assert c1[3] > 0.7 and c1[1] < 0.01
+
+
+def test_zorder_key_known_values(spark):
+    from bag_parser_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0101), (0, 0), (0xFFFF, 0), (0, 0xFFFF), (3, 3)],
+        "a long, b long",
+    )
+    rows = [
+        r["z"]
+        for r in df.select(
+            zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    ]
+    # a=1010 -> even bits 2,6; b=0101 -> odd bits 1,5: 0b01100110 = 68|34
+    assert rows[0] == 0b01000100 | 0b00100010
+    assert rows[1] == 0
+    # a fills even bit positions only; b odd only — disjoint, interleaved
+    assert rows[2] == 0x55555555
+    assert rows[3] == 0xAAAAAAAA
+    assert rows[4] == 0b1111  # (3,3) -> low two bit-pairs set
