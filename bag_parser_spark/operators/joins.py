@@ -191,3 +191,32 @@ def salted_join(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("__salt__", F.col("__salt__").cast("long"))
     return l.join(r, on=[on, "__salt__"], how=how).drop("__salt__")
+
+
+def merge_apply(
+    target: DataFrame,
+    cdc: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC batch to a snapshot — the relational core of MERGE INTO
+    (Delta/Iceberg) and the incremental twin of the reference's REPLACE
+    INTO upsert (reference database_sqlite.py:500-521, S7): the batch
+    carries inserts/updates/deletes tagged in ``op_col`` ('I'/'U'/'D');
+    the result is the next snapshot — untouched target rows, plus the
+    I/U payloads, minus deleted keys.
+
+    Shape: ONE left_anti join of the snapshot against the batch's key set
+    (every key in the batch supersedes the target row — update and delete
+    both remove the old version) unioned with the batch's surviving
+    payloads. The anti join broadcasts when the batch is dimension-sized
+    — the overwhelmingly common CDC case — so the snapshot never
+    shuffles; a union is a no-op at plan level (no exchange). The batch
+    must be key-unique (one op per key per batch — enforce upstream with
+    last-write-wins, operators/dedup.py).
+    """
+    cols = [c for c in target.columns]
+    keys = cdc.select(key)
+    kept = target.join(F.broadcast(keys), on=key, how="left_anti")
+    upserts = cdc.filter(F.col(op_col) != "D").select(*cols)
+    return kept.unionByName(upserts)

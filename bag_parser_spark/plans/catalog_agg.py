@@ -489,3 +489,51 @@ def q_zorder(spark, sf_dir):
         b.alias("b16"),
         zorder_key(a, b).cast("long").alias("zval"),
     )
+
+
+@register(
+    "j11_merge_apply",
+    """
+    WITH cdc AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 10 = 0 THEN 'U' ELSE 'D' END AS op
+      FROM customer WHERE c_custkey % 10 IN (0, 1)
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_acctbal, 'I'
+      FROM customer WHERE c_custkey % 10 = 2
+    )
+    SELECT t.c_custkey, t.c_name, t.c_acctbal
+    FROM customer t
+    WHERE t.c_custkey NOT IN (SELECT c_custkey FROM cdc)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM cdc WHERE op <> 'D'
+    """,
+    doc="CDC MERGE apply (operators/joins.py:merge_apply): a deterministic "
+    "synthetic batch (updates for custkey%10=0, deletes for %10=1, "
+    "inserts keyed +1e6 for %10=2) applied to the customer snapshot - "
+    "one broadcast left_anti join plus a plan-level-free union; the "
+    "snapshot never shuffles. The incremental twin of the reference's "
+    "REPLACE INTO upsert, and the shape a 100 TB table maintains its "
+    "daily snapshot with.",
+)
+def q_merge_apply(spark, sf_dir):
+    from bag_parser_spark.operators import joins as J
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    k = F.col("c_custkey")
+    upd = c.filter(k % 10 == 0).select(
+        "c_custkey", "c_name",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+    )
+    dele = c.filter(k % 10 == 1).select(
+        "c_custkey", "c_name", "c_acctbal", F.lit("D").alias("op")
+    )
+    ins = c.filter(k % 10 == 2).select(
+        (k + 1000000).alias("c_custkey"), "c_name", "c_acctbal",
+        F.lit("I").alias("op"),
+    )
+    cdc = upd.unionByName(dele).unionByName(ins)
+    return J.merge_apply(c, cdc, key="c_custkey")
