@@ -537,3 +537,42 @@ def q_merge_apply(spark, sf_dir):
     )
     cdc = upd.unionByName(dele).unionByName(ins)
     return J.merge_apply(c, cdc, key="c_custkey")
+
+
+@register(
+    "a14_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_quantity IS NULL) AS null_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           COUNT(DISTINCT l_returnflag) AS n_flags,
+           COUNT(DISTINCT l_linestatus) AS n_statuses,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+    doc="Single-pass data-profiling battery over the fact table: row "
+    "count, per-column null counts, min/max ranges, low-cardinality "
+    "distinct counts, string length bounds — ONE scan, one aggregate "
+    "(conditional aggregation fuses what a naive profiler runs as N "
+    "jobs; the same fusion trick as the a2 count battery). The "
+    "pre-training data-quality gate: schema drift, null regressions, "
+    "and range explosions surface here before they poison a corpus.",
+)
+def q_profile(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("null_qty"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        F.count_distinct("l_returnflag").alias("n_flags"),
+        F.count_distinct("l_linestatus").alias("n_statuses"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
