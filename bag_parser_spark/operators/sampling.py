@@ -314,3 +314,51 @@ def quantile_band_filter(
         .withColumn("band_hi", F.round(F.col("__hi__"), round_to))
         .drop("__lo__", "__hi__")
     )
+
+
+def sample_negatives(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    n_buckets: int = 256,
+    seed: str = "negs",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: up to
+    ``k`` pseudo-random non-matching ids per anchor, reproducible on any
+    engine or partition layout (same md5-bucket determinism as
+    :func:`hash_split` — retries and re-runs pair every anchor with the
+    SAME negatives, so a training run is replayable).
+
+    Scale shape — explicitly NOT a global index: assigning dense ranks to
+    sample "the m-th other row" needs a global row_number (single-
+    partition sort, the classic driver-chokepoint). Instead ids hash into
+    ``n_buckets`` buckets; each bucket's representative (min id) forms a
+    broadcast-sized negative pool, and each (anchor, j) draws a pseudo-
+    random bucket. Map-only + one tiny aggregate + a broadcast join —
+    no global order anywhere. Trade: negatives come from the pool of
+    bucket representatives (n_buckets distinct candidates), which is the
+    standard in-batch/pool approximation contrastive pipelines already
+    make; raise ``n_buckets`` for a richer pool. Yield is UP TO k per
+    anchor: a draw into an empty bucket (no id hashed there — likely when
+    the corpus is not ≫ n_buckets) produces no row, and the rare anchor
+    that IS its drawn bucket's representative is filtered as a self-match
+    — both mirrored exactly in the oracle. At corpus scale every bucket
+    is occupied and yield converges to k.
+    """
+    ids = df.select(F.col(id_col))
+    bucket = md5_mod(F.col(id_col), f"{seed}:b", n_buckets)
+    reps = ids.groupBy(bucket.alias("__bucket__")).agg(
+        F.min(id_col).alias("neg_id")
+    )
+    anchors = ids.select(
+        id_col, F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+    )
+    draw = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.col("j").cast("string")
+    )
+    out = (
+        anchors.withColumn("__bucket__", md5_mod(draw, f"{seed}:t", n_buckets))
+        .join(F.broadcast(reps), "__bucket__")
+        .filter(F.col("neg_id") != F.col(id_col))
+    )
+    return out.select(id_col, F.col("j").cast("long").alias("j"), "neg_id")

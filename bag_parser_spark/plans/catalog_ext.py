@@ -1032,3 +1032,37 @@ def q_mm_frames(spark, sf_dir):
     return multimodal.frame_sample_stub(d, every_nth=64).select(
         "doc_id", "frame_no", F.hex("frame_bytes").alias("frame_hex")
     )
+
+
+def _negatives_sql() -> str:
+    b = O.md5_mod_sql("doc_id", "negs:b", 256)
+    t = O.md5_mod_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)", "negs:t", 256
+    )
+    return f"""
+    WITH ids AS (SELECT doc_id FROM documents),
+    reps AS (SELECT {b} AS bucket, MIN(doc_id) AS neg_id
+             FROM ids GROUP BY 1),
+    anchors AS (SELECT doc_id, unnest(generate_series(1, 4)) AS j FROM ids),
+    t AS (SELECT doc_id, j, {t} AS bucket FROM anchors)
+    SELECT t.doc_id, CAST(t.j AS BIGINT) AS j, r.neg_id
+    FROM t JOIN reps r USING (bucket) WHERE r.neg_id <> t.doc_id
+    """
+
+
+@register(
+    "sample_negatives",
+    _negatives_sql(),
+    doc="Deterministic contrastive negative sampling "
+    "(operators/sampling.py:sample_negatives): up to k=4 pseudo-random "
+    "non-matching ids per anchor from a 256-bucket representative pool — "
+    "md5-bucket determinism (same recipe as hash_split) makes every "
+    "retry/re-run/engine pair anchors with identical negatives. No "
+    "global row_number (the single-partition trap); map-only draw + "
+    "broadcast pool join.",
+)
+def q_negatives(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.sample_negatives(d, id_col="doc_id", k=4)
