@@ -957,5 +957,6 @@ def _load_extensions() -> None:
     from bag_parser_spark.plans import (  # noqa: F401
         catalog_agg,
         catalog_ext,
+        catalog_scale,
         catalog_ts,
     )

@@ -124,6 +124,63 @@ def run_dedup_stream_to_memory(
     q.awaitTermination()
 
 
+def enrich_events_stream(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join — the streaming twin of the batch
+    ``events_stream_enrich`` catalog query: each event picks up its
+    customer name and nation from static dimension tables.
+
+    Stream-static joins are STATELESS: the static side is bounded, so no
+    watermark and no state store are needed — Spark re-plans the dim scan
+    per micro-batch and the broadcast hint keeps the fact stream from
+    ever shuffling (same plan shape as the batch J1 snowflake). This is
+    the canonical 100 TB/day ingest shape: a firehose enriched against
+    slowly-changing dims, each micro-batch a broadcast-join map job."""
+    return (
+        events.join(
+            F.broadcast(customer),
+            events["user_id"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+
+def run_enrich_stream_to_memory(
+    spark: SparkSession,
+    path: str,
+    sf_dir: str,
+    table_name: str = "events_enriched",
+) -> None:
+    """Drain the stream-static enrichment with AvailableNow into a memory
+    sink (append mode — stateless joins emit rows as they arrive)."""
+    from bag_parser_spark.sources.parquet import load_table
+
+    ev = read_events_stream(spark, path)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    q = (
+        enrich_events_stream(ev, c, n)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -159,3 +159,18 @@ def test_exactly_once_sink_replay_idempotent(spark, tmp_path):
     # a genuinely NEW batch id appends (proves overwrite is per-partition)
     writer(replay.limit(10), max(batch_ids) + 1)
     assert spark.read.parquet(out).count() == n_src + 10
+
+
+def test_enrich_stream_matches_batch(spark):
+    """Stream-static enrichment: the drained stream must emit exactly the
+    batch twin's rows (stateless joins — no watermark semantics to
+    complicate parity; a finite file source drains completely)."""
+    from bag_parser_spark.streaming.events import run_enrich_stream_to_memory
+
+    run_enrich_stream_to_memory(spark, f"{SF}/events.parquet", SF, "ev_enr_test")
+    cols = ["event_id", "user_id", "event_type", "value", "c_name", "nation_name"]
+    stream_rows = {tuple(r[c] for c in cols) for r in spark.table("ev_enr_test").collect()}
+    batch = registry()["events_stream_enrich"].fn(spark, SF)
+    batch_rows = {tuple(r[c] for c in cols) for r in batch.collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
