@@ -15,6 +15,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def ts_micros(c: Column) -> Column:
+    """Microseconds since epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    ``unix_micros`` only accepts TIMESTAMP (with local timezone), but
+    parquet written without ``isAdjustedToUTC`` reads back as NTZ; the
+    cast interprets NTZ wall time in the session timezone — pinned to UTC
+    by session.py / sources/parquet.py — which is exactly DuckDB's
+    naive-timestamp epoch semantics, so both engines agree bit-for-bit.
+    For TIMESTAMP input the cast is a no-op.
+    """
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def sqlite_substr(c: Column, start: int, length: int) -> Column:
     """SQLite SUBSTR with its 0-start quirk: SUBSTR(x, 0, 5) = chars 1..4
     (reference exporter.py:98,115). 1-based starts behave normally."""

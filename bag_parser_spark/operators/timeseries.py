@@ -31,6 +31,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bag_parser_spark.functions.scalars import ts_micros
+
 _RIGHT = "__asof_right__"
 _SIDE = "__asof_side__"
 _TS = "__asof_ts__"
@@ -144,8 +146,8 @@ def running_battery(
         F.sum(cents).over(wsum).alias("running_cents"),
         F.lag(value).over(w).alias("prev_value"),
         (
-            F.unix_micros(F.col(ts))
-            - F.unix_micros(F.lag(F.col(ts)).over(w))
+            ts_micros(F.col(ts))
+            - ts_micros(F.lag(F.col(ts)).over(w))
         ).alias("gap_us"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
@@ -232,7 +234,7 @@ def interval_join(
     lag_us = max_lag_s * 1_000_000
     l = left.alias("l")
     r = right.alias("r")
-    diff = F.unix_micros(F.col(f"l.{left_ts}")) - F.unix_micros(
+    diff = ts_micros(F.col(f"l.{left_ts}")) - ts_micros(
         F.col(f"r.{right_ts}")
     )
     cond = (

@@ -956,6 +956,7 @@ def _load_extensions() -> None:
     # registers the extension queries into _REGISTRY on first use
     from bag_parser_spark.plans import (  # noqa: F401
         catalog_agg,
+        catalog_corpus,
         catalog_ext,
         catalog_scale,
         catalog_ts,

@@ -1,0 +1,617 @@
+"""Catalog extension: corpus-curation and product-analytics queries —
+bigram-LM document scoring (the perplexity-filter ingredient), canonical
+representative selection per duplicate cluster, per-user exponential
+moving average, funnel staging, and weekly cohort retention.
+
+Cross-engine float rules (see plans/catalog.py header): every double that
+crosses the oracle gate is produced by an identical expression tree on
+both sides, and every cross-row float reduction is an explicit
+position-ordered left fold (Spark ``F.aggregate`` over a sorted array,
+DuckDB ``list_reduce`` over ``list(... ORDER BY ...)`` with a prepended
+0.0 seed) so IEEE results are bit-identical regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bag_parser_spark.operators import dedup, text
+from bag_parser_spark.plans import catalog_ext as CE
+from bag_parser_spark.plans import oracles as O
+from bag_parser_spark.plans.catalog import register
+from bag_parser_spark.sources.parquet import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# lm_doc_score — per-document perplexity proxy under the corpus bigram LM
+# ---------------------------------------------------------------------------
+
+@register(
+    "lm_doc_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, b.pos AS pos, b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(t[1:len(t)-1],
+                      (x, i) -> struct_pack(pos := i, w1 := x, w2 := t[i+1])))
+                 AS b
+        FROM toks) u
+    ),
+    g AS (SELECT w1, w2, COUNT(*) AS c FROM flat GROUP BY 1, 2),
+    cw AS (
+      SELECT w1, w2, c,
+             CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS c_w1
+      FROM g
+    ),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM g),
+    lm AS (
+      SELECT w1, w2,
+             CAST(c + 1 AS DOUBLE) / CAST(c_w1 + v AS DOUBLE) AS p
+      FROM cw, v
+    ),
+    j AS (
+      SELECT f.doc_id, f.pos, ln(lm.p) AS logp
+      FROM flat f JOIN lm ON f.w1 = lm.w1 AND f.w2 = lm.w2
+    ),
+    s AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos)),
+               (a, b) -> a + b) AS sum_logp
+      FROM j GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, round(sum_logp, 6) AS sum_logp,
+           round(sum_logp / CAST(n_bigrams AS DOUBLE), 6) AS mean_logp
+    FROM s
+    """,
+    doc="Per-document perplexity proxy: mean log P(w2|w1) under the "
+    "corpus's own add-one-smoothed bigram LM (same tokenizer and "
+    "smoothing as text_bigram_lm, so every document bigram is in the "
+    "model by construction). The LM is bigram-aggregated — orders of "
+    "magnitude smaller than the corpus — so the plan is: one groupBy "
+    "shuffle builds the LM, the exploded bigram stream joins it on "
+    "(w1, w2) (sort-merge; AQE broadcasts when the LM fits), and the "
+    "per-document reduction is a position-ordered left fold over "
+    "sort_array(collect_list) — the same addition sequence as the "
+    "oracle's list_reduce regardless of partitioning; outputs round to "
+    "6 decimals because ln() itself differs in the last ulp across libm "
+    "implementations. Low mean_logp = "
+    "improbable token transitions = the gibberish the perplexity filter "
+    "drops at corpus scale.",
+)
+def q_lm_doc_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # (pos, w1, w2) rows; Spark transform's index is 0-based vs DuckDB's
+    # 1-based, so pos := i+1 here matches pos := i there.
+    pairs = F.expr(
+        "transform(slice(__toks__, 1, size(__toks__)-1), "
+        "(x, i) -> struct(i+1 AS pos, x AS w1, __toks__[i+1] AS w2))"
+    )
+    flat = (
+        d.select("doc_id", toks.alias("__toks__"))
+        .select("doc_id", F.explode(pairs).alias("b"))
+        .select("doc_id", "b.pos", "b.w1", "b.w2")
+    )
+    # g feeds both the windowed denominator and V; persist() (memory+disk,
+    # recomputable lineage) so the corpus is exploded once for the LM, not
+    # once per consumer. g is bigram-aggregated — vocab-bounded, orders of
+    # magnitude below corpus size.
+    g = (
+        flat.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    cw = g.withColumn(
+        "c_w1", F.sum("c").over(Window.partitionBy("w1")).cast("long")
+    )
+    # V = |distinct w2| is identical over g and over flat (g is the
+    # (w1, w2) grouping of flat) — computing it from g avoids a third
+    # corpus scan+explode (same move as the tfidf_vectors n_docs fix).
+    v = g.agg(F.count_distinct("w2").alias("v"))
+    lm = cw.crossJoin(F.broadcast(v)).select(
+        "w1",
+        "w2",
+        (
+            (F.col("c") + F.lit(1)).cast("double")
+            / (F.col("c_w1") + F.col("v")).cast("double")
+        ).alias("p"),
+    )
+    j = flat.join(lm, ["w1", "w2"]).select(
+        "doc_id", "pos", F.log(F.col("p")).alias("logp")
+    )
+    s = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "logp"))),
+                lambda x: x["logp"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("sum_logp"),
+    )
+    # ln() is not correctly-rounded identically across libm implementations
+    # (Java Math.log vs DuckDB's): the fold can differ in the last ulp, so
+    # outputs are rounded to 6 decimals — same rule as text.quality_score.
+    return s.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("sum_logp", 6).alias("sum_logp"),
+        F.round(
+            F.col("sum_logp") / F.col("n_bigrams").cast("double"), 6
+        ).alias("mean_logp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_canonical — best-quality representative per duplicate cluster
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_canonical",
+    f"""
+    WITH RECURSIVE corpus AS ({CE._CORPUS_SQL}),
+    sig AS (SELECT doc_id AS id, {CE._mh_sig} AS sig FROM corpus),
+    bands AS ({CE._mh_bands}),
+    p AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+             FROM reach GROUP BY id),
+    q AS (SELECT doc_id, {O.quality_score_sql('text')} AS quality
+          FROM corpus)
+    SELECT cluster_id, doc_id AS canonical_doc_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           quality AS canonical_quality
+    FROM comp JOIN q USING (doc_id)
+    QUALIFY row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality DESC, doc_id ASC) = 1
+    """,
+    doc="Canonical-representative selection: near-dup pairs → connected "
+    "components (pointer-doubling, ids only) → join the per-doc quality "
+    "score → keep the best-quality doc per cluster (row_number with a "
+    "total-order tiebreak quality DESC, doc_id ASC). This is the 'which "
+    "copy do we keep' step every dedup pipeline runs after clustering; "
+    "the cluster table is ids+scores only (never text), so the window "
+    "shuffle is tiny relative to the corpus. Quality re-derived from "
+    "text via the same expression tree as the oracle's quality_score_sql "
+    "— doubles hash bit-identically.",
+)
+def q_dedup_canonical(spark, sf_dir):
+    corpus = CE._corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=CE._MH_N,
+        num_hashes=CE._MH_HASHES,
+        bands=CE._MH_BANDS,
+    )
+    labels = dedup.dup_clusters(pairs, out_id="doc_id").select(
+        "doc_id", "cluster_id"
+    )
+    q = corpus.select(
+        "doc_id", text.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labels.join(q, "doc_id")
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "cluster_size",
+            F.col("quality").alias("canonical_quality"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_ema — per-user exponential moving average (sequential fold)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_ema",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      WITH RECURSIVE rr(user_id, rn, ema) AS (
+        SELECT user_id, rn, value FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               CAST(0.3 AS DOUBLE) * e.value
+                 + CAST(0.7 AS DOUBLE) * rr.ema
+        FROM rr JOIN ev e
+          ON e.user_id = rr.user_id AND e.rn = rr.rn + 1
+      )
+      SELECT * FROM rr
+    ),
+    last AS (SELECT user_id, MAX(rn) AS n_events FROM r GROUP BY user_id)
+    SELECT r.user_id, l.n_events, r.ema
+    FROM r JOIN last l ON r.user_id = l.user_id AND r.rn = l.n_events
+    """,
+    doc="Per-user exponential moving average (alpha=0.3) over the "
+    "time-ordered event stream — the inherently sequential per-key "
+    "recurrence ema_i = a*v_i + (1-a)*ema_{i-1} that SQL windows can't "
+    "express. Spark form: ONE groupBy shuffle on user_id, then "
+    "sort_array(collect_list(struct(ts, event_id, value))) and an "
+    "F.aggregate left fold seeded with the first value — per-key state "
+    "is bounded by per-user activity (same bound as any sessionizer; "
+    "for pathological keys chunk via applyInPandas). The oracle replays "
+    "the identical recurrence with a recursive CTE over row_number — "
+    "same operand order, bit-identical doubles. Tiebreak on event_id "
+    "makes the fold order total.",
+)
+def q_events_ema(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    g = e.groupBy("user_id").agg(arr.alias("__a__"))
+    tail = F.expr("slice(__a__, 2, size(__a__) - 1)")
+    ema = F.aggregate(
+        tail,
+        F.element_at(F.col("__a__"), 1)["value"],
+        lambda acc, x: F.lit(0.3) * x["value"] + F.lit(0.7) * acc,
+    )
+    return g.select(
+        "user_id",
+        F.size("__a__").cast("long").alias("n_events"),
+        ema.alias("ema"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel — staged conversion funnel with strict-after ordering
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_funnel",
+    """
+    WITH a AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN a ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.t_view
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN b ON e.user_id = b.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > b.t_click
+      GROUP BY e.user_id
+    )
+    SELECT a.user_id, a.t_view, b.t_click, c.t_purchase,
+           CASE WHEN c.user_id IS NOT NULL THEN 3
+                WHEN b.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS stage_reached
+    FROM a
+    LEFT JOIN b ON a.user_id = b.user_id
+    LEFT JOIN c ON a.user_id = c.user_id
+    """,
+    doc="Ordered conversion funnel view -> click -> purchase: each stage "
+    "is the earliest event of its type STRICTLY AFTER the previous "
+    "stage's timestamp (min-after-min, the standard funnel semantics "
+    "that plain per-type MIN gets wrong when a click precedes the first "
+    "view). Three filtered aggregations, each one user_id shuffle over "
+    "an already type-pruned slice; stage tables are per-user (tiny), so "
+    "the stage joins broadcast. Timestamps compare exactly — no float "
+    "math anywhere.",
+)
+def q_events_funnel(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    # Stage tables are per-user aggregates (users << events at any scale);
+    # persist() so each events slice is scanned once — without it the
+    # final left joins recompute a and b, doubling the corpus scans.
+    a = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+        .persist()
+    )
+    b = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(a), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+        .persist()
+    )
+    c = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(b), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+        .when(F.col("t_click").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        a.join(F.broadcast(b), "user_id", "left")
+        .join(F.broadcast(c), "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            stage.alias("stage_reached"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention — weekly cohort x activity-week retention matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_ev AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) / 7
+                AS INTEGER) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN first_ev f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention: users bucketed by ISO week of first "
+    "event; each (cohort_week, week_offset) cell counts distinct users "
+    "still active offset weeks later. Both engines truncate weeks to "
+    "ISO Monday, so the day-difference is an exact multiple of 7 and "
+    "the integer division is lossless. Plan: one user_id aggregation "
+    "for cohorts, one (user_id, week) distinct, a user_id-keyed join "
+    "(cohort table is per-user — broadcastable), and the final "
+    "count_distinct agg. The standard product-analytics rollup, all "
+    "integer/date math.",
+)
+def q_cohort_retention(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    first_ev = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
+    ).distinct()
+    offset = (
+        F.datediff(F.col("act_week"), F.col("cohort_week")) / F.lit(7)
+    ).cast("int")
+    return (
+        activity.join(F.broadcast(first_ev), "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_entropy — character-level Shannon entropy (gibberish detector)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    g AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars_total,
+             list(c ORDER BY ch) AS cs
+      FROM g GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_total,
+           round(-list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cs, c ->
+                 (CAST(c AS DOUBLE) / CAST(n_chars_total AS DOUBLE))
+                   * log2(CAST(c AS DOUBLE) / CAST(n_chars_total AS DOUBLE)))),
+             (a, b) -> a + b), 6) AS char_entropy
+    FROM s
+    """,
+    doc="Character-level Shannon entropy per document — the classic "
+    "gibberish/boilerplate detector (natural prose sits ~3.5-4.5 bits; "
+    "repeated filler and base64 blobs fall outside it). Per-(doc, char) "
+    "counts are one shuffle with map-side combine; the entropy term "
+    "-sum((c/n) log2 (c/n)) folds over the char-sorted count list in "
+    "identical order on both engines (binary collation ties the sort), "
+    "rounded to 6 decimals for the libm log2 ulp. The alphabet bounds "
+    "per-doc state (~100 entries) no matter how long the document.",
+)
+def q_text_entropy(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = g.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars_total"),
+        F.sort_array(F.collect_list(F.struct("ch", "c"))).alias("__cs__"),
+    )
+    frac = lambda x: x["c"].cast("double") / F.col("n_chars_total").cast(
+        "double"
+    )
+    ent = F.aggregate(
+        F.transform(F.col("__cs__"), lambda x: frac(x) * F.log2(frac(x))),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return s.select(
+        "doc_id",
+        "n_chars_total",
+        F.round(-ent, 6).alias("char_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_twa — time-weighted average value per user
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_twa",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nts
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, ts, event_id,
+             value * CAST(epoch_us(nts) - epoch_us(ts) AS DOUBLE) AS contrib
+      FROM ev WHERE nts IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(contrib ORDER BY ts, event_id)),
+               (a, b) -> a + b) AS num
+      FROM seg GROUP BY user_id
+    ),
+    span AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+      FROM events GROUP BY user_id
+    )
+    SELECT s.user_id, span.n_events, span.span_us,
+           s.num / CAST(span.span_us AS DOUBLE) AS twa
+    FROM s JOIN span ON s.user_id = span.user_id
+    WHERE span.span_us > 0
+    """,
+    doc="Time-weighted average value per user (left-constant "
+    "interpolation): each reading is weighted by how long it stayed "
+    "current — the correct mean for irregularly-sampled series where a "
+    "plain AVG over-weights bursts. One user_id shuffle; per-user "
+    "segment products v_i * dt_us are row-deterministic and the sum "
+    "folds in (ts, event_id) order on both engines, so the result is "
+    "bit-exact with NO rounding. Integer-microsecond span; single-event "
+    "and zero-span users drop on both sides.",
+)
+def q_events_twa(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    g = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("__a__"),
+    )
+    num = F.expr(
+        """
+        aggregate(
+          transform(slice(__a__, 1, size(__a__) - 1),
+            (x, i) -> x.value *
+              cast(unix_micros(cast(element_at(__a__, i + 2).ts as timestamp))
+                   - unix_micros(cast(x.ts as timestamp)) as double)),
+          cast(0.0 as double), (acc, y) -> acc + y)
+        """
+    )
+    span = F.expr(
+        """
+        unix_micros(cast(element_at(__a__, -1).ts as timestamp))
+          - unix_micros(cast(element_at(__a__, 1).ts as timestamp))
+        """
+    )
+    return (
+        g.select(
+            "user_id",
+            F.size("__a__").cast("long").alias("n_events"),
+            span.alias("span_us"),
+            num.alias("__num__"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "span_us",
+            (F.col("__num__") / F.col("span_us").cast("double")).alias("twa"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a17_histogram — equi-width histogram (data-profiling battery companion)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a17_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_lo,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Equi-width histogram over events.value (width 25): bin "
+    "assignment is a row-local floor-divide (map-only, codegen), the "
+    "counts one shuffle with map-side combine — the distributed shape "
+    "of every profiling histogram. floor of an exact double divide is "
+    "deterministic cross-engine; bin_lo re-derives the label from the "
+    "integer bin so no float accumulates anywhere.",
+)
+def q_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = F.floor(F.col("value") / F.lit(25.0)).cast("long")
+    return (
+        e.select(
+            b.alias("bin"),
+            (b * F.lit(25.0)).alias("bin_lo"),
+            "user_id",
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -20,32 +20,70 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see sources.parquet)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from bag_parser_spark.functions.scalars import ts_micros
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts → timestamp).
-    ``path`` may be a directory or a single file — the file source wants a
-    directory, so a file path becomes (dirname, pathGlobFilter=basename)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if path.endswith(".parquet"):
-        import os
+    """File-source stream over the events parquet.
 
+    Streaming sources require an explicit schema, and the driver has
+    shipped the events table with two different physical ts encodings
+    across rounds — INT64 TIMESTAMP(NANOS) (unsupported by vanilla Spark;
+    read as long + rebuilt) and plain TIMESTAMP(MICROS) without
+    isAdjustedToUTC (reads as TIMESTAMP_NTZ). One parquet-footer peek on
+    the driver picks the right schema, so the stream survives either
+    regeneration. ``path`` may be a directory or a single file — the file
+    source wants a directory, so a file path becomes (dirname,
+    pathGlobFilter=basename).
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    sample = (
+        path
+        if path.endswith(".parquet")
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    )
+    # timestamp[ns] = INT64 TIMESTAMP(NANOS); plain int64 = pre-converted
+    # nano epochs (the redelivery fixtures write these) — both take the
+    # read-as-long + rebuild path.
+    nanos = str(pq.read_schema(sample).field("ts").type) in (
+        "timestamp[ns]",
+        "int64",
+    )
+
+    ts_type = T.LongType() if nanos else T.TimestampNTZType()
+    # watermarks/event-time require TIMESTAMP (with local tz); pin the
+    # session to UTC so the NTZ→TIMESTAMP cast below is the identity on
+    # wall-clock values (same rule as sources/parquet.load_table).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_events_schema(ts_type))
+    if path.endswith(".parquet"):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    # integer div — float division of nano epochs loses the last micro
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        # integer div — float division of nano epochs loses the last micro
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_event_counts(
@@ -203,7 +241,7 @@ def interval_join_stream(
     """
     l = left.withWatermark("ts", watermark).alias("l")
     r = right.withWatermark("ts", watermark).alias("r")
-    diff = F.unix_micros(F.col("l.ts")) - F.unix_micros(F.col("r.ts"))
+    diff = ts_micros(F.col("l.ts")) - ts_micros(F.col("r.ts"))
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
         & (diff >= 0)

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bag_parser_spark.functions.scalars import ts_micros
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -65,7 +67,7 @@ def sessionize_batch(
     prev = F.lag("ts").over(w)
     is_new = F.when(
         prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > gap_us),
+        | ((ts_micros(F.col("ts")) - ts_micros(prev)) > gap_us),
         1,
     ).otherwise(0)
     numbered = events.select(

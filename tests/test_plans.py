@@ -195,3 +195,40 @@ def test_no_rdd_api_and_bounded_driver_actions():
                 f"{rel}: driver-side action outside the allow-list — "
                 "distribute it or document it here"
             )
+
+
+def test_events_ema_single_shuffle_no_window(spark):
+    """EMA is one groupBy shuffle + an in-expression fold: no window pass,
+    no second exchange, no Python UDF."""
+    df = registry()["events_ema"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_events_funnel_pushdown_and_broadcast_stages(spark):
+    """Each funnel stage scans a type-pruned events slice (filter reaches
+    the scan) and stage tables join by broadcast — never sort-merge."""
+    df = registry()["events_funnel"].fn(spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "event_type" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cohort_retention_broadcast_cohorts(spark):
+    """The per-user cohort table broadcasts into the activity stream —
+    no sort-merge join, and week truncation stays in codegen (no UDF)."""
+    df = registry()["cohort_retention"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_lm_doc_score_partial_agg_no_udf(spark):
+    """The LM build keeps map-side combine (partial_count) and the whole
+    pipeline stays JVM-side — fold included (F.aggregate, not a UDF)."""
+    df = registry()["lm_doc_score"].fn(spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan

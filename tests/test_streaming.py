@@ -94,10 +94,9 @@ def test_dedup_stream_matches_batch(spark):
     # files so the stream sees duplicates across micro-batch boundaries too
     with tempfile.TemporaryDirectory() as d:
         dup_dir = os.path.join(d, "dups")
-        base.withColumn("ts", F.unix_micros("ts") * 1000).write.parquet(dup_dir)
-        base.withColumn("ts", F.unix_micros("ts") * 1000).write.mode(
-            "append"
-        ).parquet(dup_dir)
+        nanos = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+        base.withColumn("ts", nanos).write.parquet(dup_dir)
+        base.withColumn("ts", nanos).write.mode("append").parquet(dup_dir)
         run_dedup_stream_to_memory(spark, dup_dir, "events_deduped_t")
         got = spark.table("events_deduped_t")
         assert got.count() == base.count()
