@@ -615,3 +615,159 @@ def q_histogram(spark, sf_dir):
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_session_window — Spark's NATIVE session-window aggregate
+# ---------------------------------------------------------------------------
+
+_SW_GAP_MIN = 360
+_SW_GAP_US = _SW_GAP_MIN * 60_000_000
+
+
+@register(
+    "events_session_window",
+    f"""
+    WITH l AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) >= {_SW_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM l
+    ),
+    numbered AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {_SW_GAP_MIN} MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc="Gap sessionization via Spark's BUILT-IN session_window aggregate "
+    "— the declarative twin of the hand-rolled events_sessionize "
+    "(streaming/sessionize.py): one groupBy, no window-function pass, "
+    "and the same operator works unchanged under readStream with a "
+    "watermark (state-store-backed session merging — the form you "
+    "deploy). Boundary semantics differ from the lag-based operator by "
+    "design: session_window merges only while the next event starts "
+    "STRICTLY inside the previous window, so a gap exactly equal to "
+    "360 min starts a NEW session (oracle uses >=, not >), and "
+    "session_end is last-event + gap, not last-event. Value sums go "
+    "through exact decimals as everywhere else.",
+)
+def q_events_session_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{_SW_GAP_MIN} minutes").alias("__w__"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("__w__.start").alias("session_start"),
+            F.col("__w__.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a18_mode — most frequent value per group, deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+@register(
+    "a18_mode",
+    """
+    WITH g AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type AS mode_event_type, c AS mode_count
+    FROM g
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY c DESC, event_type ASC) = 1
+    """,
+    doc="Per-group mode (most frequent event_type per user) with a total-"
+    "order tiebreak (count DESC, value ASC) — the built-in mode() is "
+    "non-deterministic under ties, so this derives it from counts: one "
+    "(user, type) aggregation with map-side combine, then a row_number "
+    "pick over the ALREADY-aggregated table (bounded by |users| x "
+    "|event types|, tiny next to the corpus). The deterministic form of "
+    "the 'dominant category per key' profiling question.",
+)
+def q_mode(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    return (
+        g.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a19_hll_mergeable — materialized HLL sketches, merged then estimated
+# ---------------------------------------------------------------------------
+
+@register(
+    "a19_hll_mergeable",
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    """,
+    doc="Mergeable distinct-count sketches: one HLL sketch per event_type "
+    "(hll_sketch_agg), then hll_union_agg + hll_sketch_estimate across "
+    "the sketch table — the pattern that makes cardinality PRE-"
+    "AGGREGABLE at 100 TB: store a kilobyte sketch per day/partition, "
+    "answer any cross-partition distinct query by merging sketches "
+    "instead of re-scanning raw data (a7 shows the one-shot form; this "
+    "shows the materialize-then-merge form). Union of overlapping "
+    "sketches still bounds error, asserted as |est-exact|/exact <= 0.05 "
+    "against the exact count — the sketch bytes themselves are engine-"
+    "specific, so the oracle surface is (exact, bound-ok), same contract "
+    "as a7.",
+)
+def q_hll_mergeable(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    sketches = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("__s__")
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__s__")).alias("__est__")
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_users",
+        (
+            F.abs(F.col("__est__") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_bound"),
+    )

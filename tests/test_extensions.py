@@ -671,3 +671,79 @@ def test_zorder_key_known_values(spark):
     assert rows[2] == 0x55555555
     assert rows[3] == 0xAAAAAAAA
     assert rows[4] == 0b1111  # (3,3) -> low two bit-pairs set
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned layout: a date predicate lands in PartitionFilters
+    (directory pruning — zero bytes read from other days), and the pruned
+    read returns exactly the rows of that day."""
+    import contextlib
+    import io
+
+    from bag_parser_spark.sources.parquet import write_partitioned
+
+    e = load_table(spark, SF_CORRECT, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(e, out, ["event_date"])
+
+    back = spark.read.parquet(out).filter(
+        F.col("event_date") == "2024-01-05"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1].split("]")[0]
+    assert (
+        back.count()
+        == e.filter(F.to_date("ts") == "2024-01-05").count()
+        > 0
+    )
+
+
+def test_dynamic_partition_overwrite_touches_only_its_partitions(
+    spark, tmp_path
+):
+    """Re-ingesting one day via dynamic overwrite replaces that day's
+    directory and leaves every other day byte-identical."""
+    from bag_parser_spark.sources.parquet import (
+        overwrite_partitions_dynamic,
+        write_partitioned,
+    )
+
+    e = load_table(spark, SF_CORRECT, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(e, out, ["event_date"])
+
+    day = "2024-01-05"
+    fixed = (
+        e.filter(F.col("event_date") == day)
+        .withColumn("value", F.lit(-1.0))
+    )
+    overwrite_partitions_dynamic(fixed, out, ["event_date"])
+
+    back = spark.read.parquet(out)
+    # the re-ingested day carries the fix...
+    assert (
+        back.filter(F.col("event_date") == day)
+        .filter(F.col("value") != -1.0)
+        .count()
+        == 0
+    )
+    # ...and every other day is untouched
+    n_other = e.filter(F.col("event_date") != day).count()
+    assert back.filter(F.col("event_date") != day).count() == n_other
+    assert (
+        back.filter(F.col("event_date") != day)
+        .select("event_id", "value")
+        .exceptAll(
+            e.filter(F.col("event_date") != day).select("event_id", "value")
+        )
+        .count()
+        == 0
+    )
