@@ -222,23 +222,46 @@ def interval_join(
     time-range condition (streaming/events.py wires the same predicate with
     watermarks).
 
-    Plan shape: equi-join on the key (hash/sort-merge — pushes both scans'
-    filters, shuffles key-partitioned rows once) with the range predicate
-    evaluated as an exact integer-microsecond filter on join output. This
-    is NOT a range-join explosion: candidates are bounded per key-pair by
-    the join, and the time filter prunes inside the join operator. For
-    low-cardinality keys with long histories, bucketize time into
-    max_lag-sized bands and join on (key, band) ∪ (key, band+1) to bound
-    per-task width.
+    Plan shape: the join key is (on, time band) where a band is a
+    max_lag-sized slice of event time — a matching right row (r.ts in
+    (l.ts - lag, l.ts]) can only live in the left row's band or the one
+    before it, so the left side explodes into those two band keys and the
+    equi-join on (key, band) finds every candidate exactly once (band(r)
+    is a single value — no dedup needed). The exact integer-microsecond
+    predicate then prunes inside the join. This bounds per-task width by
+    (key, band), so ONE hot key with a long history spreads across many
+    tasks instead of melting a single one — the same trick as LSH bands,
+    applied to time. Cost: the left side ships twice (two band keys/row).
+
+    Band ids come from floor(micros / lag): micros fit a double exactly
+    until ~year 2255 (2^53 µs), so the floor is exact.
     """
     lag_us = max_lag_s * 1_000_000
-    l = left.alias("l")
-    r = right.alias("r")
-    diff = ts_micros(F.col(f"l.{left_ts}")) - ts_micros(
-        F.col(f"r.{right_ts}")
+    l = (
+        left.withColumn("__lus__", ts_micros(F.col(left_ts)))
+        .withColumn(
+            "__band__",
+            F.explode(
+                F.array(
+                    F.floor(F.col("__lus__") / F.lit(lag_us)).cast("long"),
+                    F.floor(F.col("__lus__") / F.lit(lag_us)).cast("long")
+                    - 1,
+                )
+            ),
+        )
+        .alias("l")
     )
+    r = (
+        right.withColumn("__rus__", ts_micros(F.col(right_ts)))
+        .withColumn(
+            "__band__", F.floor(F.col("__rus__") / F.lit(lag_us)).cast("long")
+        )
+        .alias("r")
+    )
+    diff = F.col("l.__lus__") - F.col("r.__rus__")
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col("l.__band__") == F.col("r.__band__"))
         & (diff >= 0)
         & (diff < lag_us)
     )

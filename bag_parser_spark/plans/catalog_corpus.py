@@ -771,3 +771,98 @@ def q_hll_mergeable(spark, sf_dir):
             <= 0.05
         ).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j14_fuzzy_blocked_join — edit-distance record linkage with blocking
+# ---------------------------------------------------------------------------
+
+@register(
+    "j14_fuzzy_blocked_join",
+    """
+    WITH c AS (SELECT c_custkey, c_name, substring(c_name, 10, 7) AS blk
+               FROM customer)
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM c a JOIN c b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Fuzzy record linkage: name pairs within edit distance 2, made "
+    "scale-feasible by BLOCKING — the equi-join on a cheap key prefix "
+    "bounds the candidate set per block, and the O(len^2) levenshtein "
+    "runs only inside blocks (the all-pairs form is quadratic in the "
+    "table and dead at 100 TB; same shape as the LSH band trick, with "
+    "the block key playing the bucket). a < b halves the pairs; "
+    "levenshtein is exact-integer on both engines so the oracle needs "
+    "no float rules. Production variant: multiple redundant blocking "
+    "keys unioned, same plan per key.",
+)
+def q_fuzzy_blocked_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 10, 7).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            dist.alias("edit_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a20_ntile_binning — equal-frequency binning + per-bin stats
+# ---------------------------------------------------------------------------
+
+@register(
+    "a20_ntile_binning",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             AS total
+    FROM b GROUP BY decile
+    """,
+    doc="Equal-frequency (decile) binning + per-bin stats — the feature-"
+    "engineering transform behind quantile bucketing. ntile needs a "
+    "TOTAL order ((price, orderkey) tiebreak) to be deterministic; the "
+    "global sort is the honest cost and is exactly what "
+    "repartitionByRange does at scale (sample-based range boundaries, "
+    "one range shuffle, no single-task sort). Bin sums go through exact "
+    "decimals; bounds are min/max — order-insensitive. For 100 TB "
+    "prefer approx-quantile cut points (a8) when exact equal counts "
+    "aren't required; this is the exact form.",
+)
+def q_ntile_binning(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    b = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return b.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("total"),
+    )

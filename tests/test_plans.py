@@ -232,3 +232,14 @@ def test_lm_doc_score_partial_agg_no_udf(spark):
     plan = _plan(df)
     assert "partial_count" in plan
     assert "EvalPython" not in plan
+
+
+def test_interval_join_is_banded_equi_join(spark):
+    """The interval join must plan as an EQUI join keyed on (key, band) —
+    never a broadcast-nested-loop/cartesian over the theta predicate —
+    so per-task width is bounded even for one hot key."""
+    df = registry()["ts_interval_join"].fn(spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "__band__" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

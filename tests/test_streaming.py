@@ -173,3 +173,64 @@ def test_enrich_stream_matches_batch(spark):
     batch_rows = {tuple(r[c] for c in cols) for r in batch.collect()}
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_native_session_window_stream_matches_batch(spark):
+    """The built-in session_window aggregate — the stream-deployable form
+    the events_session_window catalog query documents — emits, under a
+    watermark with an AvailableNow drain, exactly a subset of the batch
+    twin's sessions (append mode withholds sessions the final watermark
+    hasn't sealed), value-equal on every emitted row."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.plans.catalog import registry
+    from bag_parser_spark.streaming.events import read_events_stream
+
+    ev = read_events_stream(spark, f"{SF}/events.parquet")
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "360 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_sw_native")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.table("ev_sw_native").collect()
+    }
+    batch_rows = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in registry()["events_session_window"].fn(spark, SF).collect()
+    }
+    assert len(stream_rows) > 100  # the drain seals most historic sessions
+    assert set(stream_rows).issubset(set(batch_rows))
+    for key, (end, n, total) in stream_rows.items():
+        b_end, b_n, b_total = batch_rows[key]
+        assert (end, n) == (b_end, b_n)
+        assert abs(total - b_total) < 1e-9
