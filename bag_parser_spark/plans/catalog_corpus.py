@@ -866,3 +866,213 @@ def q_ntile_binning(spark, sf_dir):
         .cast("double")
         .alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a21_trimmed_mean — outlier-robust mean via integer rank cuts
+# ---------------------------------------------------------------------------
+
+@register(
+    "a21_trimmed_mean",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_total,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+             / COUNT(*) AS trimmed_mean
+    FROM r
+    WHERE 20 * rn > n AND 20 * rn <= 19 * n
+    GROUP BY l_returnflag
+    """,
+    doc="5%-trimmed mean per group — the outlier-robust location estimate "
+    "profiling pipelines use when MAD (a16) is too aggressive. The trim "
+    "cut is pure integer arithmetic on ranks (20*rn > n, 20*rn <= 19*n) "
+    "— no float quantile to disagree across engines — and ranks have a "
+    "total-order tiebreak. One window pass over the group partition, "
+    "then an exact-decimal mean of the kept middle 90%. At 100 TB the "
+    "rank window is the honest cost (same shuffle as any per-group "
+    "sort); for approximate trims, cut at approx-quantile bounds "
+    "instead (a8) and skip the window entirely.",
+)
+def q_trimmed_mean(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = r.filter(
+        (20 * F.col("rn") > F.col("n")) & (20 * F.col("rn") <= 19 * F.col("n"))
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a22_linreg_suffstats — single-pass distributed OLS from integer sums
+# ---------------------------------------------------------------------------
+
+@register(
+    "a22_linreg_suffstats",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT))
+                  AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                  AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(round(l_quantity * 100.0) AS BIGINT)
+                           * CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                           AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(CAST(round(l_quantity * 100.0) AS BIGINT)
+                           * CAST(round(l_quantity * 100.0) AS BIGINT)
+                           AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_cents,
+           (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE) / 100.0 AS intercept
+    FROM s
+    """,
+    doc="Distributed least-squares (price ~ quantity per return flag) in "
+    "ONE pass via sufficient statistics: the 2-decimal inputs are "
+    "rescaled to exact integer cents (round(x*100) — identical double "
+    "product and round on both engines), so n, Sx, Sy, Sxy, Sxx are "
+    "exact integer/decimal sums (DECIMAL(38,0) for the products — a "
+    "bigint sum overflows at corpus scale) with map-side combine and "
+    "ZERO float accumulation; slope and intercept then derive in double "
+    "through an identical expression tree — bit-exact on any partition "
+    "layout. This is how regression/covariance/correlation run at "
+    "100 TB: one shuffle of five numbers per group, never a second "
+    "pass, never a float sum.",
+)
+def q_linreg_suffstats(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    xc = F.round(F.col("l_quantity") * 100.0).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100.0).cast("long")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).cast("double").alias("sx"),
+        F.sum(yc).cast("double").alias("sy"),
+        F.sum((xc * yc).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((xc * xc).cast("decimal(38,0)")).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd / F.lit(100.0)
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope_cents"),
+        intercept.alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a23_pareto — contribution / cumulative-share (80/20) analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "a23_pareto",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation_name,
+             SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    ranked AS (
+      SELECT nation_name, revenue,
+             row_number() OVER (ORDER BY revenue DESC, nation_name ASC)
+               AS rnk,
+             SUM(revenue) OVER (ORDER BY revenue DESC, nation_name ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum_revenue,
+             SUM(revenue) OVER () AS total_revenue
+      FROM rev
+    )
+    SELECT nation_name, rnk,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(cum_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE)
+             AS cum_share,
+           CAST(cum_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE)
+             <= 0.8 AS in_top_80pct
+    FROM ranked
+    """,
+    doc="Pareto / contribution analysis: revenue per nation, ranked, with "
+    "cumulative share and the 80%-frontier flag. The fact aggregate is "
+    "the only corpus-sized work (one groupBy with broadcast dims); the "
+    "ranking, running sum, and total all run as windows over the "
+    "ALREADY-aggregated |nations|-row table. Every accumulation stays "
+    "in exact DECIMAL — running sums of doubles are accumulation-"
+    "order-sensitive even in a window frame — and only the final share "
+    "division drops to double, through an identical tree on both "
+    "engines.",
+)
+def q_pareto(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias(
+                "revenue"
+            )
+        )
+    )
+    wo = Window.orderBy(F.col("revenue").desc(), F.col("nation_name").asc())
+    ranked = rev.select(
+        "nation_name",
+        "revenue",
+        F.row_number().over(wo).alias("rnk"),
+        F.sum("revenue")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_revenue"),
+        F.sum("revenue")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total_revenue"),
+    )
+    share = F.col("cum_revenue").cast("double") / F.col(
+        "total_revenue"
+    ).cast("double")
+    return ranked.select(
+        "nation_name",
+        "rnk",
+        F.col("revenue").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        (share <= 0.8).alias("in_top_80pct"),
+    )

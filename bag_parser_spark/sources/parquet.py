@@ -152,3 +152,15 @@ def overwrite_partitions_dynamic(
         .partitionBy(*partition_cols)
         .parquet(out_dir)
     )
+
+
+def read_merged_schema(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet generations whose schemas
+    drifted (columns added over time), resolving to the merged schema
+    with NULLs where an older file lacks a column. ``mergeSchema`` makes
+    the footer reconciliation explicit and one-time per query — the
+    default (first-file schema) silently DROPS new columns, which at
+    100 TB means a backfill reading a year of daily drops quietly loses
+    the fields added mid-year. Renames/type changes still need an
+    explicit migration; this covers the additive case that dominates."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -747,3 +747,30 @@ def test_dynamic_partition_overwrite_touches_only_its_partitions(
         .count()
         == 0
     )
+
+
+def test_read_merged_schema_unions_generations(spark, tmp_path):
+    """Additive schema drift across file generations resolves to the
+    merged schema, old rows NULL-filled for the added column."""
+    from bag_parser_spark.sources.parquet import read_merged_schema
+
+    v1 = str(tmp_path / "gen1")
+    v2 = str(tmp_path / "gen2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    ).write.parquet(v1)
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, payload string, score double"
+    ).write.parquet(v2)
+
+    merged = read_merged_schema(spark, v1, v2)
+    assert set(merged.columns) == {"id", "payload", "score"}
+    rows = {r["id"]: (r["payload"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+    # the default reader would have dropped the new column
+    plain = spark.read.parquet(v1, v2)
+    assert "score" not in plain.columns or set(plain.columns) == {
+        "id",
+        "payload",
+        "score",
+    }
