@@ -1076,3 +1076,161 @@ def q_pareto(spark, sf_dir):
         share.alias("cum_share"),
         (share <= 0.8).alias("in_top_80pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_star_schema — declarative data-quality battery (Deequ-style)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_star_schema",
+    """
+    SELECT 'orders_pk_unique' AS check_name,
+           (SELECT COUNT(*) FROM
+              (SELECT o_orderkey FROM orders
+               GROUP BY o_orderkey HAVING COUNT(*) > 1) d) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey NOT IN
+              (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey NOT IN
+              (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+    UNION ALL
+    SELECT 'lineitem_price_positive',
+           (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'orders_totalprice_nonnull',
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL)
+    """,
+    doc="Declarative data-quality battery over the star schema — the "
+    "constraint checks (pk uniqueness, fk integrity, range, non-null) a "
+    "production pipeline gates ingests on, emitted as one "
+    "(check, n_violations) table. Each check is its own aggregate over a "
+    "pruned scan: uniqueness = groupBy-HAVING on the key only; fk = "
+    "LEFT ANTI against the referenced key column (broadcast when that "
+    "side is a dim, shuffle anti when it is a fact); range/null = "
+    "map-side conditional counts. All-integer outputs — nothing for "
+    "engines to disagree on — and every check is independently "
+    "parallel; at 100 TB the fact scans dominate and each column check "
+    "prunes to just its column.",
+)
+def q_dq_star_schema(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("__n__").cast("long").alias("n_violations"),
+        )
+
+    pk_dupes = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    fk_orders = (
+        o.join(
+            F.broadcast(c.select("c_custkey").filter(F.col("c_custkey").isNotNull())),
+            o["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    # orders is a fact: its key column is NOT broadcastable at scale, so
+    # this anti-join shuffles both key projections (customer above is a
+    # dim — broadcast is right there).
+    fk_lineitem = (
+        l.join(
+            o.select("o_orderkey").filter(F.col("o_orderkey").isNotNull()),
+            l["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    price_pos = l.filter(F.col("l_extendedprice") <= 0).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    qty_range = l.filter(
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    ).agg(F.count(F.lit(1)).alias("__n__"))
+    tp_null = o.filter(F.col("o_totalprice").isNull()).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    return (
+        one("orders_pk_unique", pk_dupes)
+        .unionAll(one("orders_custkey_fk", fk_orders))
+        .unionAll(one("lineitem_orderkey_fk", fk_lineitem))
+        .unionAll(one("lineitem_price_positive", price_pos))
+        .unionAll(one("lineitem_qty_range", qty_range))
+        .unionAll(one("orders_totalprice_nonnull", tp_null))
+    )
+
+
+# ---------------------------------------------------------------------------
+# a24_incremental_rollup — algebraic aggregate maintenance (no rescan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a24_incremental_rollup",
+    """
+    WITH old AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(28,6))) AS sv
+      FROM events WHERE epoch_us(ts) % 10 != 0 GROUP BY event_type
+    ),
+    delta AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(28,6))) AS sv
+      FROM events WHERE epoch_us(ts) % 10 = 0 GROUP BY event_type
+    ),
+    merged AS (
+      SELECT event_type, n, sv FROM old
+      UNION ALL
+      SELECT event_type, n, sv FROM delta
+    )
+    SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) AS total_value
+    FROM merged GROUP BY event_type
+    """,
+    doc="Incremental rollup maintenance: yesterday's materialized "
+    "aggregate (old) absorbs today's delta WITHOUT rescanning history — "
+    "union the two partial-aggregate tables and re-aggregate, which is "
+    "legal exactly because count/decimal-sum are ALGEBRAIC (partials "
+    "merge associatively; the same property map-side combine exploits "
+    "inside one job, applied across jobs). The deterministic ts-hash "
+    "split stands in for the old/new date boundary. Equal by "
+    "construction to the full recompute — which is what the oracle "
+    "states. At 100 TB this is the difference between a daily rollup "
+    "costing one day of data and costing the whole table.",
+)
+def q_incremental_rollup(spark, sf_dir):
+    from bag_parser_spark.functions.scalars import ts_micros
+
+    e = _t(spark, sf_dir, "events")
+    is_delta = ts_micros(F.col("ts")) % 10 == 0
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sv"),
+        )
+
+    old = partial(e.filter(~is_delta))
+    delta = partial(e.filter(is_delta))
+    return (
+        old.unionAll(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("sv").cast("double").alias("total_value"),
+        )
+    )

@@ -49,6 +49,8 @@ HEADLINE = [
     "emb_quantize_int8",
     "ml_kmeans_step",
     "text_bigram_lm",
+    "lm_doc_score",
+    "events_session_window",
 ]
 
 
