@@ -959,5 +959,6 @@ def _load_extensions() -> None:
         catalog_corpus,
         catalog_ext,
         catalog_scale,
+        catalog_tpch,
         catalog_ts,
     )

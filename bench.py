@@ -51,6 +51,8 @@ HEADLINE = [
     "text_bigram_lm",
     "lm_doc_score",
     "events_session_window",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
 ]
 
 

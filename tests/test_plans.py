@@ -243,3 +243,31 @@ def test_interval_join_is_banded_equi_join(spark):
     assert "__band__" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_one_shuffle_pushed_filter(spark):
+    """Q1 is scan -> partial agg -> ONE exchange -> final agg; the date
+    filter reaches the parquet scan."""
+    df = registry()["tpch_q1_pricing_summary"].fn(spark, SF_CORRECT)
+    assert _plan(df, "simple").count("Exchange hashpartitioning") == 1
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_tpch_q3_top10_heap_not_global_sort(spark):
+    """Q3's LIMIT 10 must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global Sort, and the BUILDING customers broadcast."""
+    df = registry()["tpch_q3_shipping_priority"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_map_only_no_join(spark):
+    """Q6 is the pure filter-and-sum: no join anywhere, all predicates
+    at the scan, single 1-row exchange."""
+    df = registry()["tpch_q6_forecast_revenue"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    assert "Join" not in plan
+    full = _plan(df)
+    assert "PushedFilters" in full and "l_quantity" in full
