@@ -271,3 +271,100 @@ def q_tpch_q6(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (EXISTS -> semi join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4: the correlated-EXISTS shape. Declaratively it is a "
+    "LEFT SEMI join — each order needs at least ONE late lineitem, and "
+    "the semi join stops probing a key after the first match instead of "
+    "multiplying rows then de-duplicating (the naive inner-join+distinct "
+    "reads the same data and shuffles strictly more). The correlated "
+    "predicate l_shipdate > o_orderdate rides on the join condition; "
+    "date-pruned orders side, integer count output.",
+)
+def q_tpch_q4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o = o.filter(
+        (F.col("o_orderdate") >= _ts_lit(o, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _ts_lit(o, "o_orderdate", "1996-04-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o["o_orderkey"] == l["l_orderkey"])
+            & (l["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING over a fact aggregate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q18_large_volume",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(l_quantity * 100.0) AS BIGINT))
+                  AS BIGINT) AS qty_cents
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) > 12000
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(b.qty_cents AS DOUBLE) / 100.0 AS total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="TPC-H Q18: find orders whose total quantity exceeds a threshold, "
+    "then decorate with customer detail — the HAVING-then-join shape. "
+    "The fact aggregates FIRST (one groupBy on the join key, map-side "
+    "combine, integer-cents sum so the > cut is exact), the HAVING "
+    "collapses it to a small key set, and only that survivor set joins "
+    "back to orders/customer — aggregate-before-join is the difference "
+    "between shuffling the fact once and three times. Threshold 120 "
+    "units (12000 cents) sized to the synthetic data's order fan-out.",
+)
+def q_tpch_q18(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    qc = _cents("l_quantity")
+    big = (
+        l.select("l_orderkey", qc.alias("__qc__"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("__qc__").cast("long").alias("qty_cents"))
+        .filter(F.col("qty_cents") > 12000)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            (F.col("qty_cents").cast("double") / 100.0).alias("total_qty"),
+        )
+    )
