@@ -1,8 +1,11 @@
-"""Catalog extension: the four classic TPC-H analytics queries (Q1
-pricing summary, Q3 shipping priority, Q5 local-supplier volume, Q6
-forecast revenue) over the driver's TPC-H-ish star schema — the
-industry-standard shapes a user would reach for first when checking an
-analytics engine.
+"""Catalog extension: the classic TPC-H analytics queries expressible
+over the driver's TPC-H-ish star schema — Q1 pricing summary, Q3
+shipping priority, Q4 order priority (EXISTS), Q5 local-supplier volume,
+Q6 forecast revenue, Q10 returned items, Q14 promotion effect, Q18
+large-volume customers. The industry-standard shapes a user would reach
+for first when checking an analytics engine; the remaining TPC-H queries
+need columns (partsupp, shipmode, commit/receipt dates) the synthetic
+schema doesn't carry.
 
 Float discipline (see a22_linreg_suffstats): the 2-decimal money columns
 rescale to exact integer cents/percent (round(x*100) — identical double
@@ -366,5 +369,133 @@ def q_tpch_q18(spark, sf_dir):
             "o_orderdate",
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
             (F.col("qty_cents").cast("double") / 100.0).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting (top-20 customers by lost revenue)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100.0)
+                                       AS BIGINT))
+                         AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+           n.n_name AS nation_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10: revenue lost to returns per customer in a quarter, "
+    "top 20. The returnflag predicate prunes lineitem AT THE SCAN "
+    "(dictionary-encoded column — near-free in parquet), the quarter "
+    "prunes orders, customer/nation broadcast, and the top-20 is a "
+    "TakeOrderedAndProject heap with a c_custkey tiebreak. Grouping "
+    "carries the customer attributes in the key (functionally dependent "
+    "on c_custkey) so no second join is needed after the aggregate.",
+)
+def q_tpch_q10(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    o = o.filter(
+        (F.col("o_orderdate") >= _ts_lit(o, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") < _ts_lit(o, "o_orderdate", "1996-04-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    ).cast("decimal(38,0)")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l, F.col("o_orderkey") == l["l_orderkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("n_name").alias("nation_name"),
+            rev.alias("__r__"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation_name")
+        .agg((F.sum("__r__").cast("double") / 10000.0).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "nation_name"
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect (conditional-sum ratio)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q14_promo_effect",
+    """
+    SELECT 100.0 * (
+             CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(CAST(round(l.l_extendedprice * 100.0)
+                                          AS BIGINT)
+                                     * (100 - CAST(round(l.l_discount
+                                                         * 100.0) AS BIGINT))
+                                     AS DECIMAL(38,0))
+                           ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+             / CAST(SUM(CAST(CAST(round(l.l_extendedprice * 100.0)
+                                  AS BIGINT)
+                             * (100 - CAST(round(l.l_discount * 100.0)
+                                           AS BIGINT))
+                             AS DECIMAL(38,0))) AS DOUBLE)
+           ) AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    doc="TPC-H Q14: promo revenue share for one month — the conditional-"
+    "sum-ratio shape. Part is a dim (broadcast into the date-pruned "
+    "lineitem slice), both numerator and denominator are exact "
+    "DECIMAL(38,0) cents sums computed in the SAME aggregate pass "
+    "(fused conditional aggregation — one scan, one 1-row exchange), "
+    "and only the final ratio divides to double through an identical "
+    "tree. The one-branch CASE keeps the numerator layout-independent "
+    "where a filtered double sum would not be.",
+)
+def q_tpch_q14(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    l = l.filter(
+        (F.col("l_shipdate") >= _ts_lit(l, "l_shipdate", "1996-03-01"))
+        & (F.col("l_shipdate") < _ts_lit(l, "l_shipdate", "1996-04-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    ).cast("decimal(38,0)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .select(promo.alias("__pr__"), rev.alias("__r__"))
+        .agg(
+            (
+                100.0
+                * (F.sum("__pr__").cast("double") / F.sum("__r__").cast("double"))
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
         )
     )
