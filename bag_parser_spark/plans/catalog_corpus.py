@@ -1234,3 +1234,166 @@ def q_incremental_rollup(spark, sf_dir):
             F.sum("sv").cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# f14_null_semantics — NULL-handling parity battery
+# ---------------------------------------------------------------------------
+
+@register(
+    "f14_null_semantics",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS v,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderpriority END AS p
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(v) AS n_v_nonnull,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v_null,
+           COUNT(DISTINCT p) AS n_p_distinct,
+           CAST(SUM(CASE WHEN p IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_p_nullsafe_null,
+           CAST(MIN(v) AS DOUBLE) AS min_v_ignoring_nulls,
+           (SELECT COUNT(*) FROM (SELECT p FROM t GROUP BY p) g)
+             AS n_groups_incl_null
+    FROM t
+    """,
+    doc="NULL-semantics parity battery — the edges engines disagree on "
+    "if nobody pins them: COUNT(*) vs COUNT(col) (the latter skips "
+    "NULLs), conditional NULL counting, COUNT(DISTINCT) excluding NULL "
+    "while GROUP BY keeps NULL as its own group, null-safe equality "
+    "(Spark <=> / eqNullSafe vs SQL IS NOT DISTINCT FROM), and MIN "
+    "ignoring NULLs. One map-side-combined aggregate plus a grouped "
+    "count on the tiny priority domain; NULLs injected by deterministic "
+    "key arithmetic so both engines derive the identical table.",
+)
+def q_null_semantics(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ).alias("v"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("p"),
+    )
+    groups = t.groupBy("p").agg(F.count(F.lit(1))).agg(
+        F.count(F.lit(1)).alias("n_groups_incl_null")
+    )
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_v_nonnull"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_v_null"),
+        F.count_distinct("p").alias("n_p_distinct"),
+        F.sum(
+            F.when(F.col("p").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        ).alias("n_p_nullsafe_null"),
+        F.min("v").cast("double").alias("min_v_ignoring_nulls"),
+    )
+    return base.crossJoin(F.broadcast(groups))
+
+
+# ---------------------------------------------------------------------------
+# f16_date_pack — date/time function parity battery (map-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f16_date_pack",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS d,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER)
+             AS days_since_epoch,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS plus_3_months
+    FROM orders
+    """,
+    doc="Date-function parity battery, map-only: truncation, month end, "
+    "calendar fields, ISO weekday (pinned 1=Monday..7=Sunday — Spark's "
+    "dayofweek counts 1=Sunday while DuckDB's counts 0=Sunday, so both "
+    "sides derive ISO numbering explicitly: Spark weekday()+1, DuckDB "
+    "isodow), epoch day arithmetic, and calendar-aware month addition "
+    "(clamps to month end on both engines). Everything stays in "
+    "whole-stage codegen; integer/date outputs leave nothing for "
+    "engines to round differently.",
+)
+def q_date_pack(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias(
+            "month_start"
+        ),
+        F.last_day(d).alias("month_end"),
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.datediff(d, F.lit("1970-01-01").cast("date")).cast("int").alias(
+            "days_since_epoch"
+        ),
+        F.add_months(d, 3).alias("plus_3_months"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# f15_string_pack — string function parity battery (map-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f15_string_pack",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           length(c_name) AS len,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+           translate(c_name, '#', '-') AS translated,
+           CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+           reverse(c_mktsegment) AS seg_rev,
+           regexp_replace(c_name, '[0-9]+', 'N') AS digits_collapsed,
+           split_part(c_name, '#', 1) AS name_prefix,
+           concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR))
+             AS joined
+    FROM customer
+    """,
+    doc="String-function parity battery, map-only: case, length, lpad, "
+    "translate, 1-based substring position (Spark instr == DuckDB "
+    "strpos), reverse, regex collapse (pattern kept to the RE2-and-"
+    "Java-common subset, the same rule as the PII redactor), "
+    "split_part/getItem, and concat_ws. Pure projection — no shuffle, "
+    "whole-stage codegen end to end; the battery exists so a dialect "
+    "divergence in any of these shows up as a hash mismatch instead of "
+    "silently corrupting downstream text operators.",
+)
+def q_string_pack(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.length("c_name").alias("len"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.translate("c_name", "#", "-").alias("translated"),
+        F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.regexp_replace("c_name", "[0-9]+", "N").alias("digits_collapsed"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_prefix"),
+        F.concat_ws(
+            "|", F.col("c_mktsegment"), F.col("c_custkey").cast("string")
+        ).alias("joined"),
+    )
