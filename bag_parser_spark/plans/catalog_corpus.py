@@ -1397,3 +1397,59 @@ def q_string_pack(spark, sf_dir):
             "|", F.col("c_mktsegment"), F.col("c_custkey").cast("string")
         ).alias("joined"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_hopping_agg — native hopping (sliding) window aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hopping_agg",
+    """
+    WITH starts AS (
+      SELECT event_id, event_type, value,
+             to_timestamp(CAST(floor(epoch_us(ts) / 1800000000.0)
+                               AS BIGINT) * 1800 - s.off) AS window_start
+      FROM events,
+           (SELECT unnest([0, 1800]) AS off) s
+      WHERE to_timestamp(CAST(floor(epoch_us(ts) / 1800000000.0)
+                              AS BIGINT) * 1800 - s.off)
+              + INTERVAL 1 HOUR > ts
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+    doc="Hopping-window aggregate (1 h window, 30 min hop) via Spark's "
+    "native window(ts, '1 hour', '30 minutes') — completes the "
+    "windowing family next to tumbling (events_windowed_agg), session "
+    "(events_session_window) and the hand-rolled sliding distinct. "
+    "Each event lands in exactly window/hop = 2 windows; the built-in "
+    "does the 2-way expand that events_sliding_distinct spells out "
+    "manually, and the same declaration runs under readStream with a "
+    "watermark. The oracle reproduces the expansion with a 2-element "
+    "hop-offset unnest and keeps only starts whose window still covers "
+    "the event. Exact-decimal sums as everywhere.",
+)
+def q_events_hopping(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("__w__"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("__w__.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
