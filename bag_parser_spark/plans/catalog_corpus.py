@@ -1453,3 +1453,77 @@ def q_events_hopping(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# f17_array_pack — array/higher-order function parity battery (map-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f17_array_pack",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           array_to_string(list_sort(toks[1:3]), '|') AS sorted_head,
+           array_to_string(list_reverse(toks[1:3]), '|') AS reversed_head,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           list_contains(toks, 'the') AS has_the,
+           CAST(list_position(toks, 'the') AS BIGINT) AS first_the_pos,
+           array_to_string(flatten([toks[1:2], toks[3:4]]), '|') AS spliced,
+           array_to_string(list_transform(
+             range(1, CAST(least(len(toks), 5) AS BIGINT) + 1),
+             x -> CAST(x AS VARCHAR)), '|') AS idx_seq
+    FROM t
+    """,
+    doc="Array / higher-order function parity battery over the token "
+    "arrays every text operator builds on: sort, reverse, slicing, "
+    "distinct cardinality, membership, 1-based position (Spark "
+    "array_position == DuckDB list_position, both 0/NULL-free here), "
+    "splice via flatten, and integer sequences (Spark's inclusive "
+    "sequence(1, n) == DuckDB's exclusive range(1, n+1) — pinned "
+    "explicitly). Map-only projection, array-valued output columns "
+    "exercise the harness's list-cell normalization. A dialect drift in "
+    "any of these would silently corrupt shingling, packing, or "
+    "chunking — this battery makes it a visible hash mismatch instead. "
+    "Array results serialize to '|'-joined strings because the driver's "
+    "canonicalization requires flat cells (same rule as f8's ring "
+    "explosion).",
+)
+def q_array_pack(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.array_join(F.array_sort(F.slice("toks", 1, 3)), "|").alias(
+            "sorted_head"
+        ),
+        F.array_join(F.reverse(F.slice("toks", 1, 3)), "|").alias(
+            "reversed_head"
+        ),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.array_position("toks", "the").cast("long").alias("first_the_pos"),
+        F.array_join(
+            F.flatten(
+                F.array(F.slice("toks", 1, 2), F.slice("toks", 3, 2))
+            ),
+            "|",
+        ).alias("spliced"),
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.least(F.size("toks"), F.lit(5)).cast("long"),
+                ),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("idx_seq"),
+    )
