@@ -1,7 +1,10 @@
 """Catalog extension: corpus-curation and product-analytics queries —
-bigram-LM document scoring (the perplexity-filter ingredient), canonical
-representative selection per duplicate cluster, per-user exponential
-moving average, funnel staging, and weekly cohort retention.
+bigram-LM document scoring, canonical-per-duplicate-cluster selection,
+per-user EMA/TWA, funnel staging, cohort retention, char entropy,
+histogram/mode/trimmed-mean/OLS/Pareto statistics, native session and
+hopping windows, mergeable HLL sketches, blocked fuzzy linkage, ntile
+binning, a data-quality battery, incremental rollup maintenance, and the
+NULL/string/date/array cross-engine parity batteries.
 
 Cross-engine float rules (see plans/catalog.py header): every double that
 crosses the oracle gate is produced by an identical expression tree on
@@ -1526,4 +1529,121 @@ def q_array_pack(spark, sf_dir):
             ),
             "|",
         ).alias("idx_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_markov — behavioral transition matrix (Markov chain counts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_markov",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    g AS (
+      SELECT from_type, to_type, COUNT(*) AS c
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, c,
+           CAST(SUM(c) OVER (PARTITION BY from_type) AS BIGINT) AS c_from,
+           CAST(c AS DOUBLE)
+             / CAST(SUM(c) OVER (PARTITION BY from_type) AS BIGINT)
+             AS p_transition
+    FROM g
+    """,
+    doc="Behavioral Markov chain: within-user event-type transition "
+    "counts and conditional probabilities P(next | current) — the "
+    "text_bigram_lm pattern applied to event sequences (churn/journey "
+    "modeling's first artifact). One window pass on the user partition "
+    "orders the stream (ts, event_id total order), the transition "
+    "groupBy has map-side combine, and the per-source normalizer is a "
+    "window over the ALREADY-aggregated |types|^2 table. Probabilities "
+    "derive from exact integer counts through an identical tree.",
+)
+def q_events_markov(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    g = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c_from = F.sum("c").over(Window.partitionBy("from_type")).cast("long")
+    return g.select(
+        "from_type",
+        "to_type",
+        "c",
+        c_from.alias("c_from"),
+        (F.col("c").cast("double") / c_from).alias("p_transition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cust_rfm — recency / frequency / monetary segmentation
+# ---------------------------------------------------------------------------
+
+@register(
+    "cust_rfm",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                            DATE '2001-09-01') AS BIGINT) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, custkey ASC) AS f_score,
+           ntile(5) OVER (ORDER BY monetary DESC, custkey ASC) AS m_score
+    FROM base
+    """,
+    doc="RFM segmentation: days-since-last-order against a fixed anchor "
+    "date, order count, exact-decimal lifetime spend, then quintile "
+    "scores per dimension. The fact aggregate is the only corpus-sized "
+    "work (one groupBy on the customer key); the three ntile windows "
+    "run over the per-customer table (|customers| rows, tiny next to "
+    "orders) with custkey tiebreaks making every quintile boundary "
+    "total-ordered. The anchor date is pinned, not now(), so the query "
+    "is deterministic and cache-reusable.",
+)
+def q_cust_rfm(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc()))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc()))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc()))
+        .alias("m_score"),
     )
