@@ -1647,3 +1647,127 @@ def q_cust_rfm(spark, sf_dir):
         .over(Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc()))
         .alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_monthly_yoy — month series with year-over-year comparison
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_monthly_yoy",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           lag(n_orders, 12) OVER (ORDER BY month) AS n_orders_prev_year,
+           CAST(CAST(n_orders AS DOUBLE)
+                / lag(n_orders, 12) OVER (ORDER BY month) AS DOUBLE)
+             AS yoy_ratio
+    FROM m
+    """,
+    doc="Monthly order series with year-over-year comparison: the fact "
+    "aggregates once into a |months|-row table; the 12-step lag and the "
+    "ratio are windows over that tiny series (lag yields NULL for the "
+    "first year — propagated, not defaulted, on both engines). The "
+    "trend-dashboard shape: corpus-sized work is the one groupBy, "
+    "everything after is driver-trivial. Ratio derives from integer "
+    "counts through an identical tree.",
+)
+def q_orders_monthly_yoy(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("__rev__"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("n_orders", 12).over(w)
+    return m.select(
+        "month",
+        "n_orders",
+        F.col("__rev__").cast("double").alias("revenue"),
+        prev.alias("n_orders_prev_year"),
+        (F.col("n_orders").cast("double") / prev).cast("double").alias(
+            "yoy_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_vocab_growth — Heaps'-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+@register(
+    "docs_vocab_growth",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id,
+             unnest(list_transform(t[1:len(t)-1],
+                                   (x, i) -> x || ' ' || t[i+1])) AS tok
+      FROM toks
+    ),
+    first_seen AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM flat GROUP BY tok
+    ),
+    buckets AS (
+      SELECT CAST(floor(first_doc / 25.0) AS BIGINT) AS bucket,
+             COUNT(*) AS new_tokens
+      FROM first_seen GROUP BY 1
+    )
+    SELECT bucket, (bucket + 1) * 25 AS docs_seen, new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY bucket
+                                      ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS vocab_size
+    FROM buckets
+    """,
+    doc="Vocabulary growth curve (Heaps' law) over bigram types: "
+    "as the corpus grows, computed WITHOUT re-scanning per checkpoint — "
+    "each token reduces to its first-occurrence doc (one groupBy on "
+    "token, map-side combine), first-docs bucket into 100-doc "
+    "checkpoints, and the cumulative vocabulary is a running integer "
+    "sum over the tiny bucket table. The curve's flattening rate is a "
+    "standard corpus-diversity diagnostic (a too-flat curve means "
+    "duplicated/templated text). The naive per-checkpoint "
+    "COUNT(DISTINCT) would rescan the corpus |checkpoints| times; this "
+    "is one pass.",
+)
+def q_docs_vocab_growth(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # bigram types, not unigrams: the synthetic corpus has a ~31-word
+    # vocabulary, so the unigram curve saturates in the first bucket;
+    # bigram combinations spread first occurrences across the corpus.
+    pairs = F.expr(
+        "transform(slice(__t__, 1, size(__t__)-1), "
+        "(x, i) -> concat(x, ' ', __t__[i+1]))"
+    )
+    flat = (
+        d.select("doc_id", toks.alias("__t__"))
+        .select("doc_id", F.explode(pairs).alias("tok"))
+    )
+    first_seen = flat.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    buckets = first_seen.groupBy(
+        F.floor(F.col("first_doc") / F.lit(25.0)).cast("long").alias(
+            "bucket"
+        )
+    ).agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return buckets.select(
+        "bucket",
+        ((F.col("bucket") + 1) * 25).alias("docs_seen"),
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
+    )
