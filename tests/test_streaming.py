@@ -280,3 +280,57 @@ def test_stream_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2 * n  # no dupes (would be > 2n), no holes (< 2n)
     assert back.select("event_id").distinct().count() == 2 * n
+
+
+def test_native_hopping_window_stream_matches_batch(spark):
+    """The hopping-window aggregate (events_hopping_agg's declaration)
+    under readStream + watermark emits, on an AvailableNow drain in
+    append mode, a subset of the batch twin's windows, value-equal on
+    every emitted row — same contract as the session-window parity
+    test."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.plans.catalog import registry
+    from bag_parser_spark.streaming.events import read_events_stream
+
+    ev = read_events_stream(spark, f"{SF}/events.parquet")
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_hop_native")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("ev_hop_native").collect()
+    }
+    batch_rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in registry()["events_hopping_agg"].fn(spark, SF).collect()
+    }
+    assert len(stream_rows) > 1000  # most historic windows seal on drain
+    assert set(stream_rows).issubset(set(batch_rows))
+    for key, (n, total) in stream_rows.items():
+        b_n, b_total = batch_rows[key]
+        assert n == b_n
+        assert abs(total - b_total) < 1e-9
