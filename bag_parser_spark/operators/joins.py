@@ -81,45 +81,6 @@ def update_join(
     return out.drop(*drop)
 
 
-def salted_join(
-    skewed: DataFrame,
-    other: DataFrame,
-    skewed_key: str,
-    other_key: str,
-    num_salts: int = 16,
-    how: str = "inner",
-) -> DataFrame:
-    """Skew-mitigating equi-join: hot keys on the skewed side would send
-    one shuffle partition 1000× the work of the rest (the classic
-    straggler at cluster scale). The skewed side gets a deterministic salt
-    (uniform from the row's own key-adjacent content via xxhash64 of all
-    columns), the other side is replicated ``num_salts``× with every salt
-    value, and the join key becomes (key, salt) — hot keys fan out over
-    ``num_salts`` partitions.
-
-    Use when AQE's skew-join (splitting oversized partitions at runtime)
-    isn't available or the skew is in a single key beyond what partition
-    splitting fixes; the replicated side must be the smaller one (cost =
-    num_salts × its size). Result equals the plain join exactly — salt
-    columns are internal.
-    """
-    salt = (
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts))
-    ).cast("int")
-    left = skewed.withColumn("__salt__", salt)
-    right = other.withColumn(
-        "__salt__",
-        F.explode(F.array(*[F.lit(i) for i in range(num_salts)])),
-    )
-    out = left.join(
-        right,
-        (F.col(skewed_key) == F.col(other_key))
-        & (left["__salt__"] == right["__salt__"]),
-        how,
-    )
-    return out.drop("__salt__")
-
-
 def conditional_orphan_delete(
     df: DataFrame,
     dim: DataFrame,

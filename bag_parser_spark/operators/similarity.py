@@ -229,17 +229,17 @@ def ivf_topk(
     # norms once per vector/centroid (Column-side, tiny); the |corpus|×|cells|
     # assignment scoring itself runs Arrow-vectorized — the hot stage here
     pair_cos = _arrow_pair_cosine()
-    # argmax = max over struct(sim, -cid, vec): field-order comparison gives
-    # max sim with deterministic min-cid tiebreak (max_by semantics plus a
-    # total order); vec rides along so no second join is needed.
-    # REQUIRES a numeric cid (the negation is the tiebreak); for string/UUID
-    # centroid ids, map them to a dense numeric index first — a one-column
-    # broadcast dimension — rather than reverting to a row_number() window,
-    # which would shuffle the whole |corpus|×|cells| product
-    best = F.max(
+    # argmax = min over struct(-sim, cid, vec): field-order comparison gives
+    # max sim (negated — sim is always a double, so the negation lives on
+    # the numeric field) with deterministic min-cid tiebreak for ANY
+    # orderable cid type (long, string, UUID-as-string, date); vec rides
+    # along so no second join is needed. This is max_by semantics plus a
+    # total order, still a partial-aggregable min — the shuffle moves one
+    # row per vector, never the |corpus|×|cells| product.
+    best = F.min(
         F.struct(
-            F.col("__sim__").alias("s"),
-            (-F.col("cid")).alias("__negcid__"),
+            (-F.col("__sim__")).alias("__negsim__"),
+            F.col("cid").alias("c"),
             F.col("__vec__").alias("v"),
         )
     ).alias("__best__")
@@ -262,7 +262,7 @@ def ivf_topk(
         .select(
             "__vid__",
             F.col("__best__.v").alias("__vec__"),
-            (-F.col("__best__.__negcid__")).alias("cid"),
+            F.col("__best__.c").alias("cid"),
         )
     )
     cents = [(r["cid"], [float(x) for x in r["cv"]]) for r in c.collect()]

@@ -942,14 +942,71 @@ def q_f8(spark, sf_dir):
 # public API used by __spark_entry__
 # ---------------------------------------------------------------------------
 
+# Driver-verification priority. The correctness driver samples the catalog in
+# dict order with a bounded budget (r3 recorded exactly the first 50 keys), so
+# the emit order is round-robin across operator FAMILIES, families whose
+# members have never had a driver row first (r1-r3 verified the first-50
+# registration-order prefix — joins/preds/scalars/geometry and the first
+# corpus block; see CORRECTNESS_r0{1,2,3}.json). This guarantees every family
+# lands driver rows even under a hard cap, while the already-driver-green
+# queries re-verify whenever budget remains. Queries not listed (or added
+# later) follow in registration order — nothing is ever dropped.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # pass 1 — one per never-verified family
+    "tpch_q1_pricing_summary", "ts_asof_join", "events_windowed_agg",
+    "sim_cosine_topk", "mm_binary_metadata", "text_entropy",
+    "a7_approx_distinct", "f14_null_semantics", "j10_salted_skew_join",
+    "vocab_build",
+    # pass 2
+    "tpch_q3_shipping_priority", "ts_window_battery", "events_sessionize",
+    "sim_lsh_bucket_topk", "mm_image_features", "text_boilerplate_removal",
+    "a8_approx_quantiles", "f15_string_pack", "j12_runtime_filter_join",
+    "tfidf_vectors",
+    # pass 3
+    "tpch_q6_forecast_revenue", "ts_topk_per_user", "events_hopping_agg",
+    "sim_knn_join", "mm_resize", "text_repetition_metrics",
+    "a15_heavy_hitters", "f16_date_pack", "j14_fuzzy_blocked_join",
+    "lm_doc_score",
+    # pass 4
+    "tpch_q5_local_supplier_volume", "ts_gapfill", "events_session_window",
+    "sim_ivf_topk", "mm_frame_sample", "text_source_drift",
+    "a19_hll_mergeable", "f17_array_pack", "chunk_documents",
+    "dedup_canonical",
+    # pass 5
+    "tpch_q4_order_priority", "ts_scd2_intervals", "events_ema",
+    "dedup_embedding_cosine", "a16_mad_outliers", "a17_histogram",
+    "a18_mode", "sample_negatives", "sample_global_shuffle",
+    "quality_quantile_band",
+    # pass 6 — remaining never-verified
+    "tpch_q18_large_volume", "ts_interval_join", "events_funnel",
+    "events_twa", "a20_ntile_binning", "a21_trimmed_mean",
+    "a22_linreg_suffstats", "cohort_retention", "cust_rfm",
+    "orders_monthly_yoy",
+    # pass 7
+    "tpch_q10_returned_items", "tpch_q14_promo_effect", "events_markov",
+    "events_stream_enrich", "events_sliding_distinct", "a23_pareto",
+    "a24_incremental_rollup", "dq_star_schema", "docs_vocab_growth",
+)
+
+
+def _ordered_names() -> list[str]:
+    prioritized = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
+    seen = set(prioritized)
+    return prioritized + [n for n in _REGISTRY if n not in seen]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
-    return {name: qd.fn for name, qd in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_extensions()
-    return {name: qd.sql for name, qd in _REGISTRY.items() if qd.sql is not None}
+    return {
+        name: _REGISTRY[name].sql
+        for name in _ordered_names()
+        if _REGISTRY[name].sql is not None
+    }
 
 
 def _load_extensions() -> None:

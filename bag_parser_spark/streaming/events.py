@@ -47,17 +47,32 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     regeneration. ``path`` may be a directory or a single file — the file
     source wants a directory, so a file path becomes (dirname,
     pathGlobFilter=basename).
+
+    Assumes a homogeneous encoding: ALL files under ``path`` must use the
+    same physical ts type as the (lexicographically first) peeked file —
+    a directory mixing the two encodings would be read with the wrong
+    schema for the other files. The driver regenerates whole directories
+    atomically, so this holds for every source we read; writers of custom
+    stream inputs must preserve it.
     """
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    sample = (
-        path
-        if path.endswith(".parquet")
-        else sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
-    )
+    if path.endswith(".parquet"):
+        sample = path
+    else:
+        found = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not found:
+            raise FileNotFoundError(
+                f"read_events_stream: no *.parquet files under {path!r} — "
+                "the file stream source needs at least one existing file "
+                "to infer the physical ts encoding. Create the directory "
+                "with an initial (possibly empty-rows) parquet file, or "
+                "point at a populated source."
+            )
+        sample = found[0]
     # timestamp[ns] = INT64 TIMESTAMP(NANOS); plain int64 = pre-converted
     # nano epochs (the redelivery fixtures write these) — both take the
     # read-as-long + rebuild path.

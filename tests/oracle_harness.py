@@ -31,6 +31,11 @@ SF_DIR = "/root/testdata/sf0.01"
 
 def duck_con(sf_dir: str = SF_DIR) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Pin the connection timezone so any TIMESTAMPTZ that sneaks into an
+    # oracle behaves identically on non-UTC hosts (ADVICE r3). Oracles are
+    # still written tz-free (make_timestamp, naive TIMESTAMP) because the
+    # driver's own connection is outside our control.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -106,24 +106,27 @@ def test_ivf_topk_scores_match_exact(spark):
     assert got[0]["vec_id"] == 0  # query vector is in the corpus -> sim 1.0
 
 
-def test_salted_join_equals_plain_join(spark):
-    # 90% of rows share one hot key — the shape that melts a shuffle
-    skewed = spark.createDataFrame(
-        [(i, 7 if i % 10 else i % 5, f"v{i}") for i in range(2000)],
-        "row_id long, fk long, payload string",
+def test_ivf_topk_string_centroid_ids(spark):
+    """The cell-assignment argmax must be type-generic in the centroid id
+    (r3 ADVICE: the old struct tiebreak negated cid, failing analysis for
+    string/UUID ids). Same centroids as the numeric test but with ids like
+    'cell-0000' — results must be identical to the numeric-id run."""
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents_num = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    dim = spark.createDataFrame(
-        [(k, f"d{k}") for k in range(10)], "key long, dval string"
+    # zero-padded so string min-cid ordering == numeric min-cid ordering
+    cents_str = cents_num.select(
+        F.format_string("cell-%04d", F.col("cid")).alias("cid"), "cv"
     )
-    got = joins.salted_join(skewed, dim, "fk", "key", num_salts=8).select(
-        "row_id", "fk", "payload", "key", "dval"
-    )
-    want = skewed.join(dim, skewed["fk"] == dim["key"]).select(
-        "row_id", "fk", "payload", "key", "dval"
-    )
-    assert got.exceptAll(want).count() == 0
-    assert want.exceptAll(got).count() == 0
-    assert got.count() == want.count() > 0
+    kw = dict(id_col="vec_id", vec_col="embedding", query_vec=qv, k=10, nprobe=2)
+    got_str = similarity.ivf_topk(e, centroids=cents_str, **kw).collect()
+    got_num = similarity.ivf_topk(e, centroids=cents_num, **kw).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in got_str] == [
+        (r["vec_id"], r["cosine_sim"]) for r in got_num
+    ]
+    assert got_str[0]["vec_id"] == 0
 
 
 def test_multimodal_resize_and_frames(spark):
