@@ -1,0 +1,214 @@
+"""CLI front door: ``python -m bag_parser_spark <command>``.
+
+Runnable-script parity with the reference (reference import_bag.py:13-90,
+export_to_csv.py:7-37, test_sqlite_db.py:12-14):
+
+  import    BAG XML (+ gemeenten CSV) → parquet tables [+ SQLite compat file]
+  export    adressen exports → CSV; same flag surface as the reference
+            (-a/--all, -p4, -p5, -p6; default = postcode export)
+  validate  run the invariant battery on an imported table set
+
+The reference drives everything from config.py constants; here the same
+options are flags (the library default, EngineConfig, stays declarative).
+Logs go to stderr; stdout carries only machine-readable results (the
+validate report as TSV), mirroring the bench contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _add_spark_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None,
+                   help="Spark master (default local[$SPARK_GRAFT_CPUS])")
+
+
+def _get_spark(args, app: str):
+    from bag_parser_spark.session import get_spark
+
+    return get_spark(app_name=app, master=args.master)
+
+
+def _load_db_tables(spark, db_dir: str, names: list[str]) -> dict:
+    missing = [n for n in names
+               if not os.path.isdir(os.path.join(db_dir, n))]
+    if missing:
+        raise SystemExit(
+            f"table(s) {missing} not found under {db_dir!r} — run "
+            "`python -m bag_parser_spark import` first (see readme)"
+        )
+    return {n: spark.read.parquet(os.path.join(db_dir, n)) for n in names}
+
+
+def cmd_import(args) -> int:
+    """Mirror of reference import_bag.py:13-90: unzip+parse the 8 entity
+    streams, build adressen, validate, emit the artifact set."""
+    from bag_parser_spark.config import EngineConfig
+    from bag_parser_spark.plans.bag_job import import_bag
+
+    t0 = time.perf_counter()
+    if not os.path.exists(args.bag):
+        raise SystemExit("BAG file not found. See readme.MD")  # ref:38-39
+    cfg = EngineConfig(
+        active_only=not args.include_inactive,
+        use_short_street_names=args.short_street_names,
+        parse_geometries=args.geometries,
+        snapshot_date=args.snapshot_date,
+    )
+    spark = _get_spark(args, "bag-import")
+    _log(f"start: parse BAG XML {args.bag!r} to parquet {args.out!r}")
+    tables = import_bag(spark, args.bag, args.gemeenten, out_dir=args.out,
+                        cfg=cfg)
+    n = tables["adressen"].count()
+    _log(f"adressen: {n} rows")
+    if args.sqlite:
+        from bag_parser_spark.sources.sqlite_compat import write_bag_sqlite
+
+        counts = write_bag_sqlite(tables, args.sqlite)
+        _log(f"sqlite compat file {args.sqlite!r}: {counts}")
+        size_mb = os.path.getsize(args.sqlite) / (1024 * 1024)
+        _log(f"final SQLite file size: {size_mb:.1f} MB")
+    _log(f"total run time: {time.perf_counter() - t0:.1f}s")
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Mirror of reference export_to_csv.py:7-37 — one export per
+    invocation, flag-selected; default is the 5-column postcode export."""
+    from bag_parser_spark.plans import export as X
+
+    spark = _get_spark(args, "bag-export")
+    tables = _load_db_tables(
+        spark, args.db,
+        ["adressen", "openbare_ruimten", "gemeenten", "woonplaatsen",
+         "provincies"],
+    )
+    if args.all:
+        df = X.export_adressen_all(
+            tables["adressen"], tables["openbare_ruimten"],
+            tables["gemeenten"], tables["woonplaatsen"], tables["provincies"],
+        )
+        default_name = "adressen_all_data.csv"
+    elif args.postcode4 or args.postcode5 or args.postcode6:
+        digits = 4 if args.postcode4 else (5 if args.postcode5 else 6)
+        df = X.export_postcode_stats(
+            tables["adressen"], tables["woonplaatsen"], digits
+        )
+        default_name = f"adressen_p{digits}_stats.csv"
+    else:
+        df = X.export_adressen_postcode(
+            tables["adressen"], tables["openbare_ruimten"],
+            tables["woonplaatsen"],
+        )
+        default_name = "adressen_postcodes.csv"
+    out = args.out or os.path.join("output", default_name)
+    X.write_csv(df, out, single_file=args.single_file)
+    _log(f"exported to {out!r}")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Mirror of reference test_sqlite_db.py:12-14: run the invariant
+    battery; report to stdout as TSV, exit 1 on any failed check."""
+    from bag_parser_spark.config import EngineConfig
+    from bag_parser_spark.plans.validate import validate_bag
+
+    overrides = {
+        k: v
+        for k, v in {
+            "min_adressen": args.min_adressen,
+            "min_adressen_with_pand": args.min_adressen_with_pand,
+            "min_ligplaatsen": args.min_ligplaatsen,
+            "min_standplaatsen": args.min_standplaatsen,
+            "min_openbare_ruimten": args.min_openbare_ruimten,
+            "min_woonplaatsen": args.min_woonplaatsen,
+            "min_gemeenten": args.min_gemeenten,
+        }.items()
+        if v is not None
+    }
+    cfg = EngineConfig(snapshot_date=None, **overrides)
+    spark = _get_spark(args, "bag-validate")
+    tables = _load_db_tables(
+        spark, args.db,
+        ["adressen", "gemeenten", "woonplaatsen", "openbare_ruimten",
+         "provincies"],
+    )
+    report, ok = validate_bag(
+        tables["adressen"], tables["gemeenten"], tables["woonplaatsen"],
+        tables["openbare_ruimten"], tables["provincies"], cfg,
+    )
+    for r in report.collect():
+        print(f"{r['check']}\t{r['value']}\t{'PASS' if r['passed'] else 'FAIL'}")
+    _log("validation: " + ("ALL PASS" if ok else "FAILURES PRESENT"))
+    return 0 if ok else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m bag_parser_spark",
+        description="BAG parser on Spark — import / export / validate",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    imp = sub.add_parser("import", help="parse BAG XML to parquet tables")
+    imp.add_argument("--bag", required=True,
+                     help="directory of LVBAG XML files or per-entity zips")
+    imp.add_argument("--gemeenten", required=True,
+                     help="gemeenten CSV (reference input/gemeenten.csv)")
+    imp.add_argument("--out", required=True, help="output parquet directory")
+    imp.add_argument("--sqlite", default=None,
+                     help="also write a reference-compatible SQLite file")
+    imp.add_argument("--snapshot-date", default=None,
+                     help="validity snapshot date (default: today)")
+    imp.add_argument("--include-inactive", action="store_true",
+                     help="keep historical records (reference active_only=False)")
+    imp.add_argument("--short-street-names", action="store_true")
+    imp.add_argument("--geometries", action="store_true",
+                     help="parse + convert geometries (reference "
+                     "parse_geometries)")
+    _add_spark_args(imp)
+    imp.set_defaults(fn=cmd_import)
+
+    exp = sub.add_parser("export", help="export adressen to CSV")
+    exp.add_argument("--db", required=True, help="parquet directory from import")
+    exp.add_argument("--out", default=None, help="output CSV path")
+    exp.add_argument("-a", "--all", action="store_true",
+                     help="export all data incl. bouwjaar/lat/lon/oppervlakte/"
+                     "gebruiksdoel")
+    exp.add_argument("-p4", "--postcode4", action="store_true",
+                     help="stats of 4-character postcode groups (e.g. 1000)")
+    exp.add_argument("-p5", "--postcode5", action="store_true",
+                     help="stats of 5-character postcode groups (e.g. 1000A)")
+    exp.add_argument("-p6", "--postcode6", action="store_true",
+                     help="stats of 6-character postcode groups (e.g. 1000AA)")
+    exp.add_argument("--single-file", action="store_true",
+                     help="coalesce to one CSV file (reference parity)")
+    _add_spark_args(exp)
+    exp.set_defaults(fn=cmd_export)
+
+    val = sub.add_parser("validate", help="run the invariant battery")
+    val.add_argument("--db", required=True, help="parquet directory from import")
+    for flag in ("min-adressen", "min-adressen-with-pand", "min-ligplaatsen",
+                 "min-standplaatsen", "min-openbare-ruimten",
+                 "min-woonplaatsen", "min-gemeenten"):
+        val.add_argument(f"--{flag}", type=int, default=None)
+    _add_spark_args(val)
+    val.set_defaults(fn=cmd_validate)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,15 +85,19 @@ def import_bag(
             spark, entity_xml_path(xml_root, entity), entity, cfg
         )
 
+    # enrich BEFORE the persist cut so the on-disk woonplaatsen already
+    # carries gemeente_id — disk consumers (CLI export/validate, the
+    # SQLite-compat sink) read the finished table, matching the reference's
+    # add_gemeenten_into_woonplaatsen running inside the import
+    tables["woonplaatsen"] = P.enrich_woonplaatsen(
+        tables["woonplaatsen"], tables["gemeente_woonplaatsen"]
+    )
+
     if out_dir:
         for name in list(tables):
             path = os.path.join(out_dir, name)
             tables[name].write.mode("overwrite").parquet(path)
             tables[name] = spark.read.parquet(path)
-
-    tables["woonplaatsen"] = P.enrich_woonplaatsen(
-        tables["woonplaatsen"], tables["gemeente_woonplaatsen"]
-    )
     adressen = P.build_adressen(
         tables["nummers"],
         tables["openbare_ruimten"],

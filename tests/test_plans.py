@@ -179,6 +179,8 @@ def test_no_rdd_api_and_bounded_driver_actions():
         "operators/joins.py",     # orphan_delete's documented count
         "operators/dedup.py",     # CC convergence probe (1-row count)
         "operators/similarity.py",  # IVF centroid pull (k rows)
+        "__main__.py",            # CLI driver program: report rows + counters
+        "sources/sqlite_compat.py",  # driver-side compat sink by design
     }
     action_re = re.compile(r"\.collect\(\)|\.count\(\)|\.toPandas\(\)")
     for py in sorted(pkg.rglob("*.py")):
