@@ -2,12 +2,14 @@
 opaque ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode* step is stubbed:
-``decode_image_stub`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case it derives reproducible fake
-"pixel statistics" from the raw bytes. Everything Spark-side — schema,
-partition sizing, UDF signatures, Arrow batch shape — is real and tested;
-swapping in a real codec is a one-function change.
+IMAGE decode is REAL: ``functions/png_codec.py`` decodes genuine PNG bytes
+with stdlib zlib (Pillow preferred when importable — any format, C speed).
+``generate_png_payloads`` builds real PNG payloads executor-side from a
+deterministic pixel formula so catalog oracles can predict the decoded
+statistics independently. Audio/video frame decode remains a
+clearly-marked deterministic fake (``frame_sample_stub``) — those codecs
+genuinely aren't in this container; the Spark-side plumbing (schema,
+1→N explode shape, Arrow batching) is real and tested.
 
 Scale notes: binary payloads ride in parquet with metadata columns, so
 filters on metadata (mime, byte_len, checksum) prune row groups *without
@@ -60,47 +62,83 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image_stub(data: bytes, deterministic_fake: bool) -> dict:
-    """STUB: the real implementation would decode with PIL/libvips (not in
-    this container). The deterministic fake derives stable pseudo-dimensions
-    and byte statistics from the payload so the distributed plumbing is
-    testable end-to-end."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image decoding requires a codec library not present in this "
-            "environment; pass deterministic_fake=True for plumbing tests"
-        )
-    n = len(data)
-    checksum = sum(data[:64]) if n else 0
-    return {
-        "width": 16 + checksum % 64,
-        "height": 16 + (checksum // 64) % 64,
-        "mean_byte": (sum(data) / n) if n else 0.0,
-        "n_bytes": n,
-    }
+def synthetic_image_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc dimensions for generated fixture images —
+    mirrored by the catalog oracles (4..16 × 3..9, every size hit)."""
+    return 4 + doc_id % 13, 3 + doc_id % 7
+
+
+def synthetic_pixel(doc_id: int, x: int, y: int, c: int) -> int:
+    """Deterministic RGB pixel formula; non-constant along x, y and channel
+    so every PNG filter type produces non-trivial deltas."""
+    return (doc_id + 3 * x + 5 * y + 7 * c) % 256
+
+
+def generate_png_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL PNG payload per row, built executor-side from the
+    deterministic pixel formula (RGB, dimensions from synthetic_image_dims,
+    all five scanline filters exercised by the encoder). This stands in for
+    the `binaryFile` scan a real corpus would use — downstream operators
+    decode genuine PNG bytes either way."""
+    from bag_parser_spark.functions import png_codec
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                doc_id = int(i)
+                w, h = synthetic_image_dims(doc_id)
+                px = bytes(
+                    synthetic_pixel(doc_id, x, y, c)
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                rows.append(
+                    {"doc_id": doc_id,
+                     "payload": png_codec.encode_png(w, h, px, channels=3)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
 
 
 def extract_image_features(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
-    deterministic_fake: bool = True,
 ) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads — Arrow batches
-    in, Arrow batches out; one Python worker per task, no per-row overhead."""
+    """REAL image decode + feature extraction via Arrow-batched mapInPandas:
+    payload bytes → (width, height, mean pixel value, decoded byte count).
+    Decode is functions/png_codec.decode_image — Pillow when importable,
+    pure-stdlib PNG otherwise; a non-image payload raises a descriptive
+    UnsupportedImageError from the worker."""
+    from bag_parser_spark.functions import png_codec
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                feats = decode_image_stub(bytes(payload), deterministic_fake)
+                img = png_codec.decode_image(bytes(payload))
+                px = img["pixels"]
                 rows.append(
                     {
                         "doc_id": i,
-                        "width": feats["width"],
-                        "height": feats["height"],
-                        "mean_byte": feats["mean_byte"],
-                        "n_bytes": feats["n_bytes"],
+                        "width": img["width"],
+                        "height": img["height"],
+                        # ints sum exactly (< 2^53): one IEEE division at
+                        # the end, reproducible by the oracle's SUM/COUNT
+                        "mean_byte": sum(px) / len(px) if px else 0.0,
+                        "n_bytes": len(px),
                     }
                 )
             yield pd.DataFrame(
@@ -112,20 +150,24 @@ def extract_image_features(
     )
 
 
-def resize_images_stub(
+def resize_images(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
-    target_w: int = 32,
-    target_h: int = 32,
+    target_w: int = 8,
+    target_h: int = 8,
+    reencode: bool = False,
 ) -> DataFrame:
-    """Image-resize plumbing: payload in → resized payload + new dims out
-    (1:1 map, payload-transforming — unlike feature extraction it RETURNS
-    binary, so output batches are as heavy as input batches; size Arrow
-    batches via spark.sql.execution.arrow.maxRecordsPerBatch accordingly).
-    The fake "resize" deterministically re-samples the byte stream to
-    target_w*target_h bytes; a real implementation swaps in a codec at the
-    marked line and keeps the identical schema/batch shape."""
+    """REAL image resize: decode payload → nearest-neighbor resample →
+    raw pixel buffer out (or a re-encoded PNG with ``reencode=True``).
+    1:1 payload-transforming map — output batches are as heavy as input
+    batches; size Arrow batches via
+    spark.sql.execution.arrow.maxRecordsPerBatch for large payloads.
+    Raw-buffer default keeps the output a pure function of the pixels so
+    the oracle can compare byte-for-byte (a PNG re-encode depends on zlib
+    settings, which no SQL twin can reproduce)."""
+    from bag_parser_spark.functions import png_codec
+
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -134,19 +176,20 @@ def resize_images_stub(
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    n_out = target_w * target_h
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload)
-                # REAL CODEC GOES HERE: PIL.Image.open(...).resize(...)
-                if data:
-                    step = max(len(data) // n_out, 1)
-                    out = data[::step][:n_out].ljust(n_out, b"\x00")
-                else:
-                    out = b"\x00" * n_out
+                img = png_codec.decode_image(bytes(payload))
+                out = png_codec.resize_nearest(
+                    img["pixels"], img["width"], img["height"],
+                    img["channels"], target_w, target_h,
+                )
+                if reencode:
+                    out = png_codec.encode_png(
+                        target_w, target_h, out, img["channels"]
+                    )
                 rows.append(
                     {
                         "doc_id": i,

@@ -932,80 +932,81 @@ def q_mm_meta(spark, sf_dir):
     )
 
 
-# The deterministic-fake decode is pure byte arithmetic over the payload
-# (= UTF-8 bytes of `text`, pure ASCII in the synthetic corpus — verified:
-# octet_length(encode(text)) == length(text) for every row), so the DuckDB
-# twin recomputes it with per-char ascii() sums. The point of the oracle is
-# the mapInPandas PLUMBING: schema, Arrow batch shape, and the exact byte
-# arithmetic all have to line up value-for-value across 500 docs.
-_MM_BYTE = "ascii(substring(text, i, 1))"
+# REAL image decode path: each doc gets a genuine PNG payload built
+# executor-side from the deterministic pixel formula (operators/multimodal
+# synthetic_pixel: (doc_id + 3x + 5y + 7c) % 256, dims 4..16 × 3..9, RGB,
+# all five PNG scanline filters). Spark encodes THEN decodes real PNG
+# bytes (functions/png_codec — stdlib zlib, Pillow when present); the
+# oracle predicts the decoded statistics straight from the pixel formula,
+# so an encoder/decoder bug pair would have to cancel across five filter
+# algorithms AND reproduce the formula to slip through.
+_MM_DIMS = "SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents"
 
 
 @register(
     "mm_image_features",
     f"""
-    WITH b AS (
-      SELECT doc_id, length(text) AS n,
-             list_sum(list_transform(range(1, least(64, length(text)) + 1),
-                                     i -> {_MM_BYTE})) AS sum64,
-             list_sum(list_transform(range(1, length(text) + 1),
-                                     i -> {_MM_BYTE})) AS total
-      FROM documents
+    WITH dims AS ({_MM_DIMS}),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id + 3 * t.x + 5 * u.y + 7 * v.c) % 256 AS val
+      FROM dims,
+           UNNEST(range(0, w)) AS t(x),
+           UNNEST(range(0, h)) AS u(y),
+           UNNEST(range(0, 3)) AS v(c)
     )
     SELECT doc_id,
-           CAST(16 + sum64 % 64 AS INTEGER) AS width,
-           CAST(16 + (sum64 // 64) % 64 AS INTEGER) AS height,
-           CAST(total AS DOUBLE) / n AS mean_byte,
-           CAST(n AS BIGINT) AS n_bytes
-    FROM b
+           CAST(MIN(w) AS INTEGER) AS width,
+           CAST(MIN(h) AS INTEGER) AS height,
+           CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean_byte,
+           COUNT(*) AS n_bytes
+    FROM px GROUP BY doc_id
     """,
-    doc="Arrow-batched mapInPandas feature extraction over binary payloads "
-    "(deterministic fake decode — real codec is a one-function swap; see "
-    "operators/multimodal.py). The fake stats are pure byte arithmetic "
-    "(first-64-byte checksum -> pseudo dims, whole-payload mean), so the "
-    "oracle recomputes them per-char in SQL — upgrading this row from "
-    "rows-only to value-level.",
+    doc="REAL image decode via Arrow-batched mapInPandas: real PNG payloads "
+    "(encoded executor-side, every scanline filter type) decoded by "
+    "functions/png_codec (pure-stdlib zlib; Pillow-backed when installed) "
+    "into width/height/mean-pixel/byte-count. The oracle recomputes the "
+    "expected statistics independently from the synthetic pixel formula — "
+    "decoded dimensions and pixel means must match value-for-value, so "
+    "this is a true codec correctness gate, not a plumbing check.",
 )
 def q_mm_features(spark, sf_dir):
-    d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return multimodal.extract_image_features(d, deterministic_fake=True)
+    d = multimodal.generate_png_payloads(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_image_features(d)
 
 
 @register(
     "mm_resize",
-    """
-    WITH p AS (
-      SELECT doc_id, text, length(text) AS n,
-             greatest(length(text) // 1024, 1) AS step
-      FROM documents
-    ),
-    sel AS (
-      SELECT doc_id, text, step,
-             least((n + step - 1) // step, 1024) AS n_sel
-      FROM p
+    f"""
+    WITH dims AS ({_MM_DIMS}),
+    px AS (
+      SELECT doc_id,
+             (u.y * 8 + t.x) * 3 + v.c AS ord,
+             (doc_id + 3 * ((t.x * w) // 8) + 5 * ((u.y * h) // 8)
+              + 7 * v.c) % 256 AS val
+      FROM dims,
+           UNNEST(range(0, 8)) AS t(x),
+           UNNEST(range(0, 8)) AS u(y),
+           UNNEST(range(0, 3)) AS v(c)
     )
     SELECT doc_id,
-           CAST(32 AS INTEGER) AS width,
-           CAST(32 AS INTEGER) AS height,
-           array_to_string(
-             list_transform(range(0, n_sel),
-                            i -> hex(substring(text, CAST(i AS INTEGER) * step + 1, 1))),
-             '') || repeat('00', 1024 - n_sel) AS payload_hex
-    FROM sel
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           string_agg(upper(lpad(to_hex(val), 2, '0')), '' ORDER BY ord)
+             AS payload_hex
+    FROM px GROUP BY doc_id
     """,
-    doc="Image-resize plumbing: 1:1 payload-in/payload-out mapInPandas "
-    "(binary out, so batches stay heavy — sized via Arrow batch config). "
-    "Deterministic fake resampler (stride-subsample bytes to 32*32, "
-    "zero-pad); real codec is a one-line swap. Value-level oracle: the "
-    "output payload is compared byte-for-byte as its HEX string (raw "
-    "binary cells hash engine-unstably in pandas: bytes vs bytearray), "
-    "recomputed in SQL via per-char stride selection over the ASCII text.",
+    doc="REAL image resize: decode the PNG payload, nearest-neighbor "
+    "resample to 8x8 (src = (dst * src_dim) // 8 floor map), emit the raw "
+    "pixel buffer (1:1 payload-transforming mapInPandas; binary out, so "
+    "batches stay heavy — sized via Arrow batch config). Value-level "
+    "oracle: every output pixel is predicted from the pixel formula "
+    "composed with the same floor map and compared byte-for-byte as HEX "
+    "(raw binary cells hash engine-unstably in pandas).",
 )
 def q_mm_resize(spark, sf_dir):
-    d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return multimodal.resize_images_stub(
-        d, target_w=32, target_h=32
-    ).select(
+    d = multimodal.generate_png_payloads(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_images(d, target_w=8, target_h=8).select(
         "doc_id", "width", "height", F.hex("payload").alias("payload_hex")
     )
 

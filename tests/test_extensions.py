@@ -132,14 +132,19 @@ def test_ivf_topk_string_centroid_ids(spark):
 def test_multimodal_resize_and_frames(spark):
     from bag_parser_spark.operators import multimodal
 
-    d = multimodal.attach_binary_payload(
-        load_table(spark, SF_CORRECT, "documents").limit(50)
-    )
-    resized = multimodal.resize_images_stub(d, target_w=8, target_h=8).collect()
+    docs = load_table(spark, SF_CORRECT, "documents").limit(50)
+    # REAL path: encode real PNGs executor-side, decode+resize them back
+    png = multimodal.generate_png_payloads(docs)
+    resized = multimodal.resize_images(png, target_w=8, target_h=8).collect()
     assert len(resized) == 50
     for r in resized:
         assert (r["width"], r["height"]) == (8, 8)
-        assert len(r["payload"]) == 64  # exactly target_w*target_h bytes
+        assert len(r["payload"]) == 8 * 8 * 3  # raw RGB buffer
+        # spot-check the corner pixel against the formula composed with the
+        # nearest-neighbor floor map (dst 0 → src 0 → pixel(doc,0,0,c))
+        doc = r["doc_id"]
+        assert r["payload"][0] == multimodal.synthetic_pixel(doc, 0, 0, 0)
+    d = multimodal.attach_binary_payload(docs)
     frames = multimodal.frame_sample_stub(d, every_nth=64)
     per_doc = dict(
         (r["doc_id"], r["n"])

@@ -1,0 +1,114 @@
+"""functions/png_codec: real PNG encode/decode roundtrips (no Spark).
+
+The decoder is the codec behind mm_image_features/mm_resize; these tests
+pin it down independently of the catalog oracles: exact pixel roundtrips
+across sizes that exercise all five scanline filters, channel counts
+1/2/3/4, error paths for unsupported inputs, the nearest-neighbor
+resampler against hand-computed expectations, and a Pillow cross-check
+that skips gracefully where Pillow isn't installed.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bag_parser_spark.functions import png_codec as P
+
+
+def _gradient(w: int, h: int, ch: int, seed: int = 0) -> bytes:
+    return bytes(
+        (seed + 3 * x + 5 * y + 7 * c) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (1, 7), (16, 1), (5, 5), (13, 9)])
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_roundtrip_exact(w, h, ch):
+    px = _gradient(w, h, ch, seed=w * h + ch)
+    data = P.encode_png(w, h, px, channels=ch)
+    assert data[:8] == P.PNG_MAGIC
+    out = P.decode_image(data)
+    assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+    assert out["pixels"] == px
+
+
+def test_roundtrip_covers_every_filter_type():
+    # 7 rows → filters 0,1,2,3,4,0,1 all present in one image
+    px = _gradient(6, 7, 3, seed=42)
+    out = P.decode_image(P.encode_png(6, 7, px, channels=3))
+    assert out["pixels"] == px
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 255),
+)
+def test_roundtrip_property(w, h, seed):
+    px = _gradient(w, h, 3, seed)
+    assert P.decode_image(P.encode_png(w, h, px))["pixels"] == px
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(P.UnsupportedImageError, match="magic"):
+        P.decode_image(b"GIF89a not a png")
+
+
+def test_unsupported_bit_depth_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit
+    data = (
+        P.PNG_MAGIC
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(P.UnsupportedImageError, match="bit depth"):
+        P.decode_image(data)
+
+
+def test_truncated_idat_rejected():
+    data = P.encode_png(4, 4, _gradient(4, 4, 3))
+    # corrupt the deflate stream length by chopping the file before IEND
+    with pytest.raises((P.UnsupportedImageError, zlib.error)):
+        P.decode_image(data[:40])
+
+
+def test_resize_nearest_floor_map():
+    # 4x2 RGB source, downsample to 2x1: dst(0,0)<-src(0,0), dst(1,0)<-src(2,0)
+    px = _gradient(4, 2, 3, seed=9)
+    out = P.resize_nearest(px, 4, 2, 3, 2, 1)
+    assert len(out) == 2 * 1 * 3
+    assert out[0:3] == px[0:3]
+    assert out[3:6] == px[2 * 3 : 2 * 3 + 3]
+
+
+def test_resize_nearest_upsample_replicates():
+    px = bytes([10, 20, 30, 40, 50, 60])  # 2x1 RGB
+    out = P.resize_nearest(px, 2, 1, 3, 4, 2)
+    # floor map: dst x 0,1 -> src 0; dst x 2,3 -> src 1; both rows -> src y 0
+    row = bytes([10, 20, 30, 10, 20, 30, 40, 50, 60, 40, 50, 60])
+    assert out == row + row
+
+
+@pytest.mark.skipif(not P.has_pillow(), reason="Pillow not installed")
+def test_pillow_crosscheck():
+    """Where Pillow exists, our encoder's output must decode identically
+    through both backends."""
+    import io
+
+    import PIL.Image
+
+    px = _gradient(13, 9, 3, seed=7)
+    data = P.encode_png(13, 9, px)
+    img = PIL.Image.open(io.BytesIO(data))
+    assert (img.width, img.height) == (13, 9)
+    assert img.tobytes() == px
+    assert P.decode_image(data)["pixels"] == px
