@@ -92,12 +92,20 @@ def parse_xml_records(
         record[column] = f"{prior},{value}" if prior else value
 
 
-def _maybe_unzip(path: str, payload: bytes) -> list[bytes]:
-    if path.endswith(".zip"):
+def _iter_xml_payloads(name: str, payload: bytes) -> Iterator[bytes]:
+    """Yield XML documents from a payload, recursing through zip members —
+    the reference's delivery is two-level (lvbag-extract-nl.zip containing
+    one zip per entity, each holding thousands of numbered XML files;
+    reference bag_parser.py:401-407, import_bag.py:31-37). Members iterate
+    in sorted-name order so the arrival ordinal below is deterministic —
+    the numbered-file order the reference's parser sees."""
+    if name.lower().endswith(".zip"):
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-            return [zf.read(n) for n in sorted(zf.namelist())
-                    if n.endswith(".xml")]
-    return [payload]
+            for member in sorted(zf.namelist()):
+                if member.lower().endswith((".xml", ".zip")):
+                    yield from _iter_xml_payloads(member, zf.read(member))
+    else:
+        yield payload
 
 
 def read_bag_entity_raw(
@@ -114,16 +122,29 @@ def read_bag_entity_raw(
         for pdf in batches:
             rows = []
             for fpath, payload in zip(pdf["path"], pdf["content"]):
-                for doc in _maybe_unzip(fpath, bytes(payload)):
-                    for i, rec in enumerate(parse_xml_records(doc, entity)):
+                # ONE running ordinal across every document in the archive:
+                # a per-document counter would repeat (file, ordinal) pairs
+                # for multi-member zips and make last-write-wins ambiguous
+                ordinal = 0
+                for doc in _iter_xml_payloads(fpath, bytes(payload)):
+                    for rec in parse_xml_records(doc, entity):
                         rec["__file__"] = fpath
-                        rec["__ordinal__"] = i
+                        rec["__ordinal__"] = ordinal
+                        ordinal += 1
                         rows.append(rec)
             yield pd.DataFrame(rows, columns=names)
 
+    # Explicit partition count: a bare repartition(col) lets AQE coalesce
+    # by shuffle BYTES, which packs many small files into one task — but
+    # iterparse cost is CPU-bound on XML structure, not proportional to
+    # compressed payload size, so byte-coalescing creates stragglers.
+    # Pinning numPartitions to the session's parallelism keeps one task
+    # per core busy regardless of file-size skew (files still hash by
+    # path, so one file is never split mid-document).
+    n_parts = spark.sparkContext.defaultParallelism
     return (
         files.select("path", "content")
-        .repartition(F.col("path"))
+        .repartition(n_parts, F.col("path"))
         .mapInPandas(parse, schema=schema)
     )
 

@@ -183,3 +183,105 @@ def test_geometry_parsing_enabled(spark, tmp_path):
     assert len(rings) == 1 and len(rings[0]) == 3
     lon, lat = rings[0][0]
     assert abs(lat - 52.15517440) < 1e-9 and abs(lon - 5.38720621) < 1e-9
+
+
+def _wpl_doc(*records: str) -> str:
+    return WPL_HEAD + "".join(records) + "</sl:standBestand>"
+
+
+def _delivery_zip(tmp_path, n_files: int = 50):
+    """The reference's real two-level delivery layout (reference
+    bag_parser.py:401-407, import_bag.py:31-37): one outer
+    lvbag-extract-nl.zip holding a per-entity zip, which holds ``n_files``
+    numbered XML files. Ids 5000 (members 10 and 40) and 5001 (members 20
+    and 21) are duplicated across member files to pin down last-write-wins
+    over the member sort order."""
+    import io
+
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as zf:
+        for f in range(n_files):
+            recs = [
+                _wpl(20000 + f * 10 + k, f"Plaats-{f:03d}-{k}")
+                for k in range(3)
+            ]
+            if f in (10, 40):
+                recs.append(_wpl(5000, f"Dup-uit-file-{f:03d}"))
+            if f in (20, 21):
+                recs.append(_wpl(5001, f"Dup2-uit-file-{f:03d}"))
+            zf.writestr(f"9999WPL-{f:06d}.xml", _wpl_doc(*recs))
+    d = tmp_path / "delivery"
+    d.mkdir()
+    with zipfile.ZipFile(d / "lvbag-extract-nl.zip", "w") as outer:
+        outer.writestr("9999WPL08082025.zip", inner.getvalue())
+    return d, n_files
+
+
+def test_two_level_zip_fifty_files_last_write_wins(spark, tmp_path):
+    d, n_files = _delivery_zip(tmp_path)
+    df = read_bag_entity(spark, str(d), "Woonplaats", CFG)
+    rows = {r["id"]: r["naam"] for r in df.collect()}
+    assert len(rows) == n_files * 3 + 2
+    # the later member file wins — the reference's numbered-file order
+    assert rows[5000] == "Dup-uit-file-040"
+    assert rows[5001] == "Dup2-uit-file-021"
+    assert rows[20000] == "Plaats-000-0" and rows[20492] == "Plaats-049-2"
+
+
+def test_two_level_zip_continuous_ordinal(spark, tmp_path):
+    """The arrival ordinal must be one continuous sequence across every
+    member document of an archive — a per-document counter would repeat
+    (file, ordinal) pairs and make the upsert winner nondeterministic."""
+    from bag_parser_spark.sources.bag_xml import read_bag_entity_raw
+
+    d, n_files = _delivery_zip(tmp_path)
+    raw = read_bag_entity_raw(spark, str(d), "Woonplaats")
+    ords = [r["__ordinal__"] for r in raw.select("__ordinal__").collect()]
+    n = n_files * 3 + 4  # every parsed record, duplicates included
+    assert sorted(ords) == list(range(n))
+
+
+def test_multi_file_scan_spreads_across_tasks(spark, tmp_path):
+    """50 standalone XML files: the parse must run distributed (multiple
+    non-empty mapInPandas partitions), with every file accounted for."""
+    from bag_parser_spark.sources.bag_xml import read_bag_entity_raw
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for f in range(50):
+        (d / f"9999WPL{f:04d}.xml").write_text(
+            _wpl_doc(_wpl(30000 + f, f"P{f}")), encoding="utf-8"
+        )
+    raw = read_bag_entity_raw(spark, str(d), "Woonplaats")
+    per_part = (
+        raw.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in per_part) == 50
+    assert len(per_part) > 1  # parse work is spread, not single-task
+    assert raw.select("__file__").distinct().count() == 50
+
+
+def test_zip_last_write_wins_stable_under_parallelism(spark, tmp_path):
+    """Same delivery parsed under different shuffle widths must elect the
+    same winners — arrival order is (file, ordinal), never task order."""
+    d, _ = _delivery_zip(tmp_path)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows3 = {
+            r["id"]: r["naam"]
+            for r in read_bag_entity(spark, str(d), "Woonplaats", CFG)
+            .repartition(3)
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = {
+        r["id"]: r["naam"]
+        for r in read_bag_entity(spark, str(d), "Woonplaats", CFG).collect()
+    }
+    assert rows3 == rows
+    assert rows3[5000] == "Dup-uit-file-040"
