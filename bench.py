@@ -53,6 +53,8 @@ HEADLINE = [
     "events_session_window",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "j10_salted_skew_join",
+    "mm_image_features",
 ]
 
 

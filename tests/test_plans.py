@@ -273,3 +273,58 @@ def test_tpch_q6_map_only_no_join(spark):
     assert "Join" not in plan
     full = _plan(df)
     assert "PushedFilters" in full and "l_quantity" in full
+
+
+def test_salted_join_no_straggler_partition(spark):
+    """j10: the skew fix must actually fix the skew. Plan level: with the
+    small side above the broadcast threshold (the case salting exists
+    for — a broadcast join never shuffles and has no straggler), both
+    join inputs hash-partition on (source, __salt__), never on the bare
+    hot key. Runtime level: no (source, salt) work cell concentrates a
+    hot key's rows, so no single task inherits a whole hot key at scale."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators import joins
+    from bag_parser_spark.sources.parquet import load_table
+
+    d = load_table(spark, SF_CORRECT, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    dim = d.groupBy("source").agg(F.count("*").alias("src_docs"))
+    joined = joins.salted_join(d, dim, on="source", salt=16,
+                               salt_source="doc_id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(joined, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    salted_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "__salt__" in ln
+    ]
+    # both sides of the join co-partition on (key, salt)
+    assert len(salted_exchanges) >= 2, plan
+    # the only bare-key exchange is the tiny dim aggregation itself (5
+    # rows); the FACT side must never exchange on the bare hot key
+    bare = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "__salt__" not in ln
+    ]
+    assert len(bare) <= 1, bare
+
+    # runtime spread: the hottest key's rows split across many salt cells
+    l = d.withColumn(
+        "__salt__", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(16))
+    )
+    cells = (
+        l.groupBy("source", "__salt__").count().collect()
+    )
+    per_source = {}
+    for r in cells:
+        per_source.setdefault(r["source"], []).append(r["count"])
+    for source, counts in per_source.items():
+        assert len(counts) > 8, f"{source} landed in only {len(counts)} cells"
+        assert max(counts) < 0.5 * sum(counts), (
+            f"{source}: one salt cell holds {max(counts)}/{sum(counts)} rows"
+        )
