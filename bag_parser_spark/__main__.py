@@ -67,8 +67,11 @@ def cmd_import(args) -> int:
     _log(f"start: parse BAG XML {args.bag!r} to parquet {args.out!r}")
     tables = import_bag(spark, args.bag, args.gemeenten, out_dir=args.out,
                         cfg=cfg)
+    from bag_parser_spark.functions.scalars import format_count_nl
+
     n = tables["adressen"].count()
-    _log(f"adressen: {n} rows")
+    # F13: counts log locale-formatted, as the reference's print_log does
+    _log(f"adressen: {format_count_nl(n)} rows")
     if args.sqlite:
         from bag_parser_spark.sources.sqlite_compat import write_bag_sqlite
 

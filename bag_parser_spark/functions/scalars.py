@@ -143,3 +143,32 @@ def is_multivalue(c: Column) -> Column:
 def split_multivalue(c: Column) -> Column:
     """F9: comma-list unpack (reference database_sqlite.py:413,479)."""
     return F.split(c, ",")
+
+
+def nl_number(c: Column) -> Column:
+    """F13: nl_NL thousands-separator formatting of an integral count —
+    the Column form of the reference's locale-formatted log counts
+    (reference config.py:7 setlocale(nl_NL), database_sqlite.py:550+
+    f'{aantal:n}'). 1234567 → '1.234.567'. Engine-side expression (no
+    locale dependency on executors): en_US grouping from format_number,
+    separators swapped."""
+    return F.translate(F.format_number(c, 0), ",", ".")
+
+
+def format_count_nl(n: int) -> str:
+    """F13, driver-side: the `{n:n}` log formatting itself. Uses the real
+    nl_NL locale when the host has it (exactly the reference's behavior),
+    falling back to manual dot-grouping so logs are identical on hosts
+    without the locale pack — the reference hard-fails there
+    (config.py:7)."""
+    import locale
+
+    try:
+        prev = locale.setlocale(locale.LC_NUMERIC)
+        try:
+            locale.setlocale(locale.LC_NUMERIC, "nl_NL")
+            return locale.format_string("%d", n, grouping=True)
+        finally:
+            locale.setlocale(locale.LC_NUMERIC, prev)
+    except locale.Error:
+        return f"{n:,}".replace(",", ".")

@@ -1782,3 +1782,42 @@ def q_docs_vocab_growth(spark, sf_dir):
         "new_tokens",
         F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# f18_locale_format — F13: nl_NL thousands-separator formatting, engine side
+# ---------------------------------------------------------------------------
+
+@register(
+    "f18_locale_format",
+    """
+    SELECT l_returnflag,
+           translate(format('{:,}', cnt), ',', '.') AS cnt_nl,
+           translate(format('{:,}', qty), ',', '.') AS qty_nl
+    FROM (
+      SELECT l_returnflag, COUNT(*) AS cnt,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+    doc="F13: the reference formats every reported count with the nl_NL "
+    "locale ('{aantal:n}' -> 1.234.567; reference config.py:7, "
+    "database_sqlite.py:550+). Engine-side Column form: format_number "
+    "grouping with separators swapped (functions/scalars.py:nl_number) — "
+    "no executor locale dependency; the driver-side log twin "
+    "(format_count_nl) uses the real locale with a grouping fallback. "
+    "Counts are integral so both engines group identical digits.",
+)
+def q_locale_format(spark, sf_dir):
+    from bag_parser_spark.functions import scalars
+
+    l = _t(spark, sf_dir, "lineitem")
+    g = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    return g.select(
+        "l_returnflag",
+        scalars.nl_number(F.col("cnt")).alias("cnt_nl"),
+        scalars.nl_number(F.col("qty")).alias("qty_nl"),
+    )

@@ -165,3 +165,15 @@ def test_quantize_int8_roundtrip_bound(spark, vec):
             # r["q"] may be clamped only at exactly |x| = max -> q = ±127
             x32 = float(np.float32(vec[r["i"] - 1]))
             assert abs(r["q"] / r["scale"] - x32) <= 0.5 / r["scale"] + 1e-12
+
+
+def test_format_count_nl_grouping():
+    """F13 driver-side twin: nl_NL grouping with or without the locale
+    pack installed (reference config.py:7 requires it; we fall back)."""
+    from bag_parser_spark.functions.scalars import format_count_nl
+
+    assert format_count_nl(0) == "0"
+    assert format_count_nl(999) == "999"
+    assert format_count_nl(1000) == "1.000"
+    assert format_count_nl(1234567) == "1.234.567"
+    assert format_count_nl(9_900_000) == "9.900.000"
