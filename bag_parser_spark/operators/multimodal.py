@@ -6,10 +6,13 @@ IMAGE decode is REAL: ``functions/png_codec.py`` decodes genuine PNG bytes
 with stdlib zlib (Pillow preferred when importable — any format, C speed).
 ``generate_png_payloads`` builds real PNG payloads executor-side from a
 deterministic pixel formula so catalog oracles can predict the decoded
-statistics independently. Audio/video frame decode remains a
-clearly-marked deterministic fake (``frame_sample_stub``) — those codecs
-genuinely aren't in this container; the Spark-side plumbing (schema,
-1→N explode shape, Arrow batching) is real and tested.
+statistics independently. AUDIO decode is REAL too:
+``functions/wav_codec.py`` walks genuine RIFF/PCM bytes with stdlib
+struct (``generate_wav_payloads`` / ``extract_audio_features``). Only
+VIDEO frame decode remains a clearly-marked deterministic fake
+(``frame_sample_stub``) — video codecs genuinely aren't in this
+container; its Spark-side plumbing (schema, 1→N explode shape, Arrow
+batching) is real and tested.
 
 Scale notes: binary payloads ride in parquet with metadata columns, so
 filters on metadata (mime, byte_len, checksum) prune row groups *without
@@ -239,3 +242,94 @@ def frame_sample_stub(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_bytes"])
 
     return df.select(id_col, payload_col).mapInPandas(frames, schema=schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mean_abs", T.DoubleType()),
+        T.StructField("peak_abs", T.IntegerType()),
+    ]
+)
+
+
+def synthetic_audio_spec(doc_id: int) -> tuple[int, int]:
+    """(n_samples, sample_rate) for generated fixture audio — mirrored by
+    the catalog oracle."""
+    return 50 + doc_id % 200, 8000 + (doc_id % 4) * 4000
+
+
+def synthetic_sample(doc_id: int, i: int) -> int:
+    """Deterministic 16-bit PCM sample formula (a full-range integer
+    sawtooth — aperiodic in i for every doc, SQL-reproducible)."""
+    return (doc_id * 31 + i * 17) % 4096 - 2048
+
+
+def generate_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL WAV payload per row (mono 16-bit PCM from the
+    deterministic sample formula) — the audio twin of
+    generate_png_payloads."""
+    from bag_parser_spark.functions import wav_codec
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                doc_id = int(i)
+                n, rate = synthetic_audio_spec(doc_id)
+                samples = [synthetic_sample(doc_id, k) for k in range(n)]
+                rows.append(
+                    {"doc_id": doc_id,
+                     "payload": wav_codec.encode_wav(samples, rate)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio decode via Arrow-batched mapInPandas: RIFF/PCM payloads →
+    (sample_rate, channels, frames, mean |amplitude|, peak |amplitude|).
+    Integer sums are exact, so mean_abs is one IEEE division the oracle
+    reproduces with SUM/COUNT."""
+    from bag_parser_spark.functions import wav_codec
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                a = wav_codec.decode_wav(bytes(payload))
+                s = a["samples"]
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "sample_rate": a["sample_rate"],
+                        "n_channels": a["n_channels"],
+                        "n_frames": a["n_frames"],
+                        "mean_abs": (
+                            sum(abs(v) for v in s) / len(s) if s else 0.0
+                        ),
+                        "peak_abs": max((abs(v) for v in s), default=0),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        features, schema=AUDIO_FEATURES_SCHEMA
+    )

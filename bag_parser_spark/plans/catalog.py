@@ -969,9 +969,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lm_doc_score",
     # pass 4
     "tpch_q5_local_supplier_volume", "ts_gapfill", "events_session_window",
-    "sim_ivf_topk", "mm_frame_sample", "text_source_drift",
-    "a19_hll_mergeable", "f17_array_pack", "chunk_documents",
-    "dedup_canonical",
+    "sim_ivf_topk", "mm_frame_sample", "mm_audio_features",
+    "text_source_drift", "a19_hll_mergeable", "f17_array_pack",
+    "chunk_documents", "dedup_canonical",
     # pass 5
     "tpch_q4_order_priority", "ts_scd2_intervals", "events_ema",
     "dedup_embedding_cosine", "a16_mad_outliers", "a17_histogram",

@@ -1012,6 +1012,39 @@ def q_mm_resize(spark, sf_dir):
 
 
 @register(
+    "mm_audio_features",
+    """
+    WITH spec AS (
+      SELECT doc_id, 50 + doc_id % 200 AS n,
+             CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS rate
+      FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, n, rate,
+             abs((doc_id * 31 + t.i * 17) % 4096 - 2048) AS a
+      FROM spec, UNNEST(range(0, n)) AS t(i)
+    )
+    SELECT doc_id,
+           MIN(rate) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(MIN(n) AS BIGINT) AS n_frames,
+           CAST(SUM(a) AS DOUBLE) / COUNT(*) AS mean_abs,
+           CAST(MAX(a) AS INTEGER) AS peak_abs
+    FROM smp GROUP BY doc_id
+    """,
+    doc="REAL audio decode via Arrow-batched mapInPandas: genuine RIFF/PCM "
+    "WAV payloads (encoded executor-side from the deterministic sawtooth "
+    "sample formula) decoded by functions/wav_codec (stdlib struct RIFF "
+    "walk) into rate/channels/frames/mean-|amplitude|/peak. The oracle "
+    "predicts every statistic independently from the sample formula — a "
+    "codec correctness gate like mm_image_features, second modality.",
+)
+def q_mm_audio(spark, sf_dir):
+    d = multimodal.generate_wav_payloads(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_features(d)
+
+
+@register(
     "mm_frame_sample",
     """
     SELECT doc_id,

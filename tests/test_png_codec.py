@@ -112,3 +112,53 @@ def test_pillow_crosscheck():
     assert (img.width, img.height) == (13, 9)
     assert img.tobytes() == px
     assert P.decode_image(data)["pixels"] == px
+
+
+# ---------------------------------------------------------------------------
+# wav_codec — the audio twin
+# ---------------------------------------------------------------------------
+
+from bag_parser_spark.functions import wav_codec as W  # noqa: E402
+
+
+@pytest.mark.parametrize("rate,ch,bits", [
+    (8000, 1, 16), (44100, 2, 16), (16000, 1, 8), (48000, 2, 32),
+])
+def test_wav_roundtrip(rate, ch, bits):
+    lo = 0 if bits == 8 else -(2 ** (bits - 1))
+    hi = 2 ** bits - 1 if bits == 8 else 2 ** (bits - 1) - 1
+    n = 120 * ch
+    samples = [max(lo, min(hi, (i * 37 - 64) % (hi - lo + 1) + lo))
+               for i in range(n)]
+    out = W.decode_wav(W.encode_wav(samples, rate, ch, bits))
+    assert out["sample_rate"] == rate
+    assert out["n_channels"] == ch
+    assert out["bits"] == bits
+    assert out["n_frames"] == 120
+    assert out["samples"] == samples
+
+
+def test_wav_bad_magic_rejected():
+    with pytest.raises(W.UnsupportedAudioError, match="magic"):
+        W.decode_wav(b"OggS this is not wav")
+
+
+def test_wav_non_pcm_rejected():
+    data = bytearray(W.encode_wav([0, 1, 2, 3], 8000))
+    # format tag lives at offset 20 (RIFF 12 + 'fmt ' header 8)
+    data[20:22] = struct.pack("<H", 3)  # IEEE float
+    with pytest.raises(W.UnsupportedAudioError, match="PCM"):
+        W.decode_wav(bytes(data))
+
+
+def test_wav_odd_chunk_padding():
+    """RIFF chunks are word-aligned; a 3-byte extra chunk before data must
+    not derail the walk."""
+    wav = W.encode_wav([5, -5, 10, -10], 8000)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # padded odd chunk
+    patched = wav[:12] + extra + wav[12:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8
+    ) + patched[8:]
+    out = W.decode_wav(patched)
+    assert out["samples"] == [5, -5, 10, -10]
