@@ -43,13 +43,22 @@ class UnsupportedImageError(ValueError):
     pass
 
 
-def has_pillow() -> bool:
-    try:
-        import PIL.Image  # noqa: F401
+_PILLOW_PROBE: bool | None = None
 
-        return True
-    except ImportError:
-        return False
+
+def has_pillow() -> bool:
+    # cached: a failed import is NOT negatively cached by Python, so
+    # re-probing per row would walk sys.path inside the mapInPandas hot
+    # loop on Pillow-less hosts
+    global _PILLOW_PROBE
+    if _PILLOW_PROBE is None:
+        try:
+            import PIL.Image  # noqa: F401
+
+            _PILLOW_PROBE = True
+        except ImportError:
+            _PILLOW_PROBE = False
+    return _PILLOW_PROBE
 
 
 # ---------------------------------------------------------------------------
@@ -146,9 +155,12 @@ def _decode_png_pure(data: bytes) -> tuple[int, int, int, bytes]:
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # len + tag + body + crc
         if tag == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = (
-                struct.unpack(">IIBBBBB", body)
-            )
+            try:
+                width, height, depth, color_type, comp, filt, interlace = (
+                    struct.unpack(">IIBBBBB", body)
+                )
+            except struct.error as e:  # truncated header
+                raise UnsupportedImageError(f"truncated IHDR: {e}") from e
             if depth != 8:
                 raise UnsupportedImageError(f"bit depth {depth} (only 8)")
             if interlace:
@@ -164,7 +176,10 @@ def _decode_png_pure(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None or not idat:
         raise UnsupportedImageError("missing IHDR or IDAT chunk")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt/truncated deflate stream
+        raise UnsupportedImageError(f"corrupt IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise UnsupportedImageError("IDAT length does not match dimensions")
@@ -203,6 +218,15 @@ def decode_image(data: bytes) -> dict:
         import PIL.Image
 
         img = PIL.Image.open(io.BytesIO(data))
+        # Normalize to an 8-bit mode: palette images would otherwise emit
+        # palette INDICES and 16-bit images raw 2-byte samples — silently
+        # wrong statistics that also diverge from the pure path (which
+        # rejects those inputs). Converting makes the Pillow path a strict
+        # superset: same result for 8-bit gray/RGB(A), defined 8-bit
+        # pixels for everything else.
+        if img.mode not in ("L", "LA", "RGB", "RGBA"):
+            has_alpha = "A" in img.mode or "transparency" in img.info
+            img = img.convert("RGBA" if has_alpha else "RGB")
         channels = len(img.getbands())
         return {
             "width": img.width,

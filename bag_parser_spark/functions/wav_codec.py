@@ -36,6 +36,9 @@ def encode_wav(
     if len(samples) % n_channels:
         raise ValueError("sample count not a multiple of channel count")
     body = struct.pack(f"<{len(samples)}{_PACK[bits]}", *samples)
+    # RIFF chunks are word-aligned: an odd-length data chunk (8-bit audio,
+    # odd sample count) carries a pad byte NOT counted in the length field
+    pad = b"\x00" if len(body) & 1 else b""
     block_align = n_channels * bits // 8
     fmt = struct.pack(
         "<HHIIHH", 1, n_channels, sample_rate,
@@ -44,7 +47,7 @@ def encode_wav(
     riff_body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", len(body)) + body + pad
     )
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
@@ -68,9 +71,12 @@ def decode_wav(data: bytes) -> dict:
             body = chunk
     if fmt is None or body is None:
         raise UnsupportedAudioError("missing fmt or data chunk")
-    audio_format, n_channels, sample_rate, _, _, bits = struct.unpack(
-        "<HHIIHH", fmt[:16]
-    )
+    try:
+        audio_format, n_channels, sample_rate, _, _, bits = struct.unpack(
+            "<HHIIHH", fmt[:16]
+        )
+    except struct.error as e:  # fmt chunk shorter than the PCM header
+        raise UnsupportedAudioError(f"truncated fmt chunk: {e}") from e
     if audio_format != 1:
         raise UnsupportedAudioError(
             f"audio format {audio_format} (only integer PCM=1)"

@@ -313,7 +313,10 @@ def extract_audio_features(
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 a = wav_codec.decode_wav(bytes(payload))
-                s = a["samples"]
+                # 8-bit WAV is UNSIGNED by spec (silence = 128): recenter
+                # before amplitude stats or DC offset reads as signal
+                off = 128 if a["bits"] == 8 else 0
+                s = [v - off for v in a["samples"]]
                 rows.append(
                     {
                         "doc_id": i,

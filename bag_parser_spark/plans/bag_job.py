@@ -61,7 +61,19 @@ ENTITY_TABLE_NAMES = {
 
 
 def entity_xml_path(xml_root: str, entity_name: str) -> str:
-    return os.path.join(xml_root, f"{ENTITIES[entity_name].file_code}*")
+    """Per-entity scan path. Preferred layout: per-entity files/zips named
+    by file code (9999WPL*, the reference's extracted-temp layout). When
+    nothing matches — the user pointed --bag at the raw delivery (a
+    directory holding lvbag-extract-nl.zip, or the zip itself) — fall back
+    to scanning the root; the per-entity member-prefix filter inside the
+    zip recursion (sources/bag_xml.py:_iter_xml_payloads) then selects
+    this entity's members, so no pre-extraction step is ever required."""
+    import glob as _glob
+
+    pattern = os.path.join(xml_root, f"{ENTITIES[entity_name].file_code}*")
+    if os.path.isfile(xml_root) or not _glob.glob(pattern):
+        return xml_root
+    return pattern
 
 
 def import_bag(
@@ -82,7 +94,8 @@ def import_bag(
     }
     for entity in XML_ENTITIES:
         tables[ENTITY_TABLE_NAMES[entity]] = read_bag_entity(
-            spark, entity_xml_path(xml_root, entity), entity, cfg
+            spark, entity_xml_path(xml_root, entity), entity, cfg,
+            member_prefix=ENTITIES[entity].file_code,
         )
 
     # enrich BEFORE the persist cut so the on-disk woonplaatsen already

@@ -92,27 +92,58 @@ def parse_xml_records(
         record[column] = f"{prior},{value}" if prior else value
 
 
-def _iter_xml_payloads(name: str, payload: bytes) -> Iterator[bytes]:
+def _iter_xml_payloads(
+    name: str,
+    payload: bytes,
+    member_prefix: str | None = None,
+    matched: bool = False,
+) -> Iterator[bytes]:
     """Yield XML documents from a payload, recursing through zip members —
     the reference's delivery is two-level (lvbag-extract-nl.zip containing
     one zip per entity, each holding thousands of numbered XML files;
     reference bag_parser.py:401-407, import_bag.py:31-37). Members iterate
     in sorted-name order so the arrival ordinal below is deterministic —
-    the numbered-file order the reference's parser sees."""
+    the numbered-file order the reference's parser sees.
+
+    ``member_prefix`` is the per-entity member filter (the reference's
+    find_file/find_xml_files by file code, bag_parser.py:404,410): inside
+    an archive that did NOT itself match the prefix (the outer delivery
+    zip), only members whose basename starts with the prefix are taken;
+    once an archive matches (9999WPL….zip), all its XML members belong to
+    the entity and are taken regardless of their names."""
+    import os
+
     if name.lower().endswith(".zip"):
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
             for member in sorted(zf.namelist()):
-                if member.lower().endswith((".xml", ".zip")):
-                    yield from _iter_xml_payloads(member, zf.read(member))
+                if not member.lower().endswith((".xml", ".zip")):
+                    continue
+                base = os.path.basename(member)
+                hit = matched or member_prefix is None or base.startswith(
+                    member_prefix
+                )
+                if not hit:
+                    continue
+                yield from _iter_xml_payloads(
+                    member, zf.read(member), member_prefix,
+                    matched or base.startswith(member_prefix or ""),
+                )
     else:
         yield payload
 
 
 def read_bag_entity_raw(
-    spark: SparkSession, path: str, entity_name: str
+    spark: SparkSession,
+    path: str,
+    entity_name: str,
+    member_prefix: str | None = None,
 ) -> DataFrame:
     """binaryFile scan + mapInPandas iterparse → raw all-string DataFrame
-    with (file, ordinal) arrival order attached."""
+    with (file, ordinal) arrival order attached. ``member_prefix`` filters
+    zip members to this entity's file code when scanning a combined
+    delivery zip (see _iter_xml_payloads)."""
+    import os
+
     entity = ENTITIES[entity_name]
     schema = _raw_schema(entity)
     names = [f.name for f in schema.fields]
@@ -122,11 +153,19 @@ def read_bag_entity_raw(
         for pdf in batches:
             rows = []
             for fpath, payload in zip(pdf["path"], pdf["content"]):
+                # a top-level file that itself carries the entity code is
+                # fully owned by this entity; an outer delivery zip is not,
+                # so its members go through the prefix filter
+                matched = os.path.basename(fpath).startswith(
+                    member_prefix or ""
+                )
                 # ONE running ordinal across every document in the archive:
                 # a per-document counter would repeat (file, ordinal) pairs
                 # for multi-member zips and make last-write-wins ambiguous
                 ordinal = 0
-                for doc in _iter_xml_payloads(fpath, bytes(payload)):
+                for doc in _iter_xml_payloads(
+                    fpath, bytes(payload), member_prefix, matched
+                ):
                     for rec in parse_xml_records(doc, entity):
                         rec["__file__"] = fpath
                         rec["__ordinal__"] = ordinal
@@ -226,10 +265,11 @@ def read_bag_entity(
     entity_name: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
     snapshot_date: str | None = None,
+    member_prefix: str | None = None,
 ) -> DataFrame:
     """Full S2 pipeline: XML files/zips at ``path`` → finalized entity
     DataFrame."""
     return finalize_entity(
-        read_bag_entity_raw(spark, path, entity_name), entity_name, cfg,
-        snapshot_date,
+        read_bag_entity_raw(spark, path, entity_name, member_prefix),
+        entity_name, cfg, snapshot_date,
     )

@@ -76,6 +76,14 @@ def write_sqlite_table(
 
     Driver-side by design (see module docstring): rows arrive via
     toLocalIterator() so only one partition is resident at a time.
+
+    Atomicity: Python's default sqlite3 transaction control auto-commits
+    DDL, so a naive DROP+CREATE would destroy the previous table even
+    when the subsequent INSERT stream fails (a re-export over an existing
+    artifact must never lose the old data to a mid-write crash). The
+    connection therefore runs in explicit-transaction mode: one BEGIN
+    IMMEDIATE covers DROP + CREATE + every INSERT (SQLite DDL is fully
+    transactional), ROLLBACK on any failure restores the prior table.
     """
     fields = df.schema.fields
     cols = ", ".join(
@@ -85,29 +93,36 @@ def write_sqlite_table(
     )
     placeholders = ", ".join("?" for _ in fields)
     names = ", ".join(f'"{f.name}"' for f in fields)
-    con = sqlite3.connect(db_path)
+    # isolation_level=None = autocommit-unless-explicit: we own BEGIN/COMMIT
+    con = sqlite3.connect(db_path, isolation_level=None)
     try:
-        con.execute(f'DROP TABLE IF EXISTS "{table}"')
-        con.execute(f'CREATE TABLE "{table}" ({cols})')
-        n = 0
-        batch: list[tuple] = []
-        for row in df.toLocalIterator():
-            batch.append(tuple(_to_sqlite_value(v) for v in row))
-            if len(batch) >= batch_size:
+        con.execute("BEGIN IMMEDIATE")
+        try:
+            con.execute(f'DROP TABLE IF EXISTS "{table}"')
+            con.execute(f'CREATE TABLE "{table}" ({cols})')
+            n = 0
+            batch: list[tuple] = []
+            for row in df.toLocalIterator():
+                batch.append(tuple(_to_sqlite_value(v) for v in row))
+                if len(batch) >= batch_size:
+                    con.executemany(
+                        f'INSERT INTO "{table}" ({names}) '
+                        f"VALUES ({placeholders})",
+                        batch,
+                    )
+                    n += len(batch)
+                    batch = []
+            if batch:
                 con.executemany(
                     f'INSERT INTO "{table}" ({names}) VALUES ({placeholders})',
                     batch,
                 )
                 n += len(batch)
-                batch = []
-        if batch:
-            con.executemany(
-                f'INSERT INTO "{table}" ({names}) VALUES ({placeholders})',
-                batch,
-            )
-            n += len(batch)
-        con.commit()
-        return n
+            con.execute("COMMIT")
+            return n
+        except BaseException:
+            con.execute("ROLLBACK")
+            raise
     finally:
         con.close()
 

@@ -147,3 +147,52 @@ def test_csv_header_validation(spark, tmp_path):
     bad.write_text("foo,bar\n1,2\n", encoding="utf-8")
     with pytest.raises(InvalidGemeentenHeader):
         read_gemeenten_csv(spark, str(bad))
+
+
+def test_import_bag_from_raw_delivery_zip(spark, tmp_path):
+    """Point import_bag at a directory holding ONLY the combined delivery
+    zip (outer zip → per-entity zips → XML members, the reference's
+    lvbag-extract-nl.zip layout): the per-entity member-prefix filter must
+    route every entity to its own members with no pre-extraction step."""
+    import io
+    import zipfile
+
+    from bag_parser_spark.sources.bag_schemas import ENTITIES
+
+    src = tmp_path / "loose"
+    src.mkdir()
+    _write_inputs(src)
+    delivery = tmp_path / "delivery"
+    delivery.mkdir()
+    code_by_file = {
+        "9999WPL0001.xml": "9999WPL",
+        "GEM-WPL-RELATIE0001.xml": "GEM-WPL-RELATIE",
+        "9999OPR0001.xml": "9999OPR",
+        "9999NUM0001.xml": "9999NUM",
+        "9999PND0001.xml": "9999PND",
+        "9999VBO0001.xml": "9999VBO",
+        "9999LIG0001.xml": "9999LIG",
+        "9999STA0001.xml": "9999STA",
+    }
+    with zipfile.ZipFile(delivery / "lvbag-extract-nl.zip", "w") as outer:
+        for fname, code in code_by_file.items():
+            inner = io.BytesIO()
+            with zipfile.ZipFile(inner, "w") as zf:
+                zf.writestr(fname, (src / fname).read_text(encoding="utf-8"))
+            outer.writestr(f"{code}08082025.zip", inner.getvalue())
+    assert {e.file_code for e in ENTITIES.values()} == set(
+        code_by_file.values()
+    )
+
+    cfg = EngineConfig(active_only=True, snapshot_date=SNAPSHOT)
+    tables = import_bag(
+        spark, str(delivery), str(src / "gemeenten.csv"),
+        out_dir=str(tmp_path / "out"), cfg=cfg,
+    )
+    a = tables["adressen"].collect()
+    assert len(a) == 1
+    assert a[0]["nummer_id"] == "NUM1"
+    assert a[0]["gemeente_id"] == 362
+    # the prefix filter kept entities apart: woonplaatsen has exactly the
+    # two WPL records, none of the other entities' members leaked in
+    assert tables["woonplaatsen"].count() == 2

@@ -782,3 +782,22 @@ def test_read_merged_schema_unions_generations(spark, tmp_path):
         "payload",
         "score",
     }
+
+
+def test_audio_features_8bit_unsigned_recentering(spark):
+    """8-bit WAV is unsigned (silence = 128): amplitude stats must
+    recenter, or DC offset reads as signal."""
+    from bag_parser_spark.functions import wav_codec
+    from bag_parser_spark.operators import multimodal
+
+    silence = wav_codec.encode_wav([128] * 40, 8000, 1, 8)
+    loud = wav_codec.encode_wav([0, 255] * 20, 8000, 1, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(silence)), (2, bytearray(loud))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r
+            for r in multimodal.extract_audio_features(df).collect()}
+    assert rows[1]["mean_abs"] == 0.0 and rows[1]["peak_abs"] == 0
+    assert rows[2]["peak_abs"] == 128  # |0-128| = 128, |255-128| = 127
+    assert rows[2]["mean_abs"] == 127.5

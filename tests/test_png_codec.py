@@ -162,3 +162,24 @@ def test_wav_odd_chunk_padding():
     ) + patched[8:]
     out = W.decode_wav(patched)
     assert out["samples"] == [5, -5, 10, -10]
+
+
+def test_wav_8bit_odd_length_padded_roundtrip():
+    """Odd-length 8-bit data chunk gets a RIFF pad byte (word alignment)
+    and still roundtrips exactly."""
+    samples = [0, 128, 255]
+    data = W.encode_wav(samples, 8000, 1, 8)
+    assert len(data) % 2 == 0  # padded file
+    out = W.decode_wav(data)
+    assert out["samples"] == samples and out["n_frames"] == 3
+
+
+def test_wav_truncated_fmt_rejected():
+    wav = bytearray(W.encode_wav([1, 2], 8000))
+    # shrink the fmt chunk length to 8: decode must reject, not crash
+    wav[16:20] = struct.pack("<I", 8)
+    del wav[28 : 28 + 8]  # drop the tail of fmt so the walk stays aligned
+    import pytest as _pytest
+
+    with _pytest.raises(W.UnsupportedAudioError, match="fmt"):
+        W.decode_wav(bytes(wav))
