@@ -127,3 +127,27 @@ def test_sqlite_sink_batching_and_overwrite(spark, tmp_path):
     con = sqlite3.connect(db)
     assert con.execute("SELECT COUNT(*), MAX(id) FROM t").fetchone() == (10, 9)
     con.close()
+
+
+def test_sqlite_sink_failure_preserves_previous_table(spark, tmp_path):
+    """Atomicity contract: a mid-write failure (executor error surfacing
+    through toLocalIterator) must roll back and leave the PREVIOUS table
+    contents intact — re-exports never destroy the old artifact."""
+    import pytest
+
+    db = str(tmp_path / "atomic.sqlite")
+    ok = spark.range(5).select(F.col("id"))
+    assert write_sqlite_table(ok, db, "t") == 5
+    bad = spark.range(10).select(
+        F.when(F.col("id") == 7, F.expr("raise_error('boom')"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("id")
+    )
+    with pytest.raises(Exception, match="boom"):
+        write_sqlite_table(bad, db, "t", batch_size=2)
+    con = sqlite3.connect(db)
+    try:
+        rows = con.execute("SELECT id FROM t ORDER BY id").fetchall()
+    finally:
+        con.close()
+    assert rows == [(0,), (1,), (2,), (3,), (4,)]
