@@ -606,3 +606,71 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def repeated_substring_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 1,
+    max_pos: int = 4096,
+) -> DataFrame:
+    """Exact repeated-substring detection — the training-data dedup that
+    set-similarity misses (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": verbatim passages copied between otherwise
+    different documents). MinHash/Jaccard score whole-document overlap;
+    this finds any fixed-length window occurring verbatim in >= 2 docs.
+
+    Emits every char window of length ``window`` at ``stride`` (window
+    starts capped at ``max_pos`` so one pathological document cannot
+    explode a task — the cap is part of the operator contract, applied
+    identically in the SQL oracle), aggregates to (window, doc) ONCE,
+    and reports per-doc counts of positions/windows shared with another
+    document.
+
+    Scale shape: one explode (rows x ~doc_len/stride, bounded by
+    max_pos), then two hash shuffles — (window, doc) combine, then
+    window — never an all-pairs document join. Groups on the LITERAL
+    window text, so semantics are exact with no hash-collision caveat;
+    at 100 TB shuffle xxhash64(window) instead and verify text equality
+    within hash groups (documented drop-in), and raise stride to
+    window/2 — any shared run of >= 2*window-1 chars still aligns on a
+    stride boundary in both copies. The (window, doc) aggregate feeds
+    both the shared-window set and the per-doc rollup, so it persists
+    (bounded by distinct pairs; callers own unpersist, module
+    convention).
+    """
+    eligible = docs.filter(F.length(text_col) >= window)
+    starts = F.sequence(
+        F.lit(1),
+        F.least(F.length(text_col) - (window - 1), F.lit(max_pos)),
+        F.lit(stride),
+    )
+    wins = eligible.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts, lambda p: F.col(text_col).substr(p, F.lit(window))
+            )
+        ).alias("w"),
+    )
+    wd = (
+        wins.groupBy("w", id_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    shared = (
+        wd.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("w")
+    )
+    return (
+        wd.join(shared, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("shared_positions"),
+            F.count(F.lit(1)).alias("distinct_shared_windows"),
+        )
+    )

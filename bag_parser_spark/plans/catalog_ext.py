@@ -1100,3 +1100,36 @@ def q_negatives(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return sampling.sample_negatives(d, id_col="doc_id", k=4)
+
+
+@register(
+    "dedup_repeated_substrings",
+    """
+    WITH pos AS (
+      SELECT d.doc_id,
+             substr(d.text, CAST(s.g AS INT), 40) AS w
+      FROM documents d
+      JOIN (SELECT unnest(range(1, 4097)) AS g) s
+        ON s.g <= length(d.text) - 39
+    ),
+    wd AS (
+      SELECT w, doc_id, COUNT(*) AS c FROM pos GROUP BY w, doc_id
+    ),
+    shared AS (SELECT w FROM wd GROUP BY w HAVING COUNT(*) >= 2)
+    SELECT wd.doc_id,
+           CAST(SUM(wd.c) AS BIGINT) AS shared_positions,
+           COUNT(*) AS distinct_shared_windows
+    FROM wd JOIN shared USING (w)
+    GROUP BY wd.doc_id
+    """,
+    doc="Exact repeated-substring dedup (operators/dedup.py::"
+    "repeated_substring_stats): per-doc counts of 40-char windows that "
+    "occur verbatim in >= 2 documents — the passage-level contamination "
+    "MinHash/Jaccard whole-doc scoring misses. One explode (bounded by "
+    "the 4096-position cap, same cap in the oracle), one (window,doc) "
+    "combine shuffle, one window shuffle; no all-pairs doc join; exact "
+    "literal-text grouping (hash-free).",
+)
+def q_dedup_repeated_substrings(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.repeated_substring_stats(d, window=40, stride=1)

@@ -55,6 +55,8 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "j10_salted_skew_join",
     "mm_image_features",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

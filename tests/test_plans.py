@@ -328,3 +328,45 @@ def test_salted_join_no_straggler_partition(spark):
         assert max(counts) < 0.5 * sum(counts), (
             f"{source}: one salt cell holds {max(counts)}/{sum(counts)} rows"
         )
+
+
+def test_tpch_q21_semi_then_anti_shape(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must plan as one LeftSemi and one
+    LeftAnti join (never inner-join + distinct / subquery re-execution),
+    and the top-20 as a TakeOrderedAndProject heap."""
+    df = registry()["tpch_q21_waiting_suppliers"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q19_derives_prejoin_filters(spark):
+    """Q19's OR-of-ANDs predicate spans both join inputs; Catalyst must
+    still derive per-side pre-join filters from the disjunction (the
+    quantity envelope on lineitem, the brand set on part) instead of
+    evaluating everything post-join."""
+    df = registry()["tpch_q19_disjunctive_revenue"].fn(spark, SF_CORRECT)
+    full = _plan(df)
+    assert "PushedFilters" in full and "l_quantity" in full
+    assert "p_brand" in full
+
+
+def test_tpch_q15_q17_single_fact_scan(spark):
+    """Q15/Q17 reference a derived aggregate twice (scalar-max probe,
+    per-part stats); the persist must collapse that to ONE lineitem scan
+    — the second branch reads the InMemory relation, not parquet."""
+    for name in ("tpch_q15_top_supplier", "tpch_q17_small_qty_revenue"):
+        df = registry()[name].fn(spark, SF_CORRECT)
+        plan = _plan(df)
+        assert plan.count("lineitem") == 1, name
+        assert "InMemoryTableScan" in plan, name
+
+
+def test_tpch_q7_broadcast_dims_one_shuffle_join(spark):
+    """Q7's five dimension joins (supplier, customer, nation x2) must all
+    broadcast; the only shuffled join is orders<->lineitem."""
+    df = registry()["tpch_q7_volume_shipping"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
