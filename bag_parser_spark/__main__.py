@@ -7,6 +7,7 @@ export_to_csv.py:7-37, test_sqlite_db.py:12-14):
   export    adressen exports → CSV; same flag surface as the reference
             (-a/--all, -p4, -p5, -p6; default = postcode export)
   validate  run the invariant battery on an imported table set
+  query     ad-hoc SQL over the imported tables (readme.MD:54-78 parity)
 
 The reference drives everything from config.py constants; here the same
 options are flags (the library default, EngineConfig, stays declarative).
@@ -154,6 +155,41 @@ def cmd_validate(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_query(args) -> int:
+    """Ad-hoc SQL over an imported table set — parity with the reference
+    workflow of querying bag.sqlite directly (reference readme.MD:54-78
+    shows users issuing raw SELECTs; test_sqlite_db.py:12-14 scripts
+    them). Every parquet table directory under --db registers as a temp
+    view named after the directory, the statement runs through Spark SQL
+    (full Catalyst pipeline — pushdown/broadcast work exactly as in the
+    library paths), and rows stream to stdout as TSV. Output iterates
+    with toLocalIterator, one partition at a time on the driver — a
+    SELECT over the full 9.9M-address table streams through bounded
+    memory instead of materializing a driver-side list."""
+    spark = _get_spark(args, "bag-query")
+    names = [
+        n for n in sorted(os.listdir(args.db))
+        if os.path.isdir(os.path.join(args.db, n))
+    ]
+    if not names:
+        raise SystemExit(
+            f"no table directories under {args.db!r} — run "
+            "`python -m bag_parser_spark import` first (see readme)"
+        )
+    for n in names:
+        spark.read.parquet(os.path.join(args.db, n)).createOrReplaceTempView(n)
+    df = spark.sql(args.sql)
+    if args.limit is not None:
+        df = df.limit(args.limit)
+    print("\t".join(df.columns))
+    n_rows = 0
+    for row in df.toLocalIterator():
+        print("\t".join("" if v is None else str(v) for v in row))
+        n_rows += 1
+    _log(f"{n_rows} rows ({', '.join(names)} registered)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m bag_parser_spark",
@@ -205,6 +241,16 @@ def build_parser() -> argparse.ArgumentParser:
         val.add_argument(f"--{flag}", type=int, default=None)
     _add_spark_args(val)
     val.set_defaults(fn=cmd_validate)
+
+    q = sub.add_parser("query", help="run ad-hoc SQL over imported tables")
+    q.add_argument("sql", help="SQL statement; table names = directory "
+                   "names under --db (e.g. adressen, gemeenten)")
+    q.add_argument("--db", required=True,
+                   help="parquet directory from import")
+    q.add_argument("--limit", type=int, default=None,
+                   help="cap output rows (applied as a plan LIMIT)")
+    _add_spark_args(q)
+    q.set_defaults(fn=cmd_query)
     return p
 
 

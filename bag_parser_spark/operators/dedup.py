@@ -615,6 +615,7 @@ def repeated_substring_stats(
     window: int = 40,
     stride: int = 1,
     max_pos: int = 4096,
+    anchor_mod: int = 1,
 ) -> DataFrame:
     """Exact repeated-substring detection — the training-data dedup that
     set-similarity misses (Lee et al., "Deduplicating Training Data Makes
@@ -634,12 +635,33 @@ def repeated_substring_stats(
     window — never an all-pairs document join. Groups on the LITERAL
     window text, so semantics are exact with no hash-collision caveat;
     at 100 TB shuffle xxhash64(window) instead and verify text equality
-    within hash groups (documented drop-in), and raise stride to
-    window/2 — any shared run of >= 2*window-1 chars still aligns on a
-    stride boundary in both copies. The (window, doc) aggregate feeds
-    both the shared-window set and the per-doc rollup, so it persists
-    (bounded by distinct pairs; callers own unpersist, module
-    convention).
+    within hash groups (documented drop-in).
+
+    Sampling knobs, and what each one actually guarantees:
+
+    - ``stride`` > 1 keeps every stride-th start position. CHEAP but
+      alignment-sensitive: a passage shared by two docs is detected
+      only when its offsets agree mod stride (p1 ≡ p2), because the
+      window must begin at the same in-passage offset on both sides to
+      compare equal. Right for block-aligned corpora (fixed-size chunk
+      stores); wrong for free-text copies — a hypothesis test
+      demonstrates the missed-detection case.
+    - ``anchor_mod`` > 1 keeps a window iff the hash of its first 8
+      chars selects it (xxhash64 % anchor_mod == 0) — content-defined
+      chunking's anchor trick. Anchor positions depend only on the
+      TEXT, so a shared passage produces the same anchors at the same
+      in-passage offsets in every copy regardless of surrounding
+      bytes: detection is offset-independent, with ~1/anchor_mod of
+      the windows surviving to the shuffle (expected anchor spacing =
+      anchor_mod chars; a passage with no anchor — probability
+      (1-1/m)^L — is missed). The filter runs map-side after the
+      explode, so it cuts SHUFFLE volume, which is the scale
+      bottleneck, not the projection. This is the free-text scale
+      path.
+
+    The (window, doc) aggregate feeds both the shared-window set and
+    the per-doc rollup, so it persists (bounded by distinct pairs;
+    callers own unpersist, module convention).
     """
     eligible = docs.filter(F.length(text_col) >= window)
     starts = F.sequence(
@@ -655,6 +677,11 @@ def repeated_substring_stats(
             )
         ).alias("w"),
     )
+    if anchor_mod > 1:
+        wins = wins.filter(
+            F.pmod(F.xxhash64(F.substring("w", 1, 8)), F.lit(anchor_mod))
+            == 0
+        )
     wd = (
         wins.groupBy("w", id_col)
         .agg(F.count(F.lit(1)).alias("c"))

@@ -97,6 +97,20 @@ def test_cli_import_export_validate_end_to_end(tmp_path):
     assert report["woonplaatsen_zonder_gemeente"] == "PASS"
     assert report["gemeentenamen_utf8"] == "FAIL"  # sentinel not in fixture
 
+    # the parquet table set is ALSO directly queryable the reference way —
+    # raw SQL via the CLI (readme.MD:54-78 parity without the SQLite file)
+    r = _run_cli(
+        "query", "--db", out_dir,
+        "SELECT a.postcode, g.naam AS gemeente "
+        "FROM adressen a "
+        "JOIN woonplaatsen w ON a.woonplaats_id = w.id "
+        "JOIN gemeenten g ON w.gemeente_id = g.id",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()
+    assert lines[0] == "postcode\tgemeente"
+    assert lines[1:] == ["1181BN\tAmstelveen"]
+
 
 def test_sqlite_sink_roundtrip_typed_table(spark, tmp_path):
     """write → re-read → exact value match on a table mixing long, double,

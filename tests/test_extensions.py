@@ -801,3 +801,42 @@ def test_audio_features_8bit_unsigned_recentering(spark):
     assert rows[1]["mean_abs"] == 0.0 and rows[1]["peak_abs"] == 0
     assert rows[2]["peak_abs"] == 128  # |0-128| = 128, |255-128| = 127
     assert rows[2]["mean_abs"] == 127.5
+
+
+def _rss_rows(spark, stride, max_pos=4096):
+    from bag_parser_spark.operators.dedup import repeated_substring_stats
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "xxabcdef"), (3, "zzzz")],
+        "doc_id long, text string",
+    )
+    out = repeated_substring_stats(
+        docs, window=4, stride=stride, max_pos=max_pos
+    )
+    return {r["doc_id"]: (r["shared_positions"], r["distinct_shared_windows"])
+            for r in out.collect()}
+
+
+def test_repeated_substrings_stride1_known_values(spark):
+    """window=4: docs 1/2 share 'abcd','bcde','cdef'; doc 3's only window
+    ('zzzz') is unique so it must not appear."""
+    got = _rss_rows(spark, stride=1)
+    assert got == {1: (3, 3), 2: (3, 3)}
+
+
+def test_repeated_substrings_stride2_alignment(spark):
+    """stride=2 samples positions 1,3,5: doc1 emits abcd/cdef/efgh, doc2
+    xxab/abcd/cdef — the shared run starts at offsets 1 and 3, congruent
+    mod 2, so the aligned-copy case stride is designed for detects abcd
+    and cdef (misaligned copies are the documented miss; see
+    test_properties.test_repeated_substring_stride_misalignment)."""
+    got = _rss_rows(spark, stride=2)
+    assert got == {1: (2, 2), 2: (2, 2)}
+
+
+def test_repeated_substrings_position_cap(spark):
+    """max_pos=1 keeps only each doc's first window: doc1 'abcd', doc2
+    'xxab' — nothing shared, empty result. The cap must bound the explode,
+    not shift window contents."""
+    got = _rss_rows(spark, stride=1, max_pos=1)
+    assert got == {}

@@ -177,3 +177,56 @@ def test_format_count_nl_grouping():
     assert format_count_nl(1000) == "1.000"
     assert format_count_nl(1234567) == "1.234.567"
     assert format_count_nl(9_900_000) == "9.900.000"
+
+
+# repeated_substring_stats — sampling semantics. stride>1 is
+# alignment-sensitive (documented): a deterministic regression pins the
+# missed-detection case hypothesis found. anchor_mod (content-defined
+# anchors) is offset-INDEPENDENT: whenever the bare passage alone is
+# detected, any padding around it must still be detected.
+def test_repeated_substring_stride_misalignment_documented(spark):
+    from bag_parser_spark.operators.dedup import repeated_substring_stats
+
+    w, passage = 8, "xxxxxxxxxxyxxxx"  # hypothesis counterexample, pinned
+    docs = spark.createDataFrame(
+        [(1, "a" + passage), (2, passage)], "doc_id long, text string"
+    )
+    strided = repeated_substring_stats(docs, window=w, stride=w // 2)
+    assert strided.count() == 0  # offsets differ by 1 ≢ 0 (mod 4): missed
+    exact = repeated_substring_stats(docs, window=w, stride=1)
+    assert {r["doc_id"] for r in exact.collect()} == {1, 2}
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_repeated_substring_anchor_offset_independent(spark, data):
+    from bag_parser_spark.operators.dedup import repeated_substring_stats
+
+    w, m = 8, 4
+    alpha = st.text(alphabet="abcdefgh", min_size=0, max_size=40)
+    passage = data.draw(
+        st.text(alphabet="xyz", min_size=2 * w, max_size=3 * w)
+    )
+    bare = spark.createDataFrame(
+        [(1, passage), (2, passage)], "doc_id long, text string"
+    )
+    bare_found = (
+        repeated_substring_stats(bare, window=w, anchor_mod=m).count() > 0
+    )
+    pre1, post1 = data.draw(alpha), data.draw(alpha)
+    pre2, post2 = data.draw(alpha), data.draw(alpha)
+    padded = spark.createDataFrame(
+        [(1, pre1 + passage + post1), (2, pre2 + passage + post2)],
+        "doc_id long, text string",
+    )
+    padded_found = {
+        r["doc_id"]
+        for r in repeated_substring_stats(
+            padded, window=w, anchor_mod=m
+        ).collect()
+    }
+    if bare_found:
+        assert padded_found >= {1, 2}, (
+            f"anchors in {passage!r} lost under padding "
+            f"pre1={pre1!r} pre2={pre2!r}"
+        )
