@@ -957,6 +957,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk", "mm_binary_metadata", "text_entropy",
     "a7_approx_distinct", "f14_null_semantics", "j10_salted_skew_join",
     "vocab_build",
+    # pass 1.5 — round-4 additions: never driver-verified, so they outrank
+    # re-verification of queries that already hold green r3 rows (pass 1
+    # already gives every family one slot, keeping the coverage contract)
+    "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q12_late_lines",
+    "tpch_q13_cust_distribution", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_relationship", "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue", "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers", "tpch_q22_sales_opportunity",
+    "dedup_repeated_substrings",
     # pass 2
     "tpch_q3_shipping_priority", "ts_window_battery", "events_sessionize",
     "sim_lsh_bucket_topk", "mm_image_features", "text_boilerplate_removal",
