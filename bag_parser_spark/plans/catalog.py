@@ -967,7 +967,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q16_supplier_relationship", "tpch_q17_small_qty_revenue",
     "tpch_q19_disjunctive_revenue", "tpch_q20_potential_promotion",
     "tpch_q21_waiting_suppliers", "tpch_q22_sales_opportunity",
-    "dedup_repeated_substrings",
+    "dedup_repeated_substrings", "split_leakage_safe",
     # pass 2
     "tpch_q3_shipping_priority", "ts_window_battery", "events_sessionize",
     "sim_lsh_bucket_topk", "mm_image_features", "text_boilerplate_removal",

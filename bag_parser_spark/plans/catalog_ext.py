@@ -272,8 +272,8 @@ _SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
 _SPLIT_SEED = 42
 
 
-def _split_case_sql() -> str:
-    bucket = O.md5_mod_sql("doc_id", _SPLIT_SEED)
+def _split_case_sql(col: str = "doc_id") -> str:
+    bucket = O.md5_mod_sql(col, _SPLIT_SEED)
     return (
         f"CASE WHEN {bucket} < 8000 THEN 'train' "
         f"WHEN {bucket} < 9000 THEN 'val' ELSE 'test' END"
@@ -1133,3 +1133,72 @@ def q_negatives(spark, sf_dir):
 def q_dedup_repeated_substrings(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.repeated_substring_stats(d, window=40, stride=1)
+
+
+@register(
+    "split_leakage_safe",
+    f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+    sig AS (SELECT doc_id AS id, {_mh_sig} AS sig FROM corpus),
+    bands AS ({_mh_bands}),
+    p AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+             FROM reach GROUP BY id),
+    rep AS (
+      SELECT c.doc_id, COALESCE(mp.cluster_id, c.doc_id) AS rep
+      FROM corpus c LEFT JOIN comp mp ON mp.doc_id = c.doc_id
+    )
+    SELECT doc_id, {_split_case_sql("rep")} AS split
+    FROM rep
+    """,
+    doc="Leakage-safe train/val/test split: a document's bucket is hashed "
+    "from its near-dup CLUSTER representative (MinHash+LSH pairs -> "
+    "connected components -> min-id rep; singletons represent "
+    "themselves), so an entire duplicate cluster always lands on one "
+    "side of the split. The plain hash split (split_train_test) leaks "
+    "here: two near-identical docs hash independently and can straddle "
+    "train/test, inflating eval. Scale shape: the LSH+CC machinery is "
+    "the bucketed/pointer-doubling path already used by dedup_clusters "
+    "(never all-pairs), and the final assignment is a map-only hash on "
+    "the rep — adding the guarantee costs no new shuffle beyond "
+    "clustering itself.",
+)
+def q_split_leakage_safe(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=_MH_N,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+    )
+    comp = dedup.dup_clusters(pairs, out_id="doc_id")
+    rep = (
+        corpus.select("doc_id")
+        .join(comp.select("doc_id", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("rep"),
+        )
+    )
+    return sampling.hash_split(
+        rep, id_col="rep", splits=_SPLITS, seed=_SPLIT_SEED
+    ).select("doc_id", "split")

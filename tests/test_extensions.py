@@ -840,3 +840,43 @@ def test_repeated_substrings_position_cap(spark):
     not shift window contents."""
     got = _rss_rows(spark, stride=1, max_pos=1)
     assert got == {}
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """The whole point of split_leakage_safe: every near-dup cluster maps
+    to exactly ONE split — and the guarantee is non-vacuous, because the
+    naive per-doc hash split DOES straddle clusters on the same corpus."""
+    from bag_parser_spark.operators import dedup as dd
+    from bag_parser_spark.operators import sampling
+    from bag_parser_spark.plans import catalog_ext as CE
+    from bag_parser_spark.plans.catalog import registry
+
+    corpus = CE._corpus(spark, SF_CORRECT)
+    pairs = dd.minhash_lsh_pairs(
+        corpus, id_col="doc_id", text_col="text",
+        shingle_n=CE._MH_N, num_hashes=CE._MH_HASHES, bands=CE._MH_BANDS,
+    )
+    comp = dd.dup_clusters(pairs, out_id="doc_id").select(
+        "doc_id", "cluster_id"
+    )
+
+    safe = registry()["split_leakage_safe"].fn(spark, SF_CORRECT)
+    straddled = (
+        safe.join(comp, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+    )
+    assert straddled.count() == 0
+
+    naive = sampling.hash_split(
+        corpus.select("doc_id"), id_col="doc_id",
+        splits=CE._SPLITS, seed=CE._SPLIT_SEED,
+    )
+    naive_straddled = (
+        naive.join(comp, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+    )
+    assert naive_straddled.count() > 0
