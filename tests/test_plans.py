@@ -370,3 +370,16 @@ def test_tpch_q7_broadcast_dims_one_shuffle_join(spark):
     plan = _plan(df, "simple")
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_repeated_substrings_no_allpairs_bounded_shuffles(spark):
+    """Substring dedup must stay a grouped-aggregation pipeline: never a
+    cartesian/nested-loop doc-pair join, the shared-window set broadcast
+    back (not shuffled), and at most 4 hash exchanges — (window,doc)
+    combine, window rollup, the per-doc rollup, and AQE's reuse."""
+    df = registry()["dedup_repeated_substrings"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
