@@ -378,3 +378,157 @@ def tfidf_vectors(
         "doc_freq",
         F.round(tfidf, round_to).alias("tfidf"),
     )
+
+
+def bm25_topk(
+    df,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    round_to: int = 6,
+):
+    """Okapi BM25 retrieval: score every document against a fixed bag of
+    query terms and keep the global top-k (row_number over the rounded
+    score, doc id as the deterministic tiebreak).
+
+    Plan shape, sized for a 100 TB corpus with a handful of query terms:
+    the token stream is filtered to the query terms IMMEDIATELY after the
+    explode — the literal `isin` list acts as the broadcast "query side",
+    so the (doc, token) aggregation state is bounded by |query| terms per
+    doc, not vocabulary size. Document length is computed map-side (a
+    `size(split(...))` projection, no second corpus shuffle), and the
+    corpus stats N/avgdl are a 1-row aggregate broadcast-crossJoined onto
+    the matches — the same move as tfidf_vectors' n_docs. Per-term df is
+    a query-term-bounded aggregate (≤ |query| rows) broadcast back. The
+    per-doc reduction folds term scores in sorted-token order (the exact
+    addition sequence the oracle's `list_reduce(list(... ORDER BY token))`
+    uses), so the sum is engine-independent; idf/tf math uses ln() which
+    can differ in the last ulp across libm implementations, hence the
+    documented round-to-6. The global top-k is orderBy().limit(k) —
+    Spark plans it as TakeOrderedAndProject (per-partition bounded heaps
+    merged at the driver, O(k) memory per task, no global sort shuffle) —
+    and the rank column is a row_number over just those k rows.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        F.size(toks).alias("dl"),
+        toks.alias("__toks__"),
+    )
+    stats = base.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    term = (
+        base.select("__id__", "dl", F.explode("__toks__").alias("token"))
+        .filter(F.col("token").isin(list(query_terms)))
+        .groupBy("__id__", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = term.groupBy("token").agg(
+        F.count_distinct("__id__").alias("df_t")
+    )
+    scored = (
+        term.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    per_doc = scored.groupBy("__id__").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.max("dl").alias("dl"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("token", "term_score"))
+                    ),
+                    lambda x: x["term_score"],
+                ),
+                F.lit(0.0),
+                lambda a, bb: a + bb,
+            ),
+            round_to,
+        ).alias("bm25"),
+    )
+    topk = per_doc.orderBy(F.col("bm25").desc(), F.col("__id__")).limit(
+        top_k
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("__id__"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("__id__").alias(id_col),
+        "n_terms_matched",
+        "dl",
+        "bm25",
+        "rank",
+    )
+
+
+def hash_classifier_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    seed: str = "clf",
+    w_mod: int = 1000,
+    round_to: int = 6,
+):
+    """fastText-style hashed bag-of-words linear classifier scoring: each
+    token hashes to one of ``n_buckets`` feature buckets; each bucket
+    carries a fixed milli-weight in [-w_mod/2, w_mod/2) derived
+    deterministically from the bucket id (a stand-in for trained weights —
+    swapping in a real weight table is a broadcast join on `bucket`).
+
+    score_milli = Σ_tokens w_milli(bucket(token)) is PURE INTEGER
+    arithmetic — exact and addition-order-free, so no ordered-fold dance
+    is needed; the only float ops are the final logit scaling and one
+    exp() in the sigmoid, rounded to 6 for cross-engine parity. Plan is
+    map + one groupBy(id) shuffle with map-side combine; the "model" is
+    an expression, so the hot path stays inside whole-stage codegen with
+    no UDF and no join at all.
+    """
+    from bag_parser_spark.operators.sampling import md5_mod
+
+    tok = F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    flat = df.select(F.col(id_col).alias("__id__"), tok)
+    bucket = md5_mod(F.col("token"), f"{seed}:b", n_buckets)
+    w_milli = md5_mod(bucket, f"{seed}:w", w_mod) - F.lit(w_mod // 2)
+    per_doc = flat.select("__id__", w_milli.alias("w")).groupBy("__id__").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w").alias("score_milli"),
+    )
+    logit = F.col("score_milli").cast("double") / (
+        F.lit(float(w_mod // 2)) * F.col("n_tokens").cast("double")
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return per_doc.select(
+        F.col("__id__").alias(id_col),
+        "n_tokens",
+        "score_milli",
+        F.round(prob, round_to).alias("prob"),
+        (F.round(prob, round_to) >= F.lit(0.5)).alias("keep"),
+    )

@@ -331,3 +331,53 @@ def gapfill_resample(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("max_value", ignorenulls=True).over(w).alias("ffill_max_value"),
     )
+
+
+def ohlc_bars(
+    df,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ordinal_col: str | None = None,
+    bar: str = "hour",
+    round_to: int = 6,
+):
+    """OHLC candlestick resampling: per key and time bucket, emit the
+    first (open), max (high), min (low), and last (close) value plus event
+    count and summed volume — the classic time-series downsample.
+
+    Open/close are `min_by`/`max_by` over a TOTALLY-ORDERED sortable key
+    (zero-padded epoch-micros, tie-broken by the ordinal column), so the
+    selection is deterministic even when timestamps collide — plain
+    first()/last() over an unordered groupBy would be partitioning-
+    dependent. One shuffle on (key, bucket) with full map-side partial
+    aggregation: min_by/max_by/min/max/count/sum all combine
+    associatively, so shuffle volume is #bars, not #events — at 100 TB
+    the reduction happens in the scan stage. No window, no sort, no UDF.
+    """
+    from bag_parser_spark.functions.scalars import ts_micros
+
+    order_key = F.concat(
+        F.lpad(ts_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(
+            (F.col(ordinal_col).cast("string") if ordinal_col else F.lit("")),
+            12,
+            "0",
+        ),
+    )
+    v = F.col(value_col)
+    return (
+        df.groupBy(
+            *[F.col(k) for k in key_cols],
+            F.date_trunc(bar, F.col(ts_col)).alias("bar_start"),
+        )
+        .agg(
+            F.min_by(v, order_key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(v), round_to).alias("volume"),
+        )
+    )

@@ -968,6 +968,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive_revenue", "tpch_q20_potential_promotion",
     "tpch_q21_waiting_suppliers", "tpch_q22_sales_opportunity",
     "dedup_repeated_substrings", "split_leakage_safe",
+    "text_bm25_topk", "text_hash_classifier", "ts_ohlc_bars",
+    "dedup_lsh_recall",
     # pass 2
     "tpch_q3_shipping_priority", "ts_window_battery", "events_sessionize",
     "sim_lsh_bucket_topk", "mm_image_features", "text_boilerplate_removal",

@@ -197,6 +197,109 @@ def q_jaccard(spark, sf_dir):
     )
 
 
+_RECALL_TAU = 0.5
+
+
+@register(
+    "dedup_lsh_recall",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sig AS (SELECT doc_id AS id, {_mh_sig} AS sig FROM corpus),
+    bands AS ({_mh_bands}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    sh0 AS (
+      SELECT doc_id AS id, unnest({O.shingles_sql('text', _MH_N)}) AS shingle
+      FROM corpus
+    ),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) > {_NGRAM_MAX_DF}
+    ),
+    sh AS (
+      SELECT * FROM sh0
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    truth AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      WHERE i.i / (sa.sz + sb.sz - i.i) >= {_RECALL_TAU}
+    ),
+    t AS (SELECT COUNT(*) AS n_truth FROM truth),
+    c AS (SELECT COUNT(*) AS n_candidates FROM cand),
+    h AS (SELECT COUNT(*) AS n_hits
+          FROM truth JOIN cand USING (id_a, id_b))
+    SELECT n_truth, n_candidates, n_hits,
+           round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision,
+           round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
+    FROM t, c, h
+    """,
+    doc="Measured (not guessed) MinHash-LSH quality: candidate pairs from "
+    "the banded signature join scored against exact n-gram-Jaccard ground "
+    f"truth (tau={_RECALL_TAU}) on the perturbed corpus — emits n_truth / "
+    "n_candidates / n_hits / precision / recall as one row. Both pair "
+    "pipelines are the already-bucketed shapes (banded equi-join; "
+    "inverted-index posting join with the hot-shingle cap), persisted "
+    "once each because the three count aggregates would otherwise "
+    "re-execute their subtrees; the final combine is three 1-row "
+    "broadcasts. This is the tuning loop for (num_hashes, bands) at "
+    "100 TB: rerun on a sampled corpus, read recall, adjust bands.",
+)
+def q_lsh_recall(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    truth = (
+        dedup.ngram_jaccard_pairs(
+            corpus,
+            id_col="doc_id",
+            text_col="text",
+            shingle_n=_MH_N,
+            threshold=_RECALL_TAU,
+            max_df=_NGRAM_MAX_DF,
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    cand = dedup.minhash_lsh_pairs(
+        corpus,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=_MH_N,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+    ).persist()
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    h = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        t.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 _SH_BITS, _SH_HAMMING = 16, 3
 _sh_bits = O.simhash_bits_sql("text", _SH_BITS)
 _sh_prefix = " || ".join(f"CAST(bits[{i + 1}] AS VARCHAR)" for i in range(_SH_BITS // 2))
@@ -261,6 +364,122 @@ def q_simhash(spark, sf_dir):
 def q_text_quality(spark, sf_dir):
     return text.quality_metrics(
         _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+
+
+# Fixed retrieval query for the BM25 battery — terms drawn from the
+# synthetic corpus vocabulary so every term matches a nontrivial doc set.
+_BM25_TERMS = ["spark", "query", "join", "window", "stream", "sort"]
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH b2 AS (
+      SELECT doc_id, {O.words_sql('lower(text)')} AS t FROM documents
+    ),
+    b3 AS (SELECT doc_id, len(t) AS dl, t FROM b2),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM b3
+    ),
+    term AS (
+      SELECT doc_id, dl, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(t) AS token FROM b3)
+      WHERE token IN ({', '.join("'" + w + "'" for w in _BM25_TERMS)})
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df_t FROM term GROUP BY 1
+    ),
+    scored AS (
+      SELECT t.doc_id, t.token, t.dl,
+             ln((s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5) + 1.0)
+             * (CAST(t.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+             / (CAST(t.tf AS DOUBLE)
+                + {_BM25_K1} * ({1.0 - _BM25_B}
+                               + {_BM25_B} * CAST(t.dl AS DOUBLE) / s.avgdl))
+               AS term_score
+      FROM term t JOIN dfreq d USING (token) CROSS JOIN stats s
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_terms_matched, MAX(dl) AS dl,
+             round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(term_score ORDER BY token)),
+               (a, b) -> a + b), 6) AS bm25
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched, dl, bm25, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM per_doc
+    ) WHERE rank <= {_BM25_TOPK}
+    """,
+    doc="Okapi BM25 top-k retrieval against a fixed query-term bag: the "
+    "token stream filters to the broadcast query terms right after the "
+    "explode (per-doc agg state bounded by |query|), document length is a "
+    "map-side projection, corpus stats are a 1-row broadcast, per-term df "
+    "a |query|-bounded broadcast, and the per-doc sum folds in sorted-"
+    "token order for cross-engine bit-parity (round 6 absorbs libm ln "
+    "ulps). Global top-k = row_number over rounded score.",
+)
+def q_bm25(spark, sf_dir):
+    return text.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        id_col="doc_id",
+        text_col="text",
+        k1=_BM25_K1,
+        b=_BM25_B,
+        top_k=_BM25_TOPK,
+    )
+
+
+_CLF_BUCKETS, _CLF_SEED, _CLF_WMOD = 64, "clf", 1000
+
+
+@register(
+    "text_hash_classifier",
+    f"""
+    WITH flat AS (
+      SELECT doc_id, unnest({O.words_sql('lower(text)')}) AS token
+      FROM documents
+    ),
+    weighted AS (
+      SELECT doc_id,
+             {O.md5_mod_sql(O.md5_mod_sql('token', _CLF_SEED + ':b', _CLF_BUCKETS), _CLF_SEED + ':w', _CLF_WMOD)}
+               - {_CLF_WMOD // 2} AS w
+      FROM flat
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(w) AS BIGINT) AS score_milli
+      FROM weighted GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score_milli,
+           round(1.0 / (1.0 + exp(-(CAST(score_milli AS DOUBLE)
+                 / ({_CLF_WMOD // 2}.0 * CAST(n_tokens AS DOUBLE))))), 6)
+             AS prob,
+           round(1.0 / (1.0 + exp(-(CAST(score_milli AS DOUBLE)
+                 / ({_CLF_WMOD // 2}.0 * CAST(n_tokens AS DOUBLE))))), 6)
+             >= 0.5 AS keep
+    FROM per_doc
+    """,
+    doc="Hashed bag-of-words linear classifier (fastText-style quality "
+    "filter): tokens hash to 64 feature buckets whose milli-weights derive "
+    "deterministically from the bucket id; the per-doc score is pure "
+    "integer arithmetic (exact, addition-order-free), with one final "
+    "sigmoid rounded to 6. Map + one groupBy(id) shuffle with map-side "
+    "combine; the model is an expression — no UDF, no join.",
+)
+def q_hash_classifier(spark, sf_dir):
+    return text.hash_classifier_scores(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        n_buckets=_CLF_BUCKETS,
+        seed=_CLF_SEED,
+        w_mod=_CLF_WMOD,
     )
 
 

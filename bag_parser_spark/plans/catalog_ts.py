@@ -493,3 +493,39 @@ def q_sliding_distinct(spark, sf_dir):
         "n_users",
         ok.alias("approx_ok"),
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    """
+    WITH keyed AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_start, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+      FROM events
+    )
+    SELECT event_type, bar_start,
+           arg_min(value, ok) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ok) AS close,
+           COUNT(*) AS n_events,
+           round(SUM(value), 6) AS volume
+    FROM keyed
+    GROUP BY event_type, bar_start
+    """,
+    doc="OHLC candlestick resampling per (event_type, hour): open/close "
+    "are min_by/max_by over a zero-padded (epoch-micros, event_id) sort "
+    "key — deterministic under timestamp ties, unlike unordered first/"
+    "last. Single (key, bar) shuffle; every aggregate combines "
+    "associatively so shuffle volume is #bars, not #events.",
+)
+def q_ohlc(spark, sf_dir):
+    return timeseries.ohlc_bars(
+        _t(spark, sf_dir, "events"),
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        ordinal_col="event_id",
+        bar="hour",
+    )

@@ -880,3 +880,110 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
         .filter(F.col("ns") > 1)
     )
     assert naive_straddled.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: BM25, hashed classifier, OHLC bars
+# ---------------------------------------------------------------------------
+
+def test_bm25_ranks_matching_doc_first(spark):
+    from bag_parser_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark join filler filler"),
+            (2, "filler filler filler filler filler filler"),
+            (3, "spark filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["spark", "join"], top_k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # doc 2 has no query term at all -> absent; doc 1 (tf=3 + 'join') first
+    assert ranked == [1, 3]
+    top = out[0] if out[0]["rank"] == 1 else out[1]
+    assert top["n_terms_matched"] == 2 and top["bm25"] > 0
+
+
+def test_bm25_topk_plan_uses_bounded_heap(spark):
+    """Global top-k must be TakeOrderedAndProject (O(k) per-task heaps),
+    not a single-partition global sort of every document."""
+    from bag_parser_spark.plans.catalog import registry
+
+    df = registry()["text_bm25_topk"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hash_classifier_integer_exact(spark):
+    """score_milli must equal the Python-side integer recomputation: the
+    hashed-feature sum is exact integer math, independent of partitioning."""
+    import hashlib
+
+    from bag_parser_spark.operators.text import hash_classifier_scores
+
+    def md5_mod_py(value, seed, mod):
+        h = hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:8]
+        return int(h, 16) % mod
+
+    docs = [(1, "alpha beta gamma alpha"), (2, "delta epsilon")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in hash_classifier_scores(
+            df, n_buckets=64, seed="clf", w_mod=1000
+        ).collect()
+    }
+    for doc_id, textv in docs:
+        expected = sum(
+            md5_mod_py(md5_mod_py(t, "clf:b", 64), "clf:w", 1000) - 500
+            for t in textv.lower().split()
+        )
+        assert out[doc_id]["score_milli"] == expected
+        assert out[doc_id]["n_tokens"] == len(textv.split())
+        assert 0.0 <= out[doc_id]["prob"] <= 1.0
+
+
+def test_hash_classifier_repartition_invariant(spark):
+    from bag_parser_spark.operators.text import hash_classifier_scores
+    from bag_parser_spark.sources.parquet import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = hash_classifier_scores(d).orderBy("doc_id").collect()
+    b = (
+        hash_classifier_scores(d.repartition(13))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_ohlc_open_close_deterministic_under_ts_ties(spark):
+    """Two events share the same timestamp: open/close must follow the
+    ordinal (event_id) tiebreak, not arrival/partition order."""
+    import datetime
+
+    from bag_parser_spark.operators.timeseries import ohlc_bars
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 15, 0)
+    rows = [
+        (2, t0, "click", 50.0),          # same ts as event 1 — id breaks tie
+        (1, t0, "click", 10.0),
+        (3, t0.replace(minute=40), "click", 99.0),
+        (4, t0.replace(minute=50), "click", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    for n_parts in (1, 7):
+        out = ohlc_bars(
+            df.repartition(n_parts),
+            key_cols=["event_type"],
+            ordinal_col="event_id",
+        ).collect()
+        assert len(out) == 1
+        bar = out[0]
+        assert bar["open"] == 10.0   # event_id 1 wins the ts tie
+        assert bar["close"] == 5.0   # latest ts
+        assert bar["high"] == 99.0 and bar["low"] == 5.0
+        assert bar["n_events"] == 4

@@ -376,7 +376,13 @@ def test_repeated_substrings_no_allpairs_bounded_shuffles(spark):
     """Substring dedup must stay a grouped-aggregation pipeline: never a
     cartesian/nested-loop doc-pair join, the shared-window set broadcast
     back (not shuffled), and at most 4 hash exchanges — (window,doc)
-    combine, window rollup, the per-doc rollup, and AQE's reuse."""
+    combine, window rollup, the per-doc rollup, and AQE's reuse.
+
+    clearCache first: the exchange count asserts the CANONICAL uncached
+    shape — if an earlier test left this query's persisted subtree in the
+    block manager, the plan inlines the InMemoryRelation's child (its own
+    exchanges included) and the count drifts with suite ordering."""
+    spark.catalog.clearCache()
     df = registry()["dedup_repeated_substrings"].fn(spark, SF_CORRECT)
     plan = _plan(df, "simple")
     assert "CartesianProduct" not in plan
