@@ -294,3 +294,65 @@ def run_interval_join_to_memory(
         .start()
     )
     q.awaitTermination()
+
+def ohlc_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked OHLC candlestick aggregate — the streaming twin of the
+    batch ``ts_ohlc_bars`` catalog query (operators/timeseries.py:
+    ohlc_bars). Same total-order selection key, so open/close are
+    deterministic under timestamp ties in the stream too.
+
+    min_by/max_by/min/max/count/sum are all algebraic aggregates with a
+    merge: the state store keeps ONE partial bar per (window, key) — O(
+    #open-bars) state, bounded by the watermark, never per-event state.
+    The tumbling window start equals date_trunc('hour') for hour-aligned
+    bars, which is what the batch twin groups by."""
+    from bag_parser_spark.functions.scalars import ts_micros
+
+    order_key = F.concat(
+        F.lpad(ts_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    v = F.col("value")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by(v, order_key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(v), 6).alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )
+
+
+def run_ohlc_stream_to_memory(
+    spark: SparkSession, path: str, table_name: str = "events_ohlc"
+) -> None:
+    """Drain the OHLC stream with AvailableNow into a memory sink
+    (complete mode — tests read the final bars)."""
+    agg = ohlc_stream(read_events_stream(spark, path))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

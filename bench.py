@@ -57,6 +57,9 @@ HEADLINE = [
     "mm_image_features",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
+    "text_bm25_topk",
+    "text_hash_classifier",
+    "ts_ohlc_bars",
 ]
 
 

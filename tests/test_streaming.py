@@ -334,3 +334,28 @@ def test_native_hopping_window_stream_matches_batch(spark):
         b_n, b_total = batch_rows[key]
         assert n == b_n
         assert abs(total - b_total) < 1e-9
+
+
+def test_ohlc_stream_matches_batch(spark):
+    """Streamed OHLC bars must equal the batch ts_ohlc_bars twin:
+    open/high/low/close/n_events exactly (pure selections — no float
+    accumulation), volume to 1e-6 (double sums re-associate between the
+    stream's state-store merges and the batch partial aggregation)."""
+    from bag_parser_spark.streaming.events import run_ohlc_stream_to_memory
+
+    run_ohlc_stream_to_memory(spark, f"{SF}/events.parquet", "ev_ohlc_test")
+    stream_rows = {
+        (r["bar_start"], r["event_type"]): r
+        for r in spark.table("ev_ohlc_test").collect()
+    }
+    batch_rows = {
+        (r["bar_start"], r["event_type"]): r
+        for r in registry()["ts_ohlc_bars"].fn(spark, SF).collect()
+    }
+    assert set(stream_rows) == set(batch_rows) and len(stream_rows) > 0
+    for key, s in stream_rows.items():
+        b = batch_rows[key]
+        assert (s["open"], s["high"], s["low"], s["close"], s["n_events"]) == (
+            b["open"], b["high"], b["low"], b["close"], b["n_events"]
+        ), key
+        assert abs(s["volume"] - b["volume"]) <= 1e-6, key
