@@ -1350,10 +1350,17 @@ def q_tpch_q20(spark, sf_dir):
     "other-supplier lines of the same order (someone else was "
     "involved), LEFT ANTI joined against other-supplier LATE lines "
     "(but nobody else was late) — supplier was the sole bottleneck. "
-    "Both probes reuse the small derived 'late' set; the semi/anti "
-    "conditions are equi-on-orderkey plus a non-equi supplier "
-    "inequality, which Spark executes as a shuffled join with "
-    "residual — bounded because order fan-out is bounded. Top-20 with "
+    "The physical strategy decorrelates both probes into per-order "
+    "distinct-supplier counts: EXISTS(other supplier) ⇔ the order has "
+    "≥2 distinct suppliers, NOT EXISTS(other LATE supplier) ⇔ the "
+    "order has exactly 1 distinct late supplier (the probe row's own). "
+    "That replaces two shuffled NON-EQUI joins against fact-sized "
+    "sides — each a residual-filtered orderkey join whose hot orders "
+    "re-expand per probe row — with two key-only aggregates (map-side "
+    "combined, order-bounded output) and plain equi-joins, the shape "
+    "that survives a 100× fact scale-up. 'late' is persisted: it feeds "
+    "its own aggregate AND the final probe, and Spark self-joins would "
+    "otherwise execute the lineitem⋈orders subtree twice. Top-20 with "
     "unique s_name tiebreak.",
 )
 def q_tpch_q21(spark, sf_dir):
@@ -1366,28 +1373,34 @@ def q_tpch_q21(spark, sf_dir):
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         )
         .select("l_orderkey", "l_suppkey")
+        .persist()
     )
-    all_l = l.select(
-        F.col("l_orderkey").alias("o2_orderkey"),
-        F.col("l_suppkey").alias("o2_suppkey"),
-    ).distinct()
-    late3 = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"),
-        F.col("l_suppkey").alias("o3_suppkey"),
+    # order → #distinct suppliers over ALL lines (any status): ≥2 means
+    # some other supplier participated in the order (the EXISTS branch).
+    n_supp = (
+        l.groupBy(F.col("l_orderkey").alias("o2_orderkey"))
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") >= 2)
+        .select("o2_orderkey")
+    )
+    # order → #distinct LATE suppliers: exactly 1 means the probe row's
+    # supplier was the only late one (the NOT EXISTS branch — any other
+    # late supplier would make the count ≥2).
+    one_late = (
+        late.groupBy(F.col("l_orderkey").alias("o3_orderkey"))
+        .agg(F.count_distinct("l_suppkey").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("o3_orderkey")
     )
     s = _t(spark, sf_dir, "supplier")
     return (
         late.join(
-            all_l,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
+            n_supp, F.col("l_orderkey") == F.col("o2_orderkey"), "left_semi"
         )
         .join(
-            late3,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
+            one_late,
+            F.col("l_orderkey") == F.col("o3_orderkey"),
+            "left_semi",
         )
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")

@@ -330,14 +330,19 @@ def test_salted_join_no_straggler_partition(spark):
         )
 
 
-def test_tpch_q21_semi_then_anti_shape(spark):
-    """Q21's EXISTS/NOT-EXISTS pair must plan as one LeftSemi and one
-    LeftAnti join (never inner-join + distinct / subquery re-execution),
-    and the top-20 as a TakeOrderedAndProject heap."""
+def test_tpch_q21_decorrelated_equi_shape(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is decorrelated into per-order
+    distinct-supplier counts: the plan must show two LeftSemi EQUI joins
+    against those aggregates — no LeftAnti with a non-equi residual (the
+    supplier-inequality probe re-expands hot orders per row), no
+    cartesian fallback — and the top-20 as a TakeOrderedAndProject
+    heap."""
+    spark.catalog.clearCache()
     df = registry()["tpch_q21_waiting_suppliers"].fn(spark, SF_CORRECT)
     plan = _plan(df, "simple")
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("LeftSemi") >= 2
+    assert "LeftAnti" not in plan
+    assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
 
 
