@@ -532,3 +532,45 @@ def hash_classifier_scores(
         F.round(prob, round_to).alias("prob"),
         (F.round(prob, round_to) >= F.lit(0.5)).alias("keep"),
     )
+
+
+def bpe_pair_counts(
+    df,
+    text_col: str = "text",
+    top_k: int = 30,
+):
+    """First BPE merge-step statistics: corpus-weighted counts of adjacent
+    character pairs inside words — the quantity a byte-pair-encoding
+    tokenizer trainer maximizes when picking its next merge.
+
+    The corpus collapses to the word-frequency table FIRST (vocab-bounded
+    by Zipf — orders of magnitude below corpus size), so the char-pair
+    explode runs over unique words weighted by frequency, not over every
+    token occurrence: at 100 TB that is the difference between exploding
+    ~1e6 vocabulary rows and ~1e13 token rows for identical counts.
+    Shuffles: word groupBy (map-side combined), pair groupBy over the
+    vocab-sized expansion. Top-k via orderBy().limit() →
+    TakeOrderedAndProject. Single-char words contribute no pairs (the
+    length guard matters: Spark's sequence(1, 0) is DESCENDING, not
+    empty — the `when` keeps it out of the lambda).
+    """
+    from pyspark.sql import Window
+
+    wf = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pair_idx = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array())
+    pairs = wf.select(
+        "f",
+        F.explode(
+            F.transform(pair_idx, lambda i: F.col("w").substr(i, F.lit(2)))
+        ).alias("pair"),
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("f").alias("pair_count"))
+    topk = pc.orderBy(F.col("pair_count").desc(), F.col("pair")).limit(top_k)
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return topk.withColumn("rank", F.row_number().over(w))

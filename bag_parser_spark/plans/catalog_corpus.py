@@ -1821,3 +1821,49 @@ def q_locale_format(spark, sf_dir):
         scalars.nl_number(F.col("cnt")).alias("cnt_nl"),
         scalars.nl_number(F.col("qty")).alias("qty_nl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_k_anonymity — privacy audit over quasi-identifier tuples
+# ---------------------------------------------------------------------------
+
+_KANON_K = 10
+
+
+@register(
+    "dq_k_anonymity",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS sz,
+             COUNT(DISTINCT c_acctbal) AS l
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT {_KANON_K} AS k,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           MIN(sz) AS min_group_size,
+           MIN(l) AS min_l_diversity
+    FROM g
+    """,
+    doc="k-anonymity / l-diversity privacy audit over the "
+    "(nationkey, mktsegment) quasi-identifier pair with acctbal as the "
+    "sensitive attribute: counts quasi-groups smaller than k (re-"
+    "identifiable rows) and the minimum distinct-sensitive-value count "
+    "per group (attribute-disclosure risk). One shuffle on the quasi key "
+    "with count/count_distinct partials, then a 1-row reduce — the "
+    "sensitive column never leaves the first aggregation stage.",
+)
+def q_k_anonymity(spark, sf_dir):
+    from bag_parser_spark.operators.governance import k_anonymity_report
+
+    return k_anonymity_report(
+        _t(spark, sf_dir, "customer"),
+        quasi_cols=["c_nationkey", "c_mktsegment"],
+        sensitive_col="c_acctbal",
+        k=_KANON_K,
+    )

@@ -1421,3 +1421,40 @@ def q_split_leakage_safe(spark, sf_dir):
     return sampling.hash_split(
         rep, id_col="rep", splits=_SPLITS, seed=_SPLIT_SEED
     ).select("doc_id", "split")
+
+
+_BPE_TOPK = 30
+
+
+@register(
+    "text_bpe_pair_counts",
+    f"""
+    WITH wf AS (
+      SELECT token AS w, COUNT(*) AS f
+      FROM (SELECT unnest({O.words_sql('lower(text)')}) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, f
+      FROM (SELECT w, f, unnest(range(1, length(w))) AS i FROM wf)
+    ),
+    pc AS (
+      SELECT pair, CAST(SUM(f) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_count, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank
+      FROM pc
+    ) WHERE rank <= {_BPE_TOPK}
+    """,
+    doc="BPE tokenizer-training statistics: corpus-weighted adjacent "
+    "char-pair counts (the argmax of the first BPE merge). The corpus "
+    "collapses to the word-frequency table before the char explode, so "
+    "the quadratic-ish pair expansion runs over the Zipf-bounded vocab, "
+    "not the token stream; top-k is a TakeOrderedAndProject heap.",
+)
+def q_bpe_pairs(spark, sf_dir):
+    return text.bpe_pair_counts(
+        _t(spark, sf_dir, "documents"), text_col="text", top_k=_BPE_TOPK
+    )

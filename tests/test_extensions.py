@@ -987,3 +987,35 @@ def test_ohlc_open_close_deterministic_under_ts_ties(spark):
         assert bar["close"] == 5.0   # latest ts
         assert bar["high"] == 99.0 and bar["low"] == 5.0
         assert bar["n_events"] == 4
+
+
+def test_bpe_pair_counts_single_char_words_and_weighting(spark):
+    """Single-char words contribute no pairs (Spark sequence(1,0) is
+    DESCENDING, not empty — the guard matters), and counts weight by
+    word frequency, not unique words."""
+    from bag_parser_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "ab ab a"), (2, "ab bc")], "doc_id long, text string"
+    )
+    out = {r["pair"]: r["pair_count"] for r in bpe_pair_counts(df).collect()}
+    assert out == {"ab": 3, "bc": 1}  # 'a' alone contributes nothing
+
+
+def test_k_anonymity_report_counts(spark):
+    from bag_parser_spark.operators.governance import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [
+            ("nl", "a", 1.0), ("nl", "a", 2.0), ("nl", "a", 2.0),
+            ("de", "b", 5.0),                      # singleton -> at risk
+        ],
+        "nation string, seg string, bal double",
+    )
+    r = k_anonymity_report(
+        df, quasi_cols=["nation", "seg"], sensitive_col="bal", k=2
+    ).collect()[0]
+    assert r["n_groups"] == 2
+    assert r["n_violating_groups"] == 1 and r["rows_at_risk"] == 1
+    assert r["min_group_size"] == 1
+    assert r["min_l_diversity"] == 1  # the singleton group
