@@ -190,6 +190,36 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    """Training-corpus preparation: quality/language filter → exact dedup
+    → near-dup canonicalization → deterministic split → parquet
+    partitioned by split. The JSON summary is the only stdout line
+    (machine-readable, same contract as bench.py); progress to stderr."""
+    import json
+
+    from bag_parser_spark.plans.corpus_prep import prepare_corpus
+
+    spark = _get_spark(args, "corpus-prepare")
+    docs = spark.read.parquet(args.docs)
+    splits = None
+    if args.splits:
+        parts = [s.split("=") for s in args.splits.split(",")]
+        splits = [(name, float(frac)) for name, frac in parts]
+    summary = prepare_corpus(
+        spark,
+        docs,
+        args.out,
+        min_quality=args.min_quality,
+        lang=None if args.any_lang else args.lang,
+        splits=splits,
+        seed=args.seed,
+        near_dedup=not args.no_near_dedup,
+    )
+    _log(f"prepared {summary['n_out']} docs -> {summary['out']}")
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m bag_parser_spark",
@@ -251,6 +281,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cap output rows (applied as a plan LIMIT)")
     _add_spark_args(q)
     q.set_defaults(fn=cmd_query)
+
+    prep = sub.add_parser(
+        "prepare",
+        help="curate a documents table into a split training corpus",
+    )
+    prep.add_argument("--docs", required=True,
+                      help="input documents parquet (doc_id, text[, source])")
+    prep.add_argument("--out", required=True,
+                      help="output directory (parquet, partitioned by split)")
+    prep.add_argument("--min-quality", type=float, default=0.7)
+    prep.add_argument("--lang", default="en",
+                      help="keep docs whose predicted language matches")
+    prep.add_argument("--any-lang", action="store_true",
+                      help="skip the language filter")
+    prep.add_argument("--splits", default=None,
+                      help="name=frac list, e.g. train=0.9,val=0.05,test=0.05"
+                      " (default 0.8/0.1/0.1)")
+    prep.add_argument("--seed", type=int, default=42)
+    prep.add_argument("--no-near-dedup", action="store_true",
+                      help="skip MinHash-LSH near-dup canonicalization")
+    _add_spark_args(prep)
+    prep.set_defaults(fn=cmd_prepare)
     return p
 
 

