@@ -936,6 +936,238 @@ def q_knn_join(spark, sf_dir):
     )
 
 
+_ANN_K, _ANN_PROBES, _ANN_PLANES, _ANN_DIM, _ANN_TABLES = 10, 16, 8, 64, 4
+
+
+def _ann_plane_tables() -> list[list[list[float]]]:
+    """4 independent hyperplane sets (table t uses plane seeds
+    t*planes .. t*planes+planes-1); table 0 is the single-table
+    baseline."""
+    return [
+        [
+            similarity._pseudo_random_plane(t * _ANN_PLANES + p, _ANN_DIM)
+            for p in range(_ANN_PLANES)
+        ]
+        for t in range(_ANN_TABLES)
+    ]
+
+
+def _ann_recall_oracle_sql() -> str:
+    def bits(col: str, planes: list[list[float]]) -> str:
+        return " || ".join(
+            f"(CASE WHEN {O.dot_sql(col, O.double_list_literal(pv))} >= 0 "
+            f"THEN '1' ELSE '0' END)"
+            for pv in planes
+        )
+
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, ({bits('embedding', planes)}) AS bucket "
+        "FROM embeddings"
+        for t, planes in enumerate(_ann_plane_tables())
+    )
+    return f"""
+    WITH bands AS ({bands}),
+    probv AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {_ANN_PROBES}
+    ),
+    pb AS (SELECT vec_id AS qid, t AS qt, bucket AS qb FROM bands
+           WHERE vec_id < {_ANN_PROBES}),
+    cand AS (
+      SELECT p.qid, c.vec_id AS cid,
+             MAX(CASE WHEN c.t = 0 THEN 1 ELSE 0 END) AS t0
+      FROM pb p JOIN bands c
+        ON c.t = p.qt AND c.bucket = p.qb AND c.vec_id <> p.qid
+      GROUP BY p.qid, c.vec_id
+    ),
+    scored AS (
+      SELECT cand.qid, cand.cid, cand.t0,
+             round({O.cosine_sql('e.embedding', 'pv.qv')}, 6) AS sim
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.cid
+      JOIN probv pv ON pv.qid = cand.qid
+    ),
+    top4 AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+        FROM scored) WHERE rn <= {_ANN_K}
+    ),
+    top1 AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+        FROM scored WHERE t0 = 1) WHERE rn <= {_ANN_K}
+    ),
+    brute AS (
+      SELECT qid, cid FROM (
+        SELECT p.qid, e.vec_id AS cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY round({O.cosine_sql('e.embedding', 'p.qv')}, 6)
+                            DESC, e.vec_id ASC) AS rn
+        FROM probv p CROSS JOIN embeddings e
+        WHERE p.qid <> e.vec_id
+      ) WHERE rn <= {_ANN_K}
+    ),
+    nb AS (SELECT qid, COUNT(*) AS n_brute FROM brute GROUP BY qid),
+    nc1 AS (SELECT qid, COUNT(*) AS n_cand_1t FROM scored
+            WHERE t0 = 1 GROUP BY qid),
+    nc4 AS (SELECT qid, COUNT(*) AS n_cand_4t FROM scored GROUP BY qid),
+    h1 AS (SELECT brute.qid, COUNT(*) AS n_hits_1t
+           FROM brute JOIN top1 USING (qid, cid) GROUP BY brute.qid),
+    h4 AS (SELECT brute.qid, COUNT(*) AS n_hits_4t
+           FROM brute JOIN top4 USING (qid, cid) GROUP BY brute.qid)
+    SELECT nb.qid, nb.n_brute,
+           COALESCE(nc1.n_cand_1t, 0) AS n_cand_1t,
+           COALESCE(h1.n_hits_1t, 0) AS n_hits_1t,
+           round(CAST(COALESCE(h1.n_hits_1t, 0) AS DOUBLE) / nb.n_brute, 6)
+             AS recall_1t,
+           COALESCE(nc4.n_cand_4t, 0) AS n_cand_4t,
+           COALESCE(h4.n_hits_4t, 0) AS n_hits_4t,
+           round(CAST(COALESCE(h4.n_hits_4t, 0) AS DOUBLE) / nb.n_brute, 6)
+             AS recall_4t
+    FROM nb
+    LEFT JOIN nc1 ON nc1.qid = nb.qid
+    LEFT JOIN h1 ON h1.qid = nb.qid
+    LEFT JOIN nc4 ON nc4.qid = nb.qid
+    LEFT JOIN h4 ON h4.qid = nb.qid
+    """
+
+
+@register(
+    "sim_ann_recall",
+    _ann_recall_oracle_sql(),
+    doc="Measured (not guessed) ANN quality: per-probe recall@10 of "
+    "hyperplane-LSH against the exact brute-force top-10, for BOTH the "
+    "single-table bucket search and the standard multi-table upgrade "
+    "(4 independent plane sets, candidate = union of per-table bucket "
+    "matches). The candidate join is the banded equi-join shape — "
+    "(table, bucket) keys only, vectors re-attached to the DISTINCT "
+    "candidate set afterward so the band shuffle never carries floats. "
+    "Output: 16 rows of candidate-set size (cost) and recall (quality) "
+    "per variant — the num_planes/num_tables tuning loop, run on a "
+    "sample, read both columns, trade cost for recall. Brute side is "
+    "the documented bounded-probe baseline.",
+)
+def q_sim_ann_recall(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    tables = _ann_plane_tables()
+    bands = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    similarity.lsh_bucket_expr(F.col("embedding"), planes)
+                    for planes in tables
+                ]
+            )
+        ).alias("t", "bucket"),
+    ).persist()
+    probv = e.filter(F.col("vec_id") < _ANN_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pb = bands.filter(F.col("vec_id") < _ANN_PROBES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("t").alias("qt"),
+        F.col("bucket").alias("qb"),
+    )
+    cand = (
+        F.broadcast(pb)
+        .join(
+            bands,
+            (F.col("t") == F.col("qt"))
+            & (F.col("bucket") == F.col("qb"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.max((F.col("t") == 0).cast("int")).alias("t0"))
+    )
+    scored = (
+        cand.join(
+            e.select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cv")),
+            "cid",
+        )
+        .join(F.broadcast(probv), "qid")
+        .select(
+            "qid",
+            "cid",
+            "t0",
+            F.round(
+                similarity.cosine(F.col("cv"), F.col("qv"), _ANN_DIM), 6
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    top4 = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= _ANN_K)
+        .select("qid", "cid")
+    )
+    top1 = (
+        scored.filter(F.col("t0") == 1)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= _ANN_K)
+        .select("qid", "cid")
+    )
+    brute = similarity.knn_join_brute(
+        probv.select(F.col("qid").alias("vec_id"),
+                     F.col("qv").alias("embedding")),
+        e,
+        left_id="vec_id",
+        right_id="vec_id",
+        vec_col="embedding",
+        k=_ANN_K,
+        dim=_ANN_DIM,
+    ).select("qid", "cid").persist()
+    nb = brute.groupBy("qid").agg(F.count(F.lit(1)).alias("n_brute"))
+    nc1 = (
+        scored.filter(F.col("t0") == 1)
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_cand_1t"))
+    )
+    nc4 = scored.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand_4t"))
+    h1 = (
+        brute.join(top1, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits_1t"))
+    )
+    h4 = (
+        brute.join(top4, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits_4t"))
+    )
+    z = F.lit(0)
+    return (
+        nb.join(nc1, "qid", "left")
+        .join(h1, "qid", "left")
+        .join(nc4, "qid", "left")
+        .join(h4, "qid", "left")
+        .select(
+            "qid",
+            "n_brute",
+            F.coalesce("n_cand_1t", z).alias("n_cand_1t"),
+            F.coalesce("n_hits_1t", z).alias("n_hits_1t"),
+            F.round(
+                F.coalesce("n_hits_1t", z).cast("double") / F.col("n_brute"),
+                6,
+            ).alias("recall_1t"),
+            F.coalesce("n_cand_4t", z).alias("n_cand_4t"),
+            F.coalesce("n_hits_4t", z).alias("n_hits_4t"),
+            F.round(
+                F.coalesce("n_hits_4t", z).cast("double") / F.col("n_brute"),
+                6,
+            ).alias("recall_4t"),
+        )
+    )
+
+
 def _neardup_oracle_sql(threshold: float, num_planes: int, dim: int) -> str:
     planes = [
         similarity._pseudo_random_plane(p, dim) for p in range(num_planes)

@@ -1019,3 +1019,24 @@ def test_k_anonymity_report_counts(spark):
     assert r["n_violating_groups"] == 1 and r["rows_at_risk"] == 1
     assert r["min_group_size"] == 1
     assert r["min_l_diversity"] == 1  # the singleton group
+
+
+def test_lsh_multitable_superset_of_single_table(spark):
+    """Multi-table LSH candidates contain every single-table candidate
+    (table 0 uses the same planes), so its top-k cosine can only improve:
+    the k-th best multi-table score >= the k-th best single-table score."""
+    from bag_parser_spark.operators import similarity
+    from bag_parser_spark.sources.parquet import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    one = similarity.lsh_bucket_topk(
+        e, id_col="vec_id", vec_col="embedding", query_vec=qv, k=10
+    ).collect()
+    multi = similarity.lsh_multitable_topk(
+        e, id_col="vec_id", vec_col="embedding", query_vec=qv, k=10
+    ).collect()
+    assert len(multi) >= len(one)
+    assert min(r["cosine_sim"] for r in multi) >= min(
+        r["cosine_sim"] for r in one
+    )
