@@ -576,3 +576,121 @@ def q_profile(spark, sf_dir):
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a25_market_basket — frequent part pairs with support / lift
+# ---------------------------------------------------------------------------
+
+_MB_MINSUP, _MB_TOPK = 3, 50
+
+
+@register(
+    "a25_market_basket",
+    f"""
+    WITH l AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM l),
+    ic AS (SELECT pk, COUNT(*) AS c FROM l GROUP BY pk),
+    pc AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS pair_count
+      FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    ),
+    enriched AS (
+      SELECT p.part_a, p.part_b, p.pair_count,
+             ia.c AS count_a, ib.c AS count_b,
+             round(CAST(p.pair_count AS DOUBLE) / n.n_orders, 6) AS support,
+             round(CAST(p.pair_count AS DOUBLE) * n.n_orders
+                   / (ia.c * ib.c), 6) AS lift
+      FROM pc p
+      JOIN ic ia ON ia.pk = p.part_a
+      JOIN ic ib ON ib.pk = p.part_b
+      CROSS JOIN n
+      WHERE p.pair_count >= {_MB_MINSUP}
+    )
+    SELECT part_a, part_b, pair_count, count_a, count_b, support, lift,
+           rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY pair_count DESC, part_a ASC, part_b ASC) AS rank
+      FROM enriched
+    ) WHERE rank <= {_MB_TOPK}
+    """,
+    doc="Market-basket pair mining (association rules): frequent part "
+    "co-occurrences across orders with support and lift. The Spark side "
+    "builds per-order sorted item lists ONCE (groupBy orderkey) and "
+    "expands in-basket pairs positionally — bounded by the ~7-line order "
+    "fan-out, never an order-key self-join that rescans the fact table "
+    "twice and squares hot orders. Item counts (part-bounded) broadcast "
+    "back; N is a 1-row broadcast; integer counts make support/lift a "
+    "single deterministic division. Top-50 via TakeOrderedAndProject.",
+)
+def q_market_basket(spark, sf_dir):
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    n = l.agg(F.count_distinct("ok").alias("n_orders"))
+    ic = l.groupBy(F.col("pk")).agg(F.count(F.lit(1)).alias("c"))
+    baskets = (
+        l.groupBy("ok")
+        .agg(F.sort_array(F.collect_list("pk")).alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    pairs = baskets.select(
+        F.posexplode("items").alias("i", "part_a"), F.col("items")
+    ).select(
+        "part_a",
+        F.explode(
+            F.slice(
+                F.col("items"),
+                F.col("i") + F.lit(2),
+                F.size("items") - F.col("i") - F.lit(1),
+            )
+        ).alias("part_b"),
+    )
+    pc = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= _MB_MINSUP)
+    )
+    enriched = (
+        pc.join(
+            F.broadcast(ic.select(F.col("pk").alias("part_a"),
+                                  F.col("c").alias("count_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("pk").alias("part_b"),
+                                  F.col("c").alias("count_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            F.round(
+                F.col("pair_count").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(
+                F.col("pair_count").cast("double") * F.col("n_orders")
+                / (F.col("count_a") * F.col("count_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    topk = enriched.orderBy(
+        F.col("pair_count").desc(), F.col("part_a"), F.col("part_b")
+    ).limit(_MB_TOPK)
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("part_a"), F.col("part_b")
+    )
+    return topk.withColumn("rank", F.row_number().over(w))
