@@ -362,3 +362,34 @@ def sample_negatives(
         .filter(F.col("neg_id") != F.col(id_col))
     )
     return out.select(id_col, F.col("j").cast("long").alias("j"), "neg_id")
+
+
+def temporal_split_embargo(
+    df,
+    ts_col: str,
+    cutoff: str,
+    embargo: str = "1 days",
+    split_name: str = "split",
+):
+    """Leakage-safe temporal split for event/time-series training data:
+    rows strictly before ``cutoff`` are train, rows at/after
+    ``cutoff + embargo`` are test, and rows inside the embargo window are
+    DROPPED (labeled then filtered) — the purge gap that keeps
+    look-ahead features computed near the boundary from straddling it
+    (the time-series analogue of cluster-atomic splitting for near-dups).
+
+    Map-only expression — no shuffle, no RNG; the assignment depends only
+    on (cutoff, embargo, ts), so it is stable across runs, partitionings,
+    and engines, and the cutoff literal pushes down to the scan.
+    """
+    ts = F.col(ts_col)
+    cut = F.lit(cutoff).cast("timestamp_ntz")
+    test_start = cut + F.expr(f"INTERVAL {embargo}")
+    label = (
+        F.when(ts < cut, F.lit("train"))
+        .when(ts >= test_start, F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return df.withColumn(split_name, label).filter(
+        F.col(split_name) != "embargo"
+    )

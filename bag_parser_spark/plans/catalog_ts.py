@@ -529,3 +529,48 @@ def q_ohlc(spark, sf_dir):
         ordinal_col="event_id",
         bar="hour",
     )
+
+
+_TEMPORAL_CUTOFF, _TEMPORAL_EMBARGO_DAYS = "2024-01-24 00:00:00", 2
+
+
+@register(
+    "split_temporal_embargo",
+    f"""
+    WITH labeled AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts < TIMESTAMP '{_TEMPORAL_CUTOFF}' THEN 'train'
+                  WHEN ts >= TIMESTAMP '{_TEMPORAL_CUTOFF}'
+                             + INTERVAL {_TEMPORAL_EMBARGO_DAYS} DAY
+                    THEN 'test'
+                  ELSE 'embargo' END AS split
+      FROM events
+    )
+    SELECT split, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM labeled WHERE split <> 'embargo'
+    GROUP BY split
+    """,
+    doc="Leakage-safe temporal train/test split with a purge embargo: "
+    "train strictly before the cutoff, test only after cutoff+embargo, "
+    "the gap dropped so boundary-window features cannot straddle. "
+    "Map-only labeling (cutoff literal pushes to the scan) + one "
+    "summary aggregate; the per-row assignment is what a pipeline "
+    "writes, the summary is what the gate hashes.",
+)
+def q_temporal_split(spark, sf_dir):
+    from bag_parser_spark.operators.sampling import temporal_split_embargo
+
+    labeled = temporal_split_embargo(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        cutoff=_TEMPORAL_CUTOFF,
+        embargo=f"{_TEMPORAL_EMBARGO_DAYS} days",
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
