@@ -82,9 +82,8 @@ def prepare_corpus(
     observed.write.partitionBy("split").mode("overwrite").parquet(out_dir)
     n_out = obs.get["n_out"]
 
-    # Per-split breakdown from the written artifact: reads footers +
-    # partition dirs only (split is a partition column, count uses
-    # parquet row-group metadata — no data scan).
+    # Per-split breakdown from the written artifact (#splits output rows;
+    # the count re-scans only the freshly written, filtered corpus).
     by_split = {
         r["split"]: r["n"]
         for r in spark.read.parquet(out_dir)

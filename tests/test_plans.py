@@ -9,8 +9,20 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from bag_parser_spark.plans.catalog import registry
 from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(autouse=True)
+def _uncached_plans(spark):
+    """Every plan-shape assertion targets the CANONICAL uncached plan: a
+    persisted subtree left by an earlier test (the catalog shares
+    pipelines — e.g. dedup_lsh_recall persists the minhash pair tree)
+    inlines the InMemoryRelation's child plan, exchanges included, making
+    exchange counts drift with suite ordering."""
+    spark.catalog.clearCache()
 
 
 def _plan(df, mode: str = "formatted") -> str:
@@ -71,6 +83,10 @@ def test_w1_single_shuffle(spark):
 
 
 def test_minhash_bounded_shuffles(spark):
+    # clearCache: assert the CANONICAL uncached shape — persisted subtrees
+    # left by other tests (e.g. dedup_lsh_recall shares this pipeline)
+    # inline InMemoryRelation children and inflate the exchange count.
+    spark.catalog.clearCache()
     df = registry()["dedup_minhash_lsh"].fn(spark, SF_CORRECT)
     plan = _plan(df, "simple")
     # signature agg + band-bucket agg + pair distinct; the window inside
@@ -181,6 +197,7 @@ def test_no_rdd_api_and_bounded_driver_actions():
         "operators/similarity.py",  # IVF centroid pull (k rows)
         "__main__.py",            # CLI driver program: report rows + counters
         "sources/sqlite_compat.py",  # driver-side compat sink by design
+        "plans/corpus_prep.py",   # CLI summary: per-split counts (#splits rows)
     }
     action_re = re.compile(r"\.collect\(\)|\.count\(\)|\.toPandas\(\)")
     for py in sorted(pkg.rglob("*.py")):
