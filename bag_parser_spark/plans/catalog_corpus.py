@@ -1867,3 +1867,59 @@ def q_k_anonymity(spark, sf_dir):
         sensitive_col="c_acctbal",
         k=_KANON_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# events_pattern_match — CEP-style contiguous sequence detection per user
+# ---------------------------------------------------------------------------
+
+_CEP_PATTERN = "view,click,purchase"
+
+
+@register(
+    "events_pattern_match",
+    f"""
+    WITH seqs AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(seq, '{_CEP_PATTERN}')) AS BIGINT)
+             AS n_patterns,
+           len(regexp_extract_all(seq, '{_CEP_PATTERN}')) > 0 AS converted
+    FROM seqs
+    """,
+    doc="Complex-event-processing pattern match: per-user event streams "
+    "ordered by (ts, event_id) and scanned for the CONTIGUOUS "
+    "view→click→purchase sequence (stricter than the funnel's "
+    "eventually-after ordering — no interleaved events allowed). The "
+    "per-user sequence is an ordered collect_list fold — one shuffle on "
+    "user_id, state bounded by per-user event count — and the pattern "
+    "scan is a JVM-side regexp over the type string (types contain no "
+    "regex metacharacters, so non-overlapping counts agree across "
+    "engines).",
+)
+def q_events_pattern(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ",",
+    )
+    n_pat = F.regexp_count(F.col("seq"), F.lit(_CEP_PATTERN))
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("seq"))
+        .select(
+            "user_id",
+            "n_events",
+            n_pat.cast("long").alias("n_patterns"),
+            (n_pat > 0).alias("converted"),
+        )
+    )
