@@ -8,11 +8,12 @@ with stdlib zlib (Pillow preferred when importable — any format, C speed).
 deterministic pixel formula so catalog oracles can predict the decoded
 statistics independently. AUDIO decode is REAL too:
 ``functions/wav_codec.py`` walks genuine RIFF/PCM bytes with stdlib
-struct (``generate_wav_payloads`` / ``extract_audio_features``). Only
-VIDEO frame decode remains a clearly-marked deterministic fake
-(``frame_sample_stub``) — video codecs genuinely aren't in this
-container; its Spark-side plumbing (schema, 1→N explode shape, Arrow
-batching) is real and tested.
+struct (``generate_wav_payloads`` / ``extract_audio_features``). VIDEO
+decode is REAL as well: ``functions/y4m_codec.py`` parses genuine
+YUV4MPEG2 streams — the standard uncompressed video interchange format —
+with stdlib byte walking (``generate_y4m_payloads`` / ``sample_frames``);
+inter-frame codecs (H.264 etc.) genuinely need native libraries absent
+from this container and stay out of scope.
 
 Scale notes: binary payloads ride in parquet with metadata columns, so
 filters on metadata (mime, byte_len, checksum) prune row groups *without
@@ -208,40 +209,114 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(resize, schema=schema)
 
 
-def frame_sample_stub(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    payload_col: str = "payload",
-    every_nth: int = 10,
+def synthetic_video_spec(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic per-doc (width, height, n_frames) for fixture videos —
+    mirrored by the catalog oracle (4..8 × 3..6 × 2..6 frames)."""
+    return 4 + doc_id % 5, 3 + doc_id % 4, 2 + doc_id % 5
+
+
+def synthetic_plane_byte(doc_id: int, frame: int, plane: int, i: int) -> int:
+    """Deterministic YUV plane byte (plane 0/1/2 = Y/U/V, i = pixel
+    index); non-constant along every axis so plane sums discriminate."""
+    return (doc_id * 7 + frame * 13 + plane * 29 + i * 3) % 256
+
+
+def generate_y4m_payloads(
+    df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Video frame-sampling plumbing: 1 payload row → N frame rows (UDTF
-    shape). The fake "frames" are byte slices; a real decoder yields encoded
-    frames at the same schema. Output is re-partitionable downstream —
-    frame explosion happens executor-side, never on the driver."""
+    """Attach a REAL YUV4MPEG2 video payload per row, built executor-side
+    from the deterministic plane formula (C444, dimensions/frame count
+    from synthetic_video_spec). Downstream operators parse genuine Y4M
+    bytes — the same code path a `binaryFile` scan of real captures
+    would hit."""
+    from bag_parser_spark.functions import y4m_codec
+
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
-            T.StructField("frame_no", T.IntegerType()),
-            T.StructField("frame_bytes", T.BinaryType()),
+            T.StructField("payload", T.BinaryType()),
         ]
     )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                doc_id = int(i)
+                w, h, nf = synthetic_video_spec(doc_id)
+                frames = [
+                    bytes(
+                        synthetic_plane_byte(doc_id, f, p, i)
+                        for p in range(3)
+                        for i in range(w * h)
+                    )
+                    for f in range(nf)
+                ]
+                rows.append(
+                    {"doc_id": doc_id,
+                     "payload": y4m_codec.encode_y4m(w, h, frames)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("u_sum", T.LongType()),
+        T.StructField("v_sum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_nth: int = 2,
+) -> DataFrame:
+    """REAL video frame sampling: parse the Y4M stream, keep every
+    ``every_nth`` frame, emit one row per sampled frame with per-plane
+    integer byte sums (exact — < 2^53 — so the oracle can predict them
+    from the generator formula). 1 payload row → N frame rows, exploded
+    executor-side inside the Arrow batch (UDTF shape; never on the
+    driver), re-partitionable downstream."""
+    from bag_parser_spark.functions import y4m_codec
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload)
-                for fno, start in enumerate(range(0, len(data), every_nth)):
+                v = y4m_codec.decode_y4m(bytes(payload))
+                w, h = v["width"], v["height"]
+                plane = w * h
+                for fno in range(0, v["n_frames"], every_nth):
+                    fb = v["frames"][fno]
                     rows.append(
                         {
                             "doc_id": i,
                             "frame_no": fno,
-                            "frame_bytes": data[start : start + every_nth],
+                            "width": w,
+                            "height": h,
+                            "n_frames": v["n_frames"],
+                            "y_sum": sum(fb[0:plane]),
+                            "u_sum": sum(fb[plane : 2 * plane]),
+                            "v_sum": sum(fb[2 * plane : 3 * plane]),
                         }
                     )
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_bytes"])
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields]
+            )
 
-    return df.select(id_col, payload_col).mapInPandas(frames, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(
+        frames, schema=FRAME_SAMPLE_SCHEMA
+    )
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

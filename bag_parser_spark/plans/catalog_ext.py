@@ -1498,25 +1498,46 @@ def q_mm_audio(spark, sf_dir):
 @register(
     "mm_frame_sample",
     """
-    SELECT doc_id,
-           CAST(fno AS INTEGER) AS frame_no,
-           hex(substring(text, CAST(fno AS INTEGER) * 64 + 1, 64))
-             AS frame_hex
-    FROM documents,
-         UNNEST(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
-           AS t(fno)
+    WITH spec AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+             2 + doc_id % 5 AS nf
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, h, nf, CAST(fv AS INTEGER) AS frame_no
+      FROM spec, UNNEST(range(0, nf)) AS t(fv)
+      WHERE fv % 2 = 0
+    ),
+    px AS (
+      SELECT doc_id, w, h, nf, frame_no, CAST(i AS BIGINT) AS i
+      FROM f, UNNEST(range(0, w * h)) AS t(i)
+    )
+    SELECT doc_id, frame_no,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(MAX(nf) AS INTEGER) AS n_frames,
+           CAST(SUM((doc_id * 7 + frame_no * 13 +  0 + i * 3) % 256)
+                AS BIGINT) AS y_sum,
+           CAST(SUM((doc_id * 7 + frame_no * 13 + 29 + i * 3) % 256)
+                AS BIGINT) AS u_sum,
+           CAST(SUM((doc_id * 7 + frame_no * 13 + 58 + i * 3) % 256)
+                AS BIGINT) AS v_sum
+    FROM px GROUP BY doc_id, frame_no
     """,
-    doc="Video frame-sampling plumbing: 1 payload row -> N frame rows, "
-    "exploded executor-side (UDTF shape; never on the driver). Fake "
-    "frames are 64-byte payload slices; value-level oracle compares each "
-    "frame byte-for-byte as HEX (substring clamps at end-of-payload in "
-    "both engines, matching Python slicing).",
+    doc="REAL video frame sampling: genuine YUV4MPEG2 payloads built "
+    "executor-side (functions/y4m_codec.py — the standard uncompressed "
+    "video interchange format, stdlib-only), parsed back by the real "
+    "decoder, every 2nd frame kept, per-plane integer byte sums emitted "
+    "(exact, < 2^53). The oracle predicts the decoded sums independently "
+    "from the generator's plane formula — so a decode that misparses the "
+    "header, plane order, or frame boundaries hash-mismatches. 1 payload "
+    "row -> N frame rows, exploded executor-side (UDTF shape, never on "
+    "the driver).",
 )
 def q_mm_frames(spark, sf_dir):
-    d = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return multimodal.frame_sample_stub(d, every_nth=64).select(
-        "doc_id", "frame_no", F.hex("frame_bytes").alias("frame_hex")
-    )
+    d = multimodal.generate_y4m_payloads(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(d, every_nth=2)
 
 
 def _negatives_sql() -> str:

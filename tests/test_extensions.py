@@ -144,18 +144,24 @@ def test_multimodal_resize_and_frames(spark):
         # nearest-neighbor floor map (dst 0 → src 0 → pixel(doc,0,0,c))
         doc = r["doc_id"]
         assert r["payload"][0] == multimodal.synthetic_pixel(doc, 0, 0, 0)
-    d = multimodal.attach_binary_payload(docs)
-    frames = multimodal.frame_sample_stub(d, every_nth=64)
-    per_doc = dict(
-        (r["doc_id"], r["n"])
-        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
-    )
-    lens = {
-        r["doc_id"]: r["media_meta"]["byte_len"]
-        for r in d.select("doc_id", "media_meta").collect()
-    }
-    for doc_id, n in per_doc.items():  # ceil(byte_len / 64) frames per doc
-        assert n == -(-lens[doc_id] // 64)
+    # REAL video path: encode genuine Y4M streams, decode + sample frames
+    vids = multimodal.generate_y4m_payloads(docs)
+    frames = multimodal.sample_frames(vids, every_nth=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    for doc_id, rows in by_doc.items():
+        w, h, nf = multimodal.synthetic_video_spec(doc_id)
+        assert all((r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+                   for r in rows)
+        assert sorted(r["frame_no"] for r in rows) == list(range(0, nf, 2))
+        for r in rows:
+            expect_y = sum(
+                multimodal.synthetic_plane_byte(doc_id, r["frame_no"], 0, i)
+                for i in range(w * h)
+            )
+            assert r["y_sum"] == expect_y
 
 
 def test_bucketed_join_is_exchange_free(spark):
