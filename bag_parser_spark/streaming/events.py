@@ -356,3 +356,70 @@ def run_ohlc_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+def interval_join_stream_left_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    max_lag_s: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every left event emits —
+    matched rows as soon as both sides arrive, unmatched rows with NULL
+    right columns once the watermark proves no match can still come.
+
+    This is the state-management-complete sibling of the inner
+    ``interval_join_stream``: the state store must hold an unmatched left
+    row until ``watermark + max_lag_s`` passes its event time before it
+    may emit the NULL-padded result (emitting earlier would be wrong the
+    moment a late match arrives; never emitting leaks the row). Both
+    watermarks bound state exactly as in the inner join. AvailableNow
+    caveat for tests/backfills: rows younger than the final watermark
+    stay in state and their NULL-padded results are NOT emitted in that
+    run — the parity test scopes its assertion to the proven region.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    # The range condition must sit DIRECTLY on the watermarked event-time
+    # columns (no epoch-math wrapping): Spark's outer-join analyzer only
+    # derives the state-eviction watermark for the nullable side from a
+    # recognizable time-interval predicate. Same semantics as the inner
+    # twin's micros arithmetic: r.ts <= l.ts < r.ts + max_lag.
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col("l.ts") >= F.col("r.ts"))
+        & (F.col("l.ts") < F.col("r.ts") + F.expr(
+            f"INTERVAL {max_lag_s} SECONDS"))
+    )
+    return l.join(r, cond, "left_outer").select(
+        F.col("l.event_id").alias("event_id"),
+        F.col(f"l.{on}").alias(on),
+        F.col("l.ts").alias("ts"),
+        F.col("r.ts").alias("r_ts"),
+        F.col("r.event_id").alias("r_event_id"),
+        F.col("r.value").alias("r_value"),
+    )
+
+
+def run_interval_join_outer_to_memory(
+    spark: SparkSession, path: str, table_name: str = "events_ijoin_outer"
+) -> None:
+    """Drain the left-outer stream-stream interval join with AvailableNow
+    into a memory sink (append mode; NULL-padded rows emit as the
+    watermark passes them)."""
+    ev = read_events_stream(spark, path)
+    l = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    q = (
+        interval_join_stream_left_outer(l, r)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

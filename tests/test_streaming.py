@@ -359,3 +359,54 @@ def test_ohlc_stream_matches_batch(spark):
             b["open"], b["high"], b["low"], b["close"], b["n_events"]
         ), key
         assert abs(s["volume"] - b["volume"]) <= 1e-6, key
+
+
+def test_interval_join_outer_stream_matches_batch(spark):
+    """Left-outer stream-stream join parity, scoped to the provable
+    region: matched rows must equal the batch inner join exactly;
+    NULL-padded rows must be a subset of the batch unmatched set; and
+    every unmatched left event old enough that the final watermark
+    provably passed it (ts < max_ts - watermark - lag) MUST have been
+    emitted — silently dropping those would leak rows forever."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.sources.parquet import load_table
+    from bag_parser_spark.streaming.events import (
+        run_interval_join_outer_to_memory,
+    )
+
+    run_interval_join_outer_to_memory(
+        spark, f"{SF}/events.parquet", "ev_ijo_test"
+    )
+    out = spark.table("ev_ijo_test").collect()
+    stream_matched = {
+        (r["event_id"], r["r_event_id"]) for r in out
+        if r["r_event_id"] is not None
+    }
+    stream_null = {r["event_id"] for r in out if r["r_event_id"] is None}
+
+    batch_matched_rows = registry()["ts_interval_join"].fn(spark, SF).collect()
+    batch_matched = {
+        (r["event_id"], r["r_event_id"]) for r in batch_matched_rows
+    }
+    matched_left_ids = {r["event_id"] for r in batch_matched_rows}
+    ev = load_table(spark, SF, "events")
+    errors = {
+        (r["event_id"], r["ts"])
+        for r in ev.filter(F.col("event_type") == "error")
+        .select("event_id", "ts")
+        .collect()
+    }
+    batch_unmatched = {e for e, _ in errors} - matched_left_ids
+
+    assert stream_matched == batch_matched and len(stream_matched) > 0
+    assert stream_null <= batch_unmatched and len(stream_null) > 0
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=2, seconds=600 + 1)
+    must_emit = {e for e, ts in errors if e in batch_unmatched and ts < horizon}
+    assert must_emit <= stream_null, (
+        f"{len(must_emit - stream_null)} provably-expired unmatched rows "
+        "were never emitted"
+    )
