@@ -162,3 +162,44 @@ def kmeans(
             .localCheckpoint(eager=True)
         )
     return kmeans_step(vectors, cent, id_col, vec_col, "cid")
+
+
+def pca_power_step(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One exact power-iteration step for the (uncentered) top principal
+    direction: s = Aᵀ(A·1) over fixed-point components — the building
+    block of distributed PCA, expressed as two aggregations with NO float
+    accumulation anywhere.
+
+    Per row: inner_r = Σ_i q_ri (the start vector is all-ones, so the
+    matvec is a row sum — integer). Then s_j = Σ_r q_rj · inner_r —
+    integer products, integer sums, exact on any engine or partitioning.
+    The normalized direction divides by max|s| (1-row broadcast) with ONE
+    IEEE division at the end, rounded to 6. Overflow budget: |q| ≤
+    2^20·|x|, so |s| ≤ rows · dim · (2^20·max|x|)² — at 64 dims and
+    |x| ≤ 1 that holds to ~2^21 rows; beyond, lower FIXED_POINT or merge
+    per-partition partials hierarchically (both preserve exactness).
+    Iterating: feed `direction` back as the next start vector (quantized
+    the same way) — each step is this same two-aggregation job.
+    """
+    vq = _explode_fixed(vectors, id_col, vec_col, "__vid__")
+    inner = vq.groupBy("__vid__").agg(F.sum("q").alias("__inner__"))
+    s = (
+        vq.join(inner, "__vid__")
+        .groupBy("i")
+        .agg(F.sum(F.col("q") * F.col("__inner__")).alias("s"))
+    )
+    m = s.agg(F.max(F.abs(F.col("s"))).alias("__m__"))
+    return (
+        s.crossJoin(F.broadcast(m))
+        .select(
+            "i",
+            "s",
+            F.round(
+                F.col("s").cast("double") / F.col("__m__").cast("double"), 6
+            ).alias("direction"),
+        )
+    )

@@ -1711,3 +1711,43 @@ def q_bpe_pairs(spark, sf_dir):
     return text.bpe_pair_counts(
         _t(spark, sf_dir, "documents"), text_col="text", top_k=_BPE_TOPK
     )
+
+
+@register(
+    "ml_pca_power_step",
+    """
+    WITH q AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    inner_r AS (
+      SELECT vec_id, CAST(SUM(q) AS BIGINT) AS inner_v
+      FROM q GROUP BY vec_id
+    ),
+    s AS (
+      SELECT q.i, CAST(SUM(q.q * ir.inner_v) AS BIGINT) AS s
+      FROM q JOIN inner_r ir USING (vec_id)
+      GROUP BY q.i
+    ),
+    m AS (SELECT MAX(abs(s)) AS m FROM s)
+    SELECT CAST(i AS BIGINT) AS i, s,
+           round(CAST(s AS DOUBLE) / CAST(m.m AS DOUBLE), 6) AS direction
+    FROM s, m
+    """,
+    doc="One exact distributed power-iteration step toward the top "
+    "(uncentered) principal direction: s = A'(A*1) over 2^20 fixed-point "
+    "components — integer matvec per row (map-side row sum), integer "
+    "outer aggregation per dimension, a single IEEE division for the "
+    "normalized direction. Zero float accumulation, so the step is "
+    "bit-identical across engines and partitionings; iterate by feeding "
+    "the direction back as the next start vector.",
+)
+def q_pca_power(spark, sf_dir):
+    from bag_parser_spark.operators.clustering import pca_power_step
+
+    return pca_power_step(
+        _t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding"
+    )
