@@ -63,13 +63,16 @@ def decode_y4m(data: bytes) -> dict:
     if not width or not height:
         raise ValueError("Y4M header missing W/H")
     if colorspace.startswith("C444"):
-        frame_size = 3 * width * height
+        plane_sizes = (width * height,) * 3
     elif colorspace.startswith("C420"):
-        frame_size = width * height + 2 * ((width // 2) * (height // 2))
+        c = (width // 2) * (height // 2)
+        plane_sizes = (width * height, c, c)
     elif colorspace.startswith("C422"):
-        frame_size = width * height + 2 * ((width // 2) * height)
+        c = (width // 2) * height
+        plane_sizes = (width * height, c, c)
     else:
         raise ValueError(f"unsupported Y4M colorspace {colorspace!r}")
+    frame_size = sum(plane_sizes)
     frames: list[bytes] = []
     pos = nl + 1
     while pos < len(data):
@@ -89,6 +92,10 @@ def decode_y4m(data: bytes) -> dict:
         "height": height,
         "fps": fps,
         "colorspace": colorspace,
+        # authoritative per-plane byte counts (Y, U, V) — consumers must
+        # use these to slice planes; C420/C422 chroma planes are smaller
+        # than Y, so w*h arithmetic on the consumer side would be wrong.
+        "plane_sizes": plane_sizes,
         "n_frames": len(frames),
         "frames": frames,
     }

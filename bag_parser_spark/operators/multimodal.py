@@ -66,6 +66,15 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _with_id(schema: "T.StructType", id_col: str) -> "T.StructType":
+    """Output schema with the caller's id column name in first position —
+    the id_col parameter must be honored end-to-end, not silently renamed
+    to doc_id (downstream joins on the caller's key would fail)."""
+    fields = [T.StructField(id_col, schema.fields[0].dataType)]
+    fields += schema.fields[1:]
+    return T.StructType(fields)
+
+
 def synthetic_image_dims(doc_id: int) -> tuple[int, int]:
     """Deterministic per-doc dimensions for generated fixture images —
     mirrored by the catalog oracles (4..16 × 3..9, every size hit)."""
@@ -90,7 +99,7 @@ def generate_png_payloads(
 
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("payload", T.BinaryType()),
         ]
     )
@@ -108,10 +117,10 @@ def generate_png_payloads(
                     for c in range(3)
                 )
                 rows.append(
-                    {"doc_id": doc_id,
+                    {id_col: doc_id,
                      "payload": png_codec.encode_png(w, h, px, channels=3)}
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
     return df.select(id_col).mapInPandas(gen, schema=schema)
 
@@ -128,6 +137,8 @@ def extract_image_features(
     UnsupportedImageError from the worker."""
     from bag_parser_spark.functions import png_codec
 
+    schema = _with_id(IMAGE_FEATURES_SCHEMA, id_col)
+
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -136,7 +147,7 @@ def extract_image_features(
                 px = img["pixels"]
                 rows.append(
                     {
-                        "doc_id": i,
+                        id_col: i,
                         "width": img["width"],
                         "height": img["height"],
                         # ints sum exactly (< 2^53): one IEEE division at
@@ -146,11 +157,11 @@ def extract_image_features(
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+                rows, columns=[f.name for f in schema.fields]
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        features, schema=IMAGE_FEATURES_SCHEMA
+        features, schema=schema
     )
 
 
@@ -174,7 +185,7 @@ def resize_images(
 
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
             T.StructField("payload", T.BinaryType()),
@@ -196,14 +207,14 @@ def resize_images(
                     )
                 rows.append(
                     {
-                        "doc_id": i,
+                        id_col: i,
                         "width": target_w,
                         "height": target_h,
                         "payload": out,
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "width", "height", "payload"]
+                rows, columns=[id_col, "width", "height", "payload"]
             )
 
     return df.select(id_col, payload_col).mapInPandas(resize, schema=schema)
@@ -233,7 +244,7 @@ def generate_y4m_payloads(
 
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("payload", T.BinaryType()),
         ]
     )
@@ -253,10 +264,10 @@ def generate_y4m_payloads(
                     for f in range(nf)
                 ]
                 rows.append(
-                    {"doc_id": doc_id,
+                    {id_col: doc_id,
                      "payload": y4m_codec.encode_y4m(w, h, frames)}
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
     return df.select(id_col).mapInPandas(gen, schema=schema)
 
@@ -289,34 +300,37 @@ def sample_frames(
     driver), re-partitionable downstream."""
     from bag_parser_spark.functions import y4m_codec
 
+    schema = _with_id(FRAME_SAMPLE_SCHEMA, id_col)
+
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 v = y4m_codec.decode_y4m(bytes(payload))
                 w, h = v["width"], v["height"]
-                plane = w * h
+                # plane offsets come from the decoder — C420/C422 chroma
+                # planes are smaller than Y, so w*h slicing would mix
+                # planes (and read past the frame) on subsampled input.
+                ys, us, vs = v["plane_sizes"]
                 for fno in range(0, v["n_frames"], every_nth):
                     fb = v["frames"][fno]
                     rows.append(
                         {
-                            "doc_id": i,
+                            id_col: i,
                             "frame_no": fno,
                             "width": w,
                             "height": h,
                             "n_frames": v["n_frames"],
-                            "y_sum": sum(fb[0:plane]),
-                            "u_sum": sum(fb[plane : 2 * plane]),
-                            "v_sum": sum(fb[2 * plane : 3 * plane]),
+                            "y_sum": sum(fb[0:ys]),
+                            "u_sum": sum(fb[ys : ys + us]),
+                            "v_sum": sum(fb[ys + us : ys + us + vs]),
                         }
                     )
             yield pd.DataFrame(
-                rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields]
+                rows, columns=[f.name for f in schema.fields]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        frames, schema=FRAME_SAMPLE_SCHEMA
-    )
+    return df.select(id_col, payload_col).mapInPandas(frames, schema=schema)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -351,7 +365,7 @@ def generate_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("payload", T.BinaryType()),
         ]
     )
@@ -364,10 +378,10 @@ def generate_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 n, rate = synthetic_audio_spec(doc_id)
                 samples = [synthetic_sample(doc_id, k) for k in range(n)]
                 rows.append(
-                    {"doc_id": doc_id,
+                    {id_col: doc_id,
                      "payload": wav_codec.encode_wav(samples, rate)}
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
     return df.select(id_col).mapInPandas(gen, schema=schema)
 
@@ -383,6 +397,8 @@ def extract_audio_features(
     reproduces with SUM/COUNT."""
     from bag_parser_spark.functions import wav_codec
 
+    schema = _with_id(AUDIO_FEATURES_SCHEMA, id_col)
+
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -394,7 +410,7 @@ def extract_audio_features(
                 s = [v - off for v in a["samples"]]
                 rows.append(
                     {
-                        "doc_id": i,
+                        id_col: i,
                         "sample_rate": a["sample_rate"],
                         "n_channels": a["n_channels"],
                         "n_frames": a["n_frames"],
@@ -405,9 +421,9 @@ def extract_audio_features(
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+                rows, columns=[f.name for f in schema.fields]
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        features, schema=AUDIO_FEATURES_SCHEMA
+        features, schema=schema
     )

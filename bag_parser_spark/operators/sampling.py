@@ -380,10 +380,14 @@ def temporal_split_embargo(
 
     Map-only expression — no shuffle, no RNG; the assignment depends only
     on (cutoff, embargo, ts), so it is stable across runs, partitionings,
-    and engines, and the cutoff literal pushes down to the scan.
+    and engines, and the cutoff literal pushes down to the scan. The
+    cutoff literal is cast to the ts COLUMN's own type (NTZ or LTZ —
+    the driver has shipped both parquet encodings): a hard-coded NTZ
+    cast against an LTZ column would be coerced through the session
+    timezone, silently shifting the leakage boundary by the tz offset.
     """
     ts = F.col(ts_col)
-    cut = F.lit(cutoff).cast("timestamp_ntz")
+    cut = F.lit(cutoff).cast(dict(df.dtypes)[ts_col])
     test_start = cut + F.expr(f"INTERVAL {embargo}")
     label = (
         F.when(ts < cut, F.lit("train"))

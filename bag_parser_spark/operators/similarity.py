@@ -455,6 +455,8 @@ def lsh_multitable_topk(
     heap; at 100 TB the (table, bucket) pair is the partition key and the
     scan prunes to num_tables directories.
     """
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
     dim = len(query_vec)
     pred = None
     for t in range(num_tables):

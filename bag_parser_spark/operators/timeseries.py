@@ -333,6 +333,35 @@ def gapfill_resample(
     )
 
 
+def event_order_key(ts_col: str, ordinal_col: str | None = None):
+    """Sortable string key giving a TOTAL order over (event time, ordinal)
+    — shared by the batch and streaming OHLC twins so their selection
+    semantics cannot drift apart.
+
+    Both segments are zero-padded to 20 chars: epoch-micros needs 16
+    digits for present-day timestamps, and 20 covers the full int64
+    ordinal range (19 digits) — a shorter pad would TRUNCATE longer
+    ordinals (Spark lpad shortens over-length strings), silently
+    re-introducing the equal-key nondeterminism the key exists to
+    prevent (snowflake-style ids are 18-19 digits). Domain: post-epoch
+    timestamps and non-negative ordinals — a '-' orders above digits
+    lexically, so negative values would compare wrongly; the engine's
+    event model (unsigned ids, event time) satisfies both.
+    """
+    from bag_parser_spark.functions.scalars import ts_micros
+
+    return F.concat(
+        F.lpad(ts_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(
+            (F.col(ordinal_col).cast("string") if ordinal_col
+             else F.lit("")),
+            20,
+            "0",
+        ),
+    )
+
+
 def ohlc_bars(
     df,
     key_cols: list[str],
@@ -355,17 +384,7 @@ def ohlc_bars(
     associatively, so shuffle volume is #bars, not #events — at 100 TB
     the reduction happens in the scan stage. No window, no sort, no UDF.
     """
-    from bag_parser_spark.functions.scalars import ts_micros
-
-    order_key = F.concat(
-        F.lpad(ts_micros(F.col(ts_col)).cast("string"), 20, "0"),
-        F.lit("|"),
-        F.lpad(
-            (F.col(ordinal_col).cast("string") if ordinal_col else F.lit("")),
-            12,
-            "0",
-        ),
-    )
+    order_key = event_order_key(ts_col, ordinal_col)
     v = F.col(value_col)
     return (
         df.groupBy(

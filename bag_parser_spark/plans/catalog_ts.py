@@ -501,7 +501,7 @@ def q_sliding_distinct(spark, sf_dir):
     WITH keyed AS (
       SELECT event_type, date_trunc('hour', ts) AS bar_start, value,
              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
-             lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+             lpad(CAST(event_id AS VARCHAR), 20, '0') AS ok
       FROM events
     )
     SELECT event_type, bar_start,

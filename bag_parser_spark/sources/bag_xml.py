@@ -129,7 +129,17 @@ def _iter_xml_payloads(
                     matched or base.startswith(member_prefix or ""),
                 )
     else:
-        yield payload
+        # Top-level files reach here unfiltered when entity_xml_path falls
+        # back to scanning the whole --bag directory (raw-delivery layout):
+        # binaryFile then loads every sibling — a gemeenten.csv kept next
+        # to the delivery zip, LVBAG checksum/readme files. Feeding those
+        # to iterparse crashes the import with a bare ParseError, so only
+        # payloads that actually look like XML documents (optional BOM /
+        # whitespace then '<') pass; zip members are already filtered by
+        # extension + prefix above.
+        head = payload[:64].lstrip(b"\xef\xbb\xbf \t\r\n")
+        if head.startswith(b"<"):
+            yield payload
 
 
 def read_bag_entity_raw(

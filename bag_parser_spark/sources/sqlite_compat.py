@@ -180,9 +180,13 @@ def read_sqlite_table(
         cur = con.execute(f'SELECT * FROM "{table}"')
         col_names = [d[0] for d in cur.description]
         rows = cur.fetchall()
+        # declared types via the SAME connection — no second file open
+        decl = {
+            r[1]: r[2]
+            for r in con.execute(f'PRAGMA table_info("{table}")').fetchall()
+        }
     finally:
         con.close()
-    decl = dict(_table_decl_types(db_path, table))
     fields = []
     for c in col_names:
         t = (decl.get(c) or "TEXT").upper()
@@ -198,10 +202,3 @@ def read_sqlite_table(
     return spark.createDataFrame(rows, T.StructType(fields))
 
 
-def _table_decl_types(db_path: str, table: str) -> list[tuple[str, str]]:
-    con = sqlite3.connect(db_path)
-    try:
-        info = con.execute(f'PRAGMA table_info("{table}")').fetchall()
-    finally:
-        con.close()
-    return [(r[1], r[2]) for r in info]

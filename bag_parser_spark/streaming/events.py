@@ -310,13 +310,11 @@ def ohlc_stream(
     #open-bars) state, bounded by the watermark, never per-event state.
     The tumbling window start equals date_trunc('hour') for hour-aligned
     bars, which is what the batch twin groups by."""
-    from bag_parser_spark.functions.scalars import ts_micros
+    from bag_parser_spark.operators.timeseries import event_order_key
 
-    order_key = F.concat(
-        F.lpad(ts_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lit("|"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    # same helper as the batch twin — stream/batch parity depends on the
+    # two selection keys staying byte-identical
+    order_key = event_order_key("ts", "event_id")
     v = F.col("value")
     return (
         events.withWatermark("ts", watermark)

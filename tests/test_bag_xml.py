@@ -285,3 +285,26 @@ def test_zip_last_write_wins_stable_under_parallelism(spark, tmp_path):
     }
     assert rows3 == rows
     assert rows3[5000] == "Dup-uit-file-040"
+
+
+def test_root_scan_skips_non_xml_siblings(spark, tmp_path):
+    """Raw-delivery fallback: --bag points at a directory where the
+    delivery zip sits next to a gemeenten.csv and checksum/readme files.
+    The scan must skip the non-XML siblings instead of crashing iterparse
+    with a bare ParseError."""
+    import io as _io
+
+    d = tmp_path / "delivery"
+    d.mkdir()
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("9999WPL-000001.xml", _wpl_doc(_wpl(9100, "Sibling")))
+    with zipfile.ZipFile(d / "lvbag-extract-nl.zip", "w") as outer:
+        outer.writestr("9999WPL08082025.zip", buf.getvalue())
+    (d / "gemeenten.csv").write_text("id;naam\n1;X\n", encoding="utf-8")
+    (d / "checksums.sha256").write_text("deadbeef lvbag.zip\n")
+    (d / "readme.txt").write_text("delivery notes")
+    out = read_bag_entity(
+        spark, str(d), "Woonplaats", CFG, member_prefix="9999WPL"
+    ).collect()
+    assert [r["id"] for r in out] == [9100]

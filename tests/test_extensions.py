@@ -1046,3 +1046,58 @@ def test_lsh_multitable_superset_of_single_table(spark):
     assert min(r["cosine_sim"] for r in multi) >= min(
         r["cosine_sim"] for r in one
     )
+
+
+def test_multimodal_honors_caller_id_column(spark):
+    """id_col must flow through to the OUTPUT schema — a caller keyed on
+    vec_id must not get rows silently renamed to doc_id."""
+    from bag_parser_spark.operators import multimodal
+    from bag_parser_spark.sources.parquet import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(5)
+    png = multimodal.generate_png_payloads(e, id_col="vec_id")
+    assert png.columns[0] == "vec_id"
+    feats = multimodal.extract_image_features(png, id_col="vec_id")
+    assert feats.columns[0] == "vec_id"
+    joined = feats.join(e, "vec_id")
+    assert joined.count() == 5
+
+
+def test_sample_frames_c420_plane_sums(spark):
+    """Subsampled chroma: a real C420 stream's U/V sums must come from
+    the decoder's plane sizes, not w*h arithmetic (which mixes planes and
+    reads past the frame)."""
+    from bag_parser_spark.operators import multimodal
+
+    header = b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\n"
+    f0 = bytes(range(24))  # Y=16 bytes, U=4, V=4
+    df = spark.createDataFrame(
+        [(1, header + b"FRAME\n" + f0)], "doc_id long, payload binary"
+    )
+    row = multimodal.sample_frames(df, every_nth=1).collect()[0]
+    assert row["y_sum"] == sum(range(16))
+    assert row["u_sum"] == sum(range(16, 20))
+    assert row["v_sum"] == sum(range(20, 24))
+
+
+def test_ohlc_order_key_survives_int64_scale_ordinals(spark):
+    """Snowflake-scale (19-digit) ordinals must still give a total order:
+    a 12-char pad would truncate them to equal keys and make open/close
+    nondeterministic under equal timestamps."""
+    import datetime
+
+    from bag_parser_spark.operators.timeseries import ohlc_bars
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    big = 1_000_000_000_000_000_17  # 18 digits, differs past position 12
+    rows = [(big + 1, t0, "click", 50.0), (big, t0, "click", 10.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    for n_parts in (1, 5):
+        bar = ohlc_bars(
+            df.repartition(n_parts),
+            key_cols=["event_type"],
+            ordinal_col="event_id",
+        ).collect()[0]
+        assert bar["open"] == 10.0 and bar["close"] == 50.0
