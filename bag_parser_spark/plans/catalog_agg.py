@@ -628,12 +628,16 @@ _MB_MINSUP, _MB_TOPK = 3, 50
     "single deterministic division. Top-50 via TakeOrderedAndProject.",
 )
 def q_market_basket(spark, sf_dir):
+    # The distinct (order, part) projection feeds THREE consumers (N,
+    # item counts, baskets) — persist it or each one re-scans the fact
+    # table and re-runs the distinct shuffle (4 scans measured unpersisted).
     l = (
         load_table(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .distinct()
+        .persist()
     )
     n = l.agg(F.count_distinct("ok").alias("n_orders"))
     ic = l.groupBy(F.col("pk")).agg(F.count(F.lit(1)).alias("c"))

@@ -411,3 +411,15 @@ def test_repeated_substrings_no_allpairs_bounded_shuffles(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_market_basket_single_fact_scan(spark):
+    """The distinct (order, part) projection feeds three consumers (N,
+    item counts, baskets); it must be persisted so the fact table is
+    scanned and the distinct shuffle run ONCE at cache fill — every
+    consumer must read InMemoryTableScan, not its own parquet scan.
+    (The explain text inlines the cached relation's child plan per
+    consumer, so counting 'lineitem' mentions would not measure scans.)"""
+    df = registry()["a25_market_basket"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    assert plan.count("InMemoryTableScan") >= 3
