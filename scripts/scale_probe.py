@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Reproducible scaling probe behind SCALE.md: derive a larger corpus
+from an existing SF directory (documents xN re-keyed + perturbed,
+embeddings xM re-keyed copies) into --out, then time a set of catalog
+queries on both and print one JSON line per query with the time and
+output-row ratios.
+
+Usage:
+  python scripts/scale_probe.py [--base /root/testdata/sf0.1]
+      [--out /tmp/sfbig] [--docs-x 10] [--emb-x 4] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_metrics",
+    "tfidf_vectors",
+    "text_bm25_topk",
+    "dedup_embedding_cosine",
+]
+
+
+def derive(base: str, out: str, docs_x: int, emb_x: int) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT doc_id + 1000000 * r AS doc_id,
+               CASE WHEN r = 0 THEN text
+                    ELSE text || ' v' || CAST(r AS VARCHAR) END AS text,
+               lang, source, n_chars
+        FROM '{base}/documents.parquet', range(0, {docs_x}) t(r)
+      ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+      COPY (
+        SELECT vec_id + 1000000 * r AS vec_id, embedding, label
+        FROM '{base}/embeddings.parquet', range(0, {emb_x}) t(r)
+      ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sfbig")
+    ap.add_argument("--docs-x", type=int, default=10)
+    ap.add_argument("--emb-x", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bag_parser_spark.plans.catalog import registry
+    from bag_parser_spark.session import get_spark
+
+    derive(args.base, args.out, args.docs_x, args.emb_x)
+    spark = get_spark(app_name="scale-probe")
+    reg = registry()
+
+    def best_time(name: str, sf: str) -> float:
+        best = None
+        for _ in range(args.reps):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            reg[name].fn(spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    for name in QUERIES:
+        a = best_time(name, args.base)
+        b = best_time(name, args.out)
+        rows_a = reg[name].fn(spark, args.base).count()
+        rows_b = reg[name].fn(spark, args.out).count()
+        print(json.dumps({
+            "query": name,
+            "base_s": round(a, 3),
+            "scaled_s": round(b, 3),
+            "time_ratio": round(b / a, 2),
+            "rows_ratio": round(rows_b / max(rows_a, 1), 2),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
