@@ -698,3 +698,39 @@ def q_market_basket(spark, sf_dir):
         F.col("pair_count").desc(), F.col("part_a"), F.col("part_b")
     )
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+@register(
+    "a26_cube",
+    """
+    SELECT COALESCE(source, 'ALL') AS source,
+           COALESCE(lang, 'ALL') AS lang,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY CUBE(source, lang)
+    """,
+    doc="Full grouping-set lattice: GROUP BY CUBE(source, lang) adds the "
+    "per-lang marginal that ROLLUP's hierarchy omits — all 2^k grouping "
+    "sets in ONE Expand + one hash aggregate (each row replicated per "
+    "set BEFORE the exchange, map-side combined), versus 2^k separate "
+    "scans. grouping_id() disambiguates levels; NULL keys COALESCE to "
+    "'ALL' for deterministic hashing.",
+)
+def q_cube(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.col("gid").cast("long").alias("gid"),
+            "n_docs",
+            "sum_chars",
+        )
+    )

@@ -197,6 +197,75 @@ def q_jaccard(spark, sf_dir):
     )
 
 
+_CONTAIN_TAU = 0.9
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh0 AS (
+      SELECT doc_id AS id, unnest({O.shingles_sql('text', 3)}) AS shingle
+      FROM corpus
+    ),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) > {_NGRAM_MAX_DF}
+    ),
+    sh AS (
+      SELECT * FROM sh0
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS intersection
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, i.intersection,
+           sa.sz AS size_a, sb.sz AS size_b,
+           round(CAST(i.intersection AS DOUBLE)
+                 / least(sa.sz, sb.sz), 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE CAST(i.intersection AS DOUBLE) / least(sa.sz, sb.sz)
+            >= {_CONTAIN_TAU}
+    """,
+    doc="Asymmetric near-dup CONTAINMENT pairs: |A∩B| / min(|A|, |B|) — "
+    "catches a short document subsumed by a long one, which symmetric "
+    "Jaccard misses (a 5-shingle doc inside a 500-shingle doc scores "
+    "jaccard 0.01 but containment 1.0). Same inverted-index posting-"
+    "list shape as dedup_ngram_jaccard (only docs sharing a shingle "
+    "meet; hot-shingle cap bounds posting lists), different threshold "
+    "geometry. On the perturbed corpus the appended-token copies score "
+    "containment ~1.0.",
+)
+def q_containment(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=3,
+        threshold=0.0,
+        max_df=_NGRAM_MAX_DF,
+    )
+    cont = F.col("intersection").cast("double") / F.least(
+        "size_a", "size_b"
+    )
+    return (
+        pairs.filter(cont >= _CONTAIN_TAU)
+        .select(
+            "id_a",
+            "id_b",
+            "intersection",
+            "size_a",
+            "size_b",
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
 _RECALL_TAU = 0.5
 
 
@@ -783,9 +852,9 @@ def q_vocab(spark, sf_dir):
     )
 
 
-@register(
-    "tfidf_vectors",
-    f"""
+# TF-IDF CTE body, shared by the vectors query and keyword extraction so
+# the twin definitions cannot drift apart.
+_TFIDF_SQL = f"""
     WITH term AS (
       SELECT doc_id, token, COUNT(*) AS tf_count
       FROM (SELECT doc_id, unnest({O.words_sql('lower(text)')}) AS token
@@ -802,13 +871,20 @@ def q_vocab(spark, sf_dir):
       SELECT token, COUNT(DISTINCT doc_id) AS doc_freq
       FROM term GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 5
     ),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents)
-    SELECT t.doc_id, t.token, t.tf_count, t.doc_len, v.doc_freq,
-           round((t.tf_count / t.doc_len)
-                 * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / v.doc_freq),
-                 6) AS tfidf
-    FROM with_len t JOIN vocab v ON t.token = v.token
-    """,
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tfidf AS (
+      SELECT t.doc_id, t.token, t.tf_count, t.doc_len, v.doc_freq,
+             round((t.tf_count / t.doc_len)
+                   * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / v.doc_freq),
+                   6) AS tfidf
+      FROM with_len t JOIN vocab v ON t.token = v.token
+    )
+"""
+
+
+@register(
+    "tfidf_vectors",
+    _TFIDF_SQL + "\n    SELECT * FROM tfidf",
     doc="Sparse TF-IDF vectors over the min_df-pruned vocabulary: term "
     "counts aggregate once per (doc, token); the pruned vocab (tiny, by "
     "Zipf) broadcasts back onto term rows so the corpus side never "
@@ -822,6 +898,49 @@ def q_tfidf(spark, sf_dir):
         id_col="doc_id",
         text_col="text",
         min_df=5,
+    )
+
+
+_KEYWORDS_K = 3
+
+
+@register(
+    "text_keywords_topk",
+    _TFIDF_SQL
+    + f"""
+    SELECT doc_id, token, tfidf, kw_rank FROM (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY tfidf DESC, token ASC) AS kw_rank
+      FROM tfidf
+    ) WHERE kw_rank <= {_KEYWORDS_K}
+    """,
+    doc="Per-document keyword extraction: top-3 TF-IDF terms per doc — "
+    "the metadata-enrichment step that tags corpus documents for "
+    "filtering/routing. Rides the tfidf_vectors pipeline (shared SQL "
+    "CTE, same operator) plus ONE window pass partitioned by doc "
+    "(already the term table's partitioning — no extra exchange); ties "
+    "break on token for engine-stable ranks.",
+)
+def q_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from bag_parser_spark.operators.text import tfidf_vectors
+
+    tf = tfidf_vectors(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        min_df=5,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        tf.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= _KEYWORDS_K)
+        .select("doc_id", "token", "tfidf", "kw_rank")
     )
 
 
