@@ -427,3 +427,53 @@ def extract_audio_features(
     return df.select(id_col, payload_col).mapInPandas(
         features, schema=schema
     )
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded images: decode → 8×8
+    nearest-neighbor thumbnail → per-pixel luma (integer r+g+b) → one bit
+    per pixel, set iff 64·luma > Σluma (the integer cross-multiplied form
+    of luma > mean — no division, no float anywhere) → 64-bit hex hash
+    plus popcount. Near-identical images differ in a few bits, so aHash
+    feeds the SAME banded/bucketed near-dup joins the text family uses —
+    the multimodal dedup path. Map-only (1 row in → 1 row out); hash
+    pairs join downstream on the hash key, never on pixels."""
+    from bag_parser_spark.functions import png_codec
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("ahash", T.StringType()),
+            T.StructField("n_ones", T.IntegerType()),
+        ]
+    )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = png_codec.decode_image(bytes(payload))
+                thumb = png_codec.resize_nearest(
+                    img["pixels"], img["width"], img["height"],
+                    img["channels"], 8, 8,
+                )
+                luma = [
+                    thumb[p * 3] + thumb[p * 3 + 1] + thumb[p * 3 + 2]
+                    for p in range(64)
+                ]
+                total = sum(luma)
+                bits = [1 if 64 * v > total else 0 for v in luma]
+                n = 0
+                for b in bits:
+                    n = (n << 1) | b
+                rows.append(
+                    {id_col: i, "ahash": format(n, "016x"),
+                     "n_ones": sum(bits)}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(hashes, schema=schema)

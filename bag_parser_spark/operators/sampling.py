@@ -397,3 +397,40 @@ def temporal_split_embargo(
     return df.withColumn(split_name, label).filter(
         F.col(split_name) != "embargo"
     )
+
+
+def weighted_reservoir_sample(
+    df,
+    id_col: str,
+    weight_col,
+    k: int,
+    seed: int | str = 0,
+    round_to: int = 9,
+):
+    """Deterministic weighted sampling WITHOUT replacement (exactly k
+    rows): the A-Res scheme — key_i = u_i^(1/w_i) with u_i a hash-derived
+    uniform — keeps the k largest keys; inclusion probability is
+    proportional to weight, and the whole draw is a pure function of
+    (seed, id, weight): reproducible across runs, partitionings, and
+    engines, unlike rand()-based reservoirs whose draw shifts with
+    partition layout. Contrast with weighted_sample (per-row Bernoulli:
+    proportional EXPECTED counts, variable size) — this one returns an
+    exact-k sample.
+
+    u = (md5_mod(seed:id) + 0.5) / MOD is exact in doubles; pow() is the
+    one libm call, so keys round to 9 decimals with id as tiebreak (the
+    same last-ulp discipline as the catalog's ln()/exp() rounding). The
+    global top-k is orderBy().limit(k) → TakeOrderedAndProject (O(k)
+    per-task heaps) — no global sort, no driver-side state.
+    """
+    u = (
+        md5_mod(F.col(id_col), seed).cast("double") + F.lit(0.5)
+    ) / F.lit(float(HASH_SPLIT_MOD))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), round_to)
+    keyed = df.withColumn("__key__", key)
+    return (
+        keyed.orderBy(F.col("__key__").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumnRenamed("__key__", "sample_key")
+    )

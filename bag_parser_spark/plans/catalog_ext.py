@@ -1870,3 +1870,85 @@ def q_pca_power(spark, sf_dir):
     return pca_power_step(
         _t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding"
     )
+
+
+@register(
+    "mm_image_ahash",
+    f"""
+    WITH dims AS ({_MM_DIMS}),
+    luma AS (
+      SELECT doc_id, u.y * 8 + t.x AS i,
+             ((doc_id + 3 * ((t.x * w) // 8) + 5 * ((u.y * h) // 8)) % 256)
+           + ((doc_id + 3 * ((t.x * w) // 8) + 5 * ((u.y * h) // 8) + 7)
+              % 256)
+           + ((doc_id + 3 * ((t.x * w) // 8) + 5 * ((u.y * h) // 8) + 14)
+              % 256) AS l
+      FROM dims, UNNEST(range(0, 8)) AS t(x), UNNEST(range(0, 8)) AS u(y)
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(l) AS BIGINT) AS total FROM luma
+            GROUP BY doc_id),
+    bits AS (
+      SELECT luma.doc_id, luma.i,
+             CASE WHEN 64 * luma.l > tot.total THEN 1 ELSE 0 END AS b
+      FROM luma JOIN tot ON tot.doc_id = luma.doc_id
+    )
+    SELECT doc_id,
+           lower(lpad(to_hex(CAST(SUM(CASE WHEN i < 32
+                     THEN b * power(2, 31 - i) ELSE 0 END) AS BIGINT)),
+                 8, '0'))
+           || lower(lpad(to_hex(CAST(SUM(CASE WHEN i >= 32
+                     THEN b * power(2, 63 - i) ELSE 0 END) AS BIGINT)),
+                 8, '0')) AS ahash,
+           CAST(SUM(b) AS INTEGER) AS n_ones
+    FROM bits GROUP BY doc_id
+    """,
+    doc="Perceptual average-hash over REAL decoded PNGs: 8x8 thumbnail "
+    "(same floor map as mm_resize), integer luma, bit set iff 64*luma > "
+    "total (cross-multiplied mean test — no division, no float), 64-bit "
+    "hex hash + popcount. The oracle predicts every bit from the pixel "
+    "formula composed with the resize map, so a decode/resize/threshold "
+    "bug anywhere flips hash bits and the gate fails. This is the "
+    "multimodal dedup key: near-identical images differ in a few bits "
+    "and feed the same bucketed near-dup joins as the text family.",
+)
+def q_mm_ahash(spark, sf_dir):
+    d = multimodal.generate_png_payloads(_t(spark, sf_dir, "documents"))
+    return multimodal.image_ahash(d)
+
+
+_RES_K, _RES_SEED = 50, 0
+
+
+@register(
+    "sample_weighted_reservoir",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(power(
+               ({O.md5_mod_sql('doc_id', _RES_SEED)} + 0.5) / 10000.0,
+               1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT {_RES_K}
+    """,
+    doc="Deterministic weighted sampling WITHOUT replacement (A-Res): "
+    "key = u^(1/weight) from a hash-derived uniform, keep the k largest "
+    "— inclusion proportional to n_chars, exact sample size, and the "
+    "draw is a pure function of (seed, id, weight), so it reproduces "
+    "across runs/partitionings/engines where rand()-reservoirs shift "
+    "with layout. Keys round to 9 (pow is the one libm call); top-k is "
+    "a TakeOrderedAndProject heap.",
+)
+def q_weighted_reservoir(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    return sampling.weighted_reservoir_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=_RES_K,
+        seed=_RES_SEED,
+    )
