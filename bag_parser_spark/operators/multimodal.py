@@ -457,12 +457,17 @@ def image_ahash(
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 img = png_codec.decode_image(bytes(payload))
+                ch = img["channels"]
                 thumb = png_codec.resize_nearest(
-                    img["pixels"], img["width"], img["height"],
-                    img["channels"], 8, 8,
+                    img["pixels"], img["width"], img["height"], ch, 8, 8,
                 )
+                # luma = sum of the color channels, indexed by the image's
+                # REAL channel count: grayscale has 1 byte/pixel (a 3-wide
+                # stride would read past the 64-byte thumbnail) and RGBA's
+                # 4th byte is alpha, not color — exclude it.
+                n_color = min(ch, 3)
                 luma = [
-                    thumb[p * 3] + thumb[p * 3 + 1] + thumb[p * 3 + 2]
+                    sum(thumb[p * ch + c] for c in range(n_color))
                     for p in range(64)
                 ]
                 total = sum(luma)

@@ -631,6 +631,11 @@ def q_market_basket(spark, sf_dir):
     # The distinct (order, part) projection feeds THREE consumers (N,
     # item counts, baskets) — persist it or each one re-scans the fact
     # table and re-runs the distinct shuffle (4 scans measured unpersisted).
+    # Cleanup contract (same as lm_doc_score): catalog queries return lazy
+    # DataFrames, so the callable cannot unpersist before the caller
+    # materializes — long-lived sessions own cache cleanup (bench.py
+    # clearCache()s between reps; one-shot driver/test runs drop blocks
+    # with the session).
     l = (
         load_table(spark, sf_dir, "lineitem")
         .select(

@@ -97,6 +97,7 @@ def _iter_xml_payloads(
     payload: bytes,
     member_prefix: str | None = None,
     matched: bool = False,
+    from_zip: bool = False,
 ) -> Iterator[bytes]:
     """Yield XML documents from a payload, recursing through zip members —
     the reference's delivery is two-level (lvbag-extract-nl.zip containing
@@ -127,19 +128,32 @@ def _iter_xml_payloads(
                 yield from _iter_xml_payloads(
                     member, zf.read(member), member_prefix,
                     matched or base.startswith(member_prefix or ""),
+                    from_zip=True,
                 )
-    else:
-        # Top-level files reach here unfiltered when entity_xml_path falls
-        # back to scanning the whole --bag directory (raw-delivery layout):
-        # binaryFile then loads every sibling — a gemeenten.csv kept next
-        # to the delivery zip, LVBAG checksum/readme files. Feeding those
-        # to iterparse crashes the import with a bare ParseError, so only
-        # payloads that actually look like XML documents (optional BOM /
-        # whitespace then '<') pass; zip members are already filtered by
-        # extension + prefix above.
-        head = payload[:64].lstrip(b"\xef\xbb\xbf \t\r\n")
-        if head.startswith(b"<"):
-            yield payload
+    elif from_zip or _looks_like_xml(payload):
+        # Zip members were already filtered to .xml by extension above —
+        # trust them unconditionally (a malformed member should fail
+        # LOUDLY in iterparse, not vanish). Top-level files, however,
+        # reach here unfiltered when entity_xml_path falls back to
+        # scanning the whole --bag directory (raw-delivery layout):
+        # binaryFile loads every sibling — a gemeenten.csv kept next to
+        # the delivery zip, LVBAG checksum/readme files — and feeding
+        # those to iterparse crashes the import with a bare ParseError,
+        # so non-XML-looking top-level payloads are skipped.
+        yield payload
+
+
+def _looks_like_xml(payload: bytes) -> bool:
+    """True when the payload plausibly starts an XML document: optional
+    UTF-8/16/32 BOM, any amount of leading whitespace (scanned, not
+    sliced — a long comment prologue must not defeat the sniff), then
+    '<' — including the UTF-16/32 encodings where '<' is interleaved
+    with NUL bytes."""
+    for b in payload[:4096]:
+        if b in (0xEF, 0xBB, 0xBF, 0xFF, 0xFE, 0x00, 0x20, 0x09, 0x0D, 0x0A):
+            continue  # BOM bytes, NULs (UTF-16/32 padding), whitespace
+        return b == 0x3C  # '<'
+    return False
 
 
 def read_bag_entity_raw(

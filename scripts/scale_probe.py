@@ -33,9 +33,20 @@ def derive(base: str, out: str, docs_x: int, emb_x: int) -> None:
 
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # replica stride must clear the base id range, or replica r of a low
+    # id collides with replica r-1 of a high id — duplicate ids would
+    # silently corrupt every dedup/row-ratio the probe reports
+    (max_doc,) = con.execute(
+        f"SELECT MAX(doc_id) FROM '{base}/documents.parquet'"
+    ).fetchone()
+    (max_vec,) = con.execute(
+        f"SELECT MAX(vec_id) FROM '{base}/embeddings.parquet'"
+    ).fetchone()
+    doc_stride = max(1_000_000, int(max_doc) + 1)
+    vec_stride = max(1_000_000, int(max_vec) + 1)
     con.execute(f"""
       COPY (
-        SELECT doc_id + 1000000 * r AS doc_id,
+        SELECT doc_id + {doc_stride} * r AS doc_id,
                CASE WHEN r = 0 THEN text
                     ELSE text || ' v' || CAST(r AS VARCHAR) END AS text,
                lang, source, n_chars
@@ -44,7 +55,7 @@ def derive(base: str, out: str, docs_x: int, emb_x: int) -> None:
     """)
     con.execute(f"""
       COPY (
-        SELECT vec_id + 1000000 * r AS vec_id, embedding, label
+        SELECT vec_id + {vec_stride} * r AS vec_id, embedding, label
         FROM '{base}/embeddings.parquet', range(0, {emb_x}) t(r)
       ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
@@ -58,6 +69,8 @@ def main() -> int:
     ap.add_argument("--emb-x", type=int, default=4)
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
+    if args.reps < 1 or args.docs_x < 1 or args.emb_x < 1:
+        ap.error("--reps/--docs-x/--emb-x must all be >= 1")
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bag_parser_spark.plans.catalog import registry

@@ -1101,3 +1101,31 @@ def test_ohlc_order_key_survives_int64_scale_ordinals(spark):
             ordinal_col="event_id",
         ).collect()[0]
         assert bar["open"] == 10.0 and bar["close"] == 50.0
+
+
+def test_image_ahash_handles_grayscale_and_rgba(spark):
+    """aHash must index by the image's REAL channel count: grayscale
+    thumbnails are 64 bytes (a 3-wide stride reads past the buffer) and
+    RGBA's 4th byte is alpha, not color. A gray image and its RGB
+    expansion must hash identically; an RGBA image must ignore alpha."""
+    from bag_parser_spark.functions.png_codec import encode_png
+    from bag_parser_spark.operators import multimodal
+
+    w, h = 8, 8
+    gray = bytes((17 * (x + y)) % 256 for y in range(h) for x in range(w))
+    rgb = b"".join(bytes([v, v, v]) for v in gray)
+    rgba = b"".join(bytes([v, v, v, (v * 7) % 256]) for v in gray)
+    df = spark.createDataFrame(
+        [
+            (1, encode_png(w, h, gray, channels=1)),
+            (2, encode_png(w, h, rgb, channels=3)),
+            (3, encode_png(w, h, rgba, channels=4)),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.image_ahash(df).collect()}
+    # gray: luma = v; rgb: luma = 3v — mean test is scale-invariant
+    assert out[1]["ahash"] == out[2]["ahash"]
+    # rgba alpha excluded -> same bits as the rgb image
+    assert out[3]["ahash"] == out[2]["ahash"]
+    assert 0 < out[1]["n_ones"] < 64
