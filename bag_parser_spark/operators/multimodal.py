@@ -482,3 +482,46 @@ def image_ahash(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(id_col, payload_col).mapInPandas(hashes, schema=schema)
+
+
+def generate_png_payloads_perturbed(
+    df: DataFrame, id_col: str = "doc_id", offset: int = 1_000_000
+) -> DataFrame:
+    """Original PNG per row PLUS a near-duplicate copy (id + offset) whose
+    FIRST pixel's red channel is +1 — the image analogue of the text
+    family's perturbed corpus. One pixel nudges at most a couple of aHash
+    bits near the luma mean, so near-dup search is exercised with real
+    non-identical payloads."""
+    from bag_parser_spark.functions import png_codec
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                doc_id = int(i)
+                w, h = synthetic_image_dims(doc_id)
+                px = bytearray(
+                    synthetic_pixel(doc_id, x, y, c)
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                rows.append(
+                    {id_col: doc_id,
+                     "payload": png_codec.encode_png(w, h, bytes(px), 3)}
+                )
+                px[0] = (px[0] + 1) % 256
+                rows.append(
+                    {id_col: doc_id + offset,
+                     "payload": png_codec.encode_png(w, h, bytes(px), 3)}
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)

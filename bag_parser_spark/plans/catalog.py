@@ -973,7 +973,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_recall", "a25_market_basket", "split_temporal_embargo",
     "events_pattern_match", "ml_pca_power_step", "a26_cube",
     "text_keywords_topk", "dedup_containment", "mm_image_ahash",
-    "sample_weighted_reservoir",
+    "sample_weighted_reservoir", "mm_image_neardup",
     # pass 2
     "tpch_q3_shipping_priority", "ts_window_battery", "events_sessionize",
     "sim_lsh_bucket_topk", "mm_image_features", "text_boilerplate_removal",

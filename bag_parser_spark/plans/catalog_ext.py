@@ -1952,3 +1952,173 @@ def q_weighted_reservoir(spark, sf_dir):
         k=_RES_K,
         seed=_RES_SEED,
     )
+
+
+_AH_BANDS = 4  # 4 bands x 4 hex chars (16 bits) over the 64-bit aHash
+_AH_MAX_HAMMING = 2
+
+
+def _nib_pop_sql(a: str, b: str, i: str) -> str:
+    """Portable nibble-XOR popcount: hex digit value via instr, popcount
+    via div/mod arithmetic — no engine-specific bit builtins."""
+    va = f"(instr('0123456789abcdef', substring({a}, {i}, 1)) - 1)"
+    vb = f"(instr('0123456789abcdef', substring({b}, {i}, 1)) - 1)"
+    x = f"__XOR__"
+    pop = f"(({x}) % 2 + (({x}) // 2) % 2 + (({x}) // 4) % 2 + (({x}) // 8) % 2)"
+    # nibble XOR via arithmetic: bitwise ops differ across engines, but
+    # xor = a + b - 2*and, and per-bit and = (a//k%2)*(b//k%2)*k
+    land = " + ".join(
+        f"(({va}) // {k} % 2) * (({vb}) // {k} % 2) * {k}" for k in (1, 2, 4, 8)
+    )
+    return pop.replace(x, f"{va} + {vb} - 2 * ({land})")
+
+
+def _ahash_hamming_sql(a: str, b: str) -> str:
+    return "CAST(" + " + ".join(
+        _nib_pop_sql(a, b, str(i + 1)) for i in range(16)
+    ) + " AS BIGINT)"
+
+
+def _mm_neardup_oracle_sql() -> str:
+    # bits for both variants: variant 1 perturbs src pixel (0,0)'s red
+    # channel by +1 (mod 256); thumb (x,y) reads src ((x*w)//8,(y*h)//8)
+    red = "(doc_id + 3 * ((t.x * w) // 8) + 5 * ((u.y * h) // 8)) % 256"
+    lum = (
+        f"(CASE WHEN v.v = 1 AND (t.x * w) // 8 = 0 AND (u.y * h) // 8 = 0 "
+        f"THEN ({red} + 1) % 256 ELSE {red} END) "
+        f"+ ((doc_id + 3 * ((t.x * w) // 8) + 5 * ((u.y * h) // 8) + 7) % 256) "
+        f"+ ((doc_id + 3 * ((t.x * w) // 8) + 5 * ((u.y * h) // 8) + 14) % 256)"
+    )
+    hx = (
+        "lower(lpad(to_hex(CAST(SUM(CASE WHEN i < 32 "
+        "THEN b * power(2, 31 - i) ELSE 0 END) AS BIGINT)), 8, '0')) || "
+        "lower(lpad(to_hex(CAST(SUM(CASE WHEN i >= 32 "
+        "THEN b * power(2, 63 - i) ELSE 0 END) AS BIGINT)), 8, '0'))"
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {t} AS band, substring(ahash, {t * 4 + 1}, 4) AS bucket "
+        "FROM hashes"
+        for t in range(_AH_BANDS)
+    )
+    return f"""
+    WITH dims AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+                  FROM documents),
+    luma AS (
+      SELECT CASE WHEN v.v = 1 THEN doc_id + 1000000 ELSE doc_id END AS id,
+             u.y * 8 + t.x AS i, {lum} AS l
+      FROM dims, UNNEST(range(0, 8)) AS t(x), UNNEST(range(0, 8)) AS u(y),
+           UNNEST(range(0, 2)) AS v(v)
+    ),
+    tot AS (SELECT id, CAST(SUM(l) AS BIGINT) AS total FROM luma
+            GROUP BY id),
+    bits AS (
+      SELECT luma.id, luma.i,
+             CASE WHEN 64 * luma.l > tot.total THEN 1 ELSE 0 END AS b
+      FROM luma JOIN tot ON tot.id = luma.id
+    ),
+    hashes AS (SELECT id, {hx} AS ahash FROM bits GROUP BY id),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           {_ahash_hamming_sql('ha.ahash', 'hb.ahash')} AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.id = c.id_a
+    JOIN hashes hb ON hb.id = c.id_b
+    WHERE {_ahash_hamming_sql('ha.ahash', 'hb.ahash')} <= {_AH_MAX_HAMMING}
+    """
+
+
+@register(
+    "mm_image_neardup",
+    _mm_neardup_oracle_sql(),
+    doc="END-TO-END multimodal near-dup: real PNG corpus (each image plus "
+    "a one-pixel-perturbed copy), real decode → aHash, 4-band blocking "
+    "over the 64-bit hash (a ≤2-bit difference leaves ≥2 of 4 bands "
+    "intact — the same banded-LSH guarantee as MinHash), exact nibble-"
+    "arithmetic hamming refine ≤2. Shuffles carry (band, 4-hex bucket, "
+    "id) — never pixels; hashes persist once and re-attach to the "
+    "deduped candidate pairs. The oracle recomputes every hash bit from "
+    "the pixel formula (perturbation included), so decode, resize, "
+    "threshold, banding, and hamming are ALL value-checked. Note the "
+    "synthetic corpus is aHash-degenerate BY DESIGN of the hash: aHash "
+    "is brightness-shift invariant, and the pixel formula makes "
+    "same-dimension images exact brightness shifts of each other, so "
+    "they collide at hamming 0 — ~24k pairs, a realistic stress of the "
+    "pair-join path and a correct demonstration of what aHash considers "
+    "a duplicate.",
+)
+def q_mm_neardup(spark, sf_dir):
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    corpus = multimodal.generate_png_payloads_perturbed(
+        _t(spark, sf_dir, "documents")
+    )
+    hashes = (
+        multimodal.image_ahash(corpus)
+        .withColumnRenamed("doc_id", "id")
+        .select("id", "ahash")
+        .persist()
+    )
+    bands = hashes.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("ahash", t * 4 + 1, 4)
+                    for t in range(_AH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.select("band", "bucket", F.col("id").alias("id_a"))
+    b = bands.select(
+        F.col("band").alias("__b2__"),
+        F.col("bucket").alias("__k2__"),
+        F.col("id").alias("id_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("__b2__"))
+            & (F.col("bucket") == F.col("__k2__"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    def nib(col, i):
+        return (
+            F.instr(F.lit("0123456789abcdef"), F.substring(col, i, 1)) - 1
+        )
+
+    def hamming(ca, cb):
+        total = F.lit(0)
+        for i in range(1, 17):
+            va, vb = nib(ca, i), nib(cb, i)
+            land = sum(
+                ((va / k).cast("int") % 2) * ((vb / k).cast("int") % 2) * k
+                for k in (1, 2, 4, 8)
+            )
+            x = va + vb - 2 * land
+            total = total + (
+                x % 2
+                + (x / 2).cast("int") % 2
+                + (x / 4).cast("int") % 2
+                + (x / 8).cast("int") % 2
+            )
+        return total.cast("long")
+
+    ha = hashes.select(F.col("id").alias("id_a"), F.col("ahash").alias("__ha__"))
+    hb = hashes.select(F.col("id").alias("id_b"), F.col("ahash").alias("__hb__"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", hamming(F.col("__ha__"), F.col("__hb__")))
+        .filter(F.col("hamming") <= _AH_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )
