@@ -214,6 +214,7 @@ def cmd_prepare(args) -> int:
         splits=splits,
         seed=args.seed,
         near_dedup=not args.no_near_dedup,
+        near_dup_threshold=args.near_dup_threshold,
     )
     _log(f"prepared {summary['n_out']} docs -> {summary['out']}")
     print(json.dumps(summary, sort_keys=True))
@@ -301,6 +302,10 @@ def build_parser() -> argparse.ArgumentParser:
     prep.add_argument("--seed", type=int, default=42)
     prep.add_argument("--no-near-dedup", action="store_true",
                       help="skip MinHash-LSH near-dup canonicalization")
+    prep.add_argument("--near-dup-threshold", type=float, default=0.5,
+                      help="exact n-gram Jaccard a candidate pair must "
+                      "reach before it may merge clusters (LSH candidates "
+                      "are verified, never trusted raw)")
     _add_spark_args(prep)
     prep.set_defaults(fn=cmd_prepare)
     return p

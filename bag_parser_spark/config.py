@@ -25,6 +25,14 @@ class EngineConfig:
     # snapshot date for temporal validity (reference utils.py:168-169 uses
     # datetime.today(); injectable here for deterministic tests)
     snapshot_date: str | None = None
+    # XML scan backend: "iterparse" (default — binaryFile + mapInPandas,
+    # handles zip-in-zip deliveries and arbitrarily nested tags) or
+    # "native" (Spark 4 built-in `format("xml")` — parse stays JVM-side,
+    # no Python workers; requires pre-extracted plain .xml files with the
+    # entity's tags as direct children of the object element, the layout
+    # the reference's own extract step produces). See
+    # sources/bag_xml.py:read_bag_entity_raw_native for the exact contract.
+    xml_backend: str = "iterparse"
     # validation thresholds (reference database_sqlite.py:716-754), scaled
     # per fixture; production values are the defaults
     min_adressen: int = 9_000_000

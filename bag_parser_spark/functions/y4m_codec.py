@@ -65,9 +65,21 @@ def decode_y4m(data: bytes) -> dict:
     if colorspace.startswith("C444"):
         plane_sizes = (width * height,) * 3
     elif colorspace.startswith("C420"):
+        # floor division on odd dims would silently mis-frame the stream
+        # (frame boundaries drift) — fail loudly instead (ADVICE r4)
+        if width % 2 or height % 2:
+            raise ValueError(
+                f"C420 requires even W and H, got {width}x{height} — "
+                "odd-dimension 4:2:0 chroma sizing is encoder-specific"
+            )
         c = (width // 2) * (height // 2)
         plane_sizes = (width * height, c, c)
     elif colorspace.startswith("C422"):
+        if width % 2:
+            raise ValueError(
+                f"C422 requires even W, got {width}x{height} — "
+                "odd-width 4:2:2 chroma sizing is encoder-specific"
+            )
         c = (width // 2) * height
         plane_sizes = (width * height, c, c)
     else:

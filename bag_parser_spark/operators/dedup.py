@@ -310,6 +310,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_pairs_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Exact n-gram-Jaccard refinement of CANDIDATE pairs — the verify
+    step between LSH candidate generation and any destructive use of the
+    pairs (clustering + deletion). Banded MinHash buckets are
+    probabilistic: with r hashes/band docs at Jaccard j collide with
+    probability 1-(1-j^r)^bands, so moderately-similar NON-duplicates
+    leak through, and transitive closure then chains them into one
+    cluster (ADVICE r4, medium). Returns only pairs whose exact distinct-
+    shingle Jaccard ≥ ``threshold``: (id_a, id_b, jaccard).
+
+    Scale shape: shingling is restricted to docs that appear in ≥1
+    candidate pair (semi-join — at healthy LSH precision this is a small
+    fraction of the corpus), the per-doc distinct shingle rows persist
+    once and feed both the size aggregate and the two intersection
+    probes, and every join key is (id) or (id, shingle) — candidate-
+    bounded, never all-pairs, never full documents. Pairs sharing no
+    shingle drop out at the inner probe, which is correct for any
+    threshold > 0. Callers own unpersist (module convention).
+    """
+    ids = (
+        pairs.select(F.col(id_a).alias(id_col))
+        .unionAll(pairs.select(F.col(id_b).alias(id_col)))
+        .distinct()
+    )
+    cand_docs = docs.join(ids, id_col, "semi")
+    sh = (
+        word_shingle_rows(cand_docs, id_col, text_col, shingle_n)
+        .dropDuplicates(["__id__", "shingle"])
+        .persist()
+    )
+    sizes = sh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
+    sh_a = sh.select(
+        F.col("__id__").alias(id_a), F.col("shingle").alias("__sh__")
+    )
+    sh_b = sh.select(
+        F.col("__id__").alias(id_b), F.col("shingle").alias("__sh__")
+    )
+    inter = (
+        pairs.select(id_a, id_b)
+        .join(sh_a, id_a)
+        .join(sh_b, [id_b, "__sh__"])
+        .groupBy(id_a, id_b)
+        .agg(F.count(F.lit(1)).alias("__i__"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("__id__", id_a), id_a)
+        .withColumnRenamed("__sz__", "__sza__")
+        .join(sizes.withColumnRenamed("__id__", id_b), id_b)
+        .withColumn(
+            "jaccard",
+            F.col("__i__")
+            / (F.col("__sza__") + F.col("__sz__") - F.col("__i__")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select(id_a, id_b, "jaccard")
+    )
+
+
 def contamination_check(
     train: DataFrame,
     test: DataFrame,

@@ -383,6 +383,11 @@ def ohlc_bars(
     aggregation: min_by/max_by/min/max/count/sum all combine
     associatively, so shuffle volume is #bars, not #events — at 100 TB
     the reduction happens in the scan stage. No window, no sort, no UDF.
+
+    Volume sums in DECIMAL(28,6) — exact, order-independent — then casts
+    back to double once (the repo-wide parity idiom). A plain SUM(double)
+    is an unordered float accumulation whose last bits depend on
+    partitioning, which can flake a hash-equality oracle gate.
     """
     order_key = event_order_key(ts_col, ordinal_col)
     v = F.col(value_col)
@@ -397,6 +402,8 @@ def ohlc_bars(
             F.min(v).alias("low"),
             F.max_by(v, order_key).alias("close"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(v), round_to).alias("volume"),
+            F.round(
+                F.sum(v.cast("decimal(28,6)")).cast("double"), round_to
+            ).alias("volume"),
         )
     )

@@ -943,23 +943,49 @@ def q_f8(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # Driver-verification priority. The correctness driver samples the catalog in
-# dict order with a bounded budget (r3 recorded exactly the first 50 keys), so
-# the emit order is round-robin across operator FAMILIES, families whose
-# members have never had a driver row first (r1-r3 verified the first-50
-# registration-order prefix — joins/preds/scalars/geometry and the first
-# corpus block; see CORRECTNESS_r0{1,2,3}.json). This guarantees every family
-# lands driver rows even under a hard cap, while the already-driver-green
-# queries re-verify whenever budget remains. Queries not listed (or added
-# later) follow in registration order — nothing is ever dropped.
+# dict order with a bounded budget (every round so far recorded exactly the
+# first 50 keys), so the order is re-rotated each round: queries that have
+# NEVER had a driver CORRECTNESS row (union of CORRECTNESS_r01–r04 = 106 of
+# 154) fill the first-50 window, together with queries whose implementation
+# CHANGED this round (a stale green row is not evidence for new code —
+# ADVICE r4). Everything already driver-green re-verifies whenever budget
+# remains; queries not listed (or added later) follow in registration order —
+# nothing is ever dropped. If this rotation lands, the cross-round union
+# reaches 154/154.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # pass 1 — one per never-verified family
+    # pass 1 (r5 window, 50 slots) — the 48 queries with no driver row in
+    # r1–r4, in family round-robin order…
+    "f15_string_pack", "f16_date_pack", "f17_array_pack",
+    "f18_locale_format", "j12_runtime_filter_join", "j14_fuzzy_blocked_join",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q18_large_volume",
+    "ts_topk_per_user", "ts_gapfill", "ts_scd2_intervals",
+    "ts_interval_join", "events_hopping_agg", "events_session_window",
+    "events_ema", "events_twa", "events_funnel", "events_markov",
+    "events_stream_enrich", "events_sliding_distinct",
+    "text_repetition_metrics", "text_source_drift", "lm_doc_score",
+    "chunk_documents", "dedup_canonical",
+    "docs_vocab_growth", "mm_audio_features",
+    "a15_heavy_hitters", "a16_mad_outliers", "a17_histogram", "a18_mode",
+    "a19_hll_mergeable", "a20_ntile_binning", "a21_trimmed_mean",
+    "a22_linreg_suffstats", "a23_pareto", "a24_incremental_rollup",
+    "sample_negatives", "sample_global_shuffle", "quality_quantile_band",
+    "cohort_retention", "cust_rfm", "orders_monthly_yoy",
+    "dq_star_schema",
+    # …plus the queries rewritten since their last driver row:
+    # mm_frame_sample (r4 stub→real Y4M decode, never re-verified) and
+    # ts_ohlc_bars (r5: volume now sums in exact decimal)
+    "mm_frame_sample", "ts_ohlc_bars",
+    # pass 2 — events_pattern_match also changed in r5 (substring scan →
+    # positional triples) but is value-identical on the current event
+    # vocabulary and holds a green r4 row + the pytest oracle gate; it
+    # leads re-verification. The rest re-verify in prior-round order.
+    "events_pattern_match",
     "tpch_q1_pricing_summary", "ts_asof_join", "events_windowed_agg",
     "sim_cosine_topk", "mm_binary_metadata", "text_entropy",
     "a7_approx_distinct", "f14_null_semantics", "j10_salted_skew_join",
     "vocab_build",
-    # pass 1.5 — round-4 additions: never driver-verified, so they outrank
-    # re-verification of queries that already hold green r3 rows (pass 1
-    # already gives every family one slot, keeping the coverage contract)
     "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_product_profit",
     "tpch_q11_important_stock", "tpch_q12_late_lines",
@@ -968,41 +994,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive_revenue", "tpch_q20_potential_promotion",
     "tpch_q21_waiting_suppliers", "tpch_q22_sales_opportunity",
     "dedup_repeated_substrings", "split_leakage_safe",
-    "text_bm25_topk", "text_hash_classifier", "ts_ohlc_bars",
+    "text_bm25_topk", "text_hash_classifier",
     "dedup_lsh_recall", "dq_k_anonymity", "text_bpe_pair_counts",
     "sim_ann_recall", "a25_market_basket", "split_temporal_embargo",
-    "events_pattern_match", "ml_pca_power_step", "a26_cube",
+    "ml_pca_power_step", "a26_cube",
     "text_keywords_topk", "dedup_containment", "mm_image_ahash",
     "sample_weighted_reservoir", "mm_image_neardup",
-    # pass 2
+    "dedup_embedding_cosine",
+    # pass 3
     "tpch_q3_shipping_priority", "ts_window_battery", "events_sessionize",
     "sim_lsh_bucket_topk", "mm_image_features", "text_boilerplate_removal",
-    "a8_approx_quantiles", "f15_string_pack", "j12_runtime_filter_join",
-    "tfidf_vectors",
-    # pass 3
-    "tpch_q6_forecast_revenue", "ts_topk_per_user", "events_hopping_agg",
-    "sim_knn_join", "mm_resize", "text_repetition_metrics",
-    "a15_heavy_hitters", "f16_date_pack", "j14_fuzzy_blocked_join",
-    "lm_doc_score",
-    # pass 4
-    "tpch_q5_local_supplier_volume", "ts_gapfill", "events_session_window",
-    "sim_ivf_topk", "mm_frame_sample", "mm_audio_features",
-    "text_source_drift", "a19_hll_mergeable", "f17_array_pack",
-    "chunk_documents", "dedup_canonical",
-    # pass 5
-    "tpch_q4_order_priority", "ts_scd2_intervals", "events_ema",
-    "dedup_embedding_cosine", "a16_mad_outliers", "a17_histogram",
-    "a18_mode", "sample_negatives", "sample_global_shuffle",
-    "quality_quantile_band",
-    # pass 6 — remaining never-verified
-    "tpch_q18_large_volume", "ts_interval_join", "events_funnel",
-    "events_twa", "a20_ntile_binning", "a21_trimmed_mean",
-    "a22_linreg_suffstats", "cohort_retention", "cust_rfm",
-    "orders_monthly_yoy",
-    # pass 7
-    "tpch_q10_returned_items", "tpch_q14_promo_effect", "events_markov",
-    "events_stream_enrich", "events_sliding_distinct", "a23_pareto",
-    "a24_incremental_rollup", "dq_star_schema", "docs_vocab_growth",
+    "a8_approx_quantiles", "tfidf_vectors", "sim_knn_join", "mm_resize",
+    "sim_ivf_topk",
 )
 
 

@@ -1873,49 +1873,63 @@ def q_k_anonymity(spark, sf_dir):
 # events_pattern_match — CEP-style contiguous sequence detection per user
 # ---------------------------------------------------------------------------
 
-_CEP_PATTERN = "view,click,purchase"
+_CEP_SEQUENCE = ("view", "click", "purchase")
 
 
 @register(
     "events_pattern_match",
     f"""
-    WITH seqs AS (
-      SELECT user_id,
-             COUNT(*) AS n_events,
-             string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
-      FROM events GROUP BY user_id
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, n_events,
-           CAST(len(regexp_extract_all(seq, '{_CEP_PATTERN}')) AS BIGINT)
-             AS n_patterns,
-           len(regexp_extract_all(seq, '{_CEP_PATTERN}')) > 0 AS converted
-    FROM seqs
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = '{_CEP_SEQUENCE[0]}'
+                          AND t1 = '{_CEP_SEQUENCE[1]}'
+                          AND t2 = '{_CEP_SEQUENCE[2]}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_patterns,
+           SUM(CASE WHEN event_type = '{_CEP_SEQUENCE[0]}'
+                     AND t1 = '{_CEP_SEQUENCE[1]}'
+                     AND t2 = '{_CEP_SEQUENCE[2]}'
+               THEN 1 ELSE 0 END) > 0 AS converted
+    FROM ordered GROUP BY user_id
     """,
     doc="Complex-event-processing pattern match: per-user event streams "
     "ordered by (ts, event_id) and scanned for the CONTIGUOUS "
     "view→click→purchase sequence (stricter than the funnel's "
     "eventually-after ordering — no interleaved events allowed). The "
-    "per-user sequence is an ordered collect_list fold — one shuffle on "
-    "user_id, state bounded by per-user event count — and the pattern "
-    "scan is a JVM-side regexp over the type string (types contain no "
-    "regex metacharacters, so non-overlapping counts agree across "
-    "engines).",
+    "match compares exploded POSITIONAL triples (token i, i+1, i+2), "
+    "not a substring of the comma-joined type string — a substring scan "
+    "would false-positive on any future vocabulary with token suffixes/"
+    "prefixes of the pattern tokens (e.g. 'preview' ends in 'view'; "
+    "ADVICE r4). One shuffle on user_id (ordered collect_list fold, "
+    "state bounded by per-user event count); the index scan is a "
+    "JVM-side higher-order filter over the tiny per-user type array.",
 )
 def q_events_pattern(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    seq = F.array_join(
-        F.transform(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ),
-            lambda x: x["event_type"],
-        ),
-        ",",
+    types = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"],
     )
-    n_pat = F.regexp_count(F.col("seq"), F.lit(_CEP_PATTERN))
+    # start positions 1..len-2 (1-based element_at); sequence(1, 0)
+    # DESCENDS in Spark, so short arrays must short-circuit to 0
+    t = F.col("__types__")
+    hit = lambda i: (
+        (F.element_at(t, i) == _CEP_SEQUENCE[0])
+        & (F.element_at(t, i + 1) == _CEP_SEQUENCE[1])
+        & (F.element_at(t, i + 2) == _CEP_SEQUENCE[2])
+    )
+    n_pat = F.when(
+        F.size(t) >= 3,
+        F.size(F.filter(F.sequence(F.lit(1), F.size(t) - 2), hit)),
+    ).otherwise(F.lit(0))
     return (
         e.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("seq"))
+        .agg(F.count(F.lit(1)).alias("n_events"), types.alias("__types__"))
         .select(
             "user_id",
             "n_events",

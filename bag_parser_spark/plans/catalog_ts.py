@@ -510,7 +510,8 @@ def q_sliding_distinct(spark, sf_dir):
            MIN(value) AS low,
            arg_max(value, ok) AS close,
            COUNT(*) AS n_events,
-           round(SUM(value), 6) AS volume
+           round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS volume
     FROM keyed
     GROUP BY event_type, bar_start
     """,

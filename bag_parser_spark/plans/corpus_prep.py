@@ -6,9 +6,12 @@ One lineage, one write pass: the cheap map-side filters run at the scan,
 every dedup stage shuffles keys/hashes rather than document text wherever
 possible, the split assignment is a map-only md5 bucket, and the stage
 counters ride the write job as ``df.observe`` metrics — no extra scans
-for bookkeeping. The near-dup stage is the bucketed MinHash-LSH +
-connected-components pair (never all-pairs), dropping every clustered
-document except its min-id canonical representative.
+for bookkeeping. The near-dup stage is bucketed MinHash-LSH candidate
+generation → exact n-gram-Jaccard verification → connected components
+(never all-pairs), dropping every clustered document except its min-id
+canonical representative. Verification is what makes the deletion safe:
+raw banded-bucket collisions admit non-duplicates, which transitive
+closure would chain into clusters (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ def prepare_corpus(
     splits: list[tuple[str, float]] | None = None,
     seed: int = 42,
     near_dedup: bool = True,
+    near_dup_threshold: float = 0.5,
 ) -> dict:
     """Run the curation pipeline and write ``out_dir`` partitioned by
     ``split``. Returns a summary dict (input/kept/emitted counts and the
@@ -60,12 +64,25 @@ def prepare_corpus(
     unique = dedup.dedup_exact(kept, on=["__content__"], id_col=id_col)
 
     if near_dedup:
-        # Candidate pairs over the exact-deduped survivors; connected
-        # components label every clustered doc with its min-id canonical.
-        # Docs outside any cluster pass through untouched (left_anti on
-        # the non-canonical members only).
-        pairs = dedup.minhash_lsh_pairs(
+        # Candidate pairs over the exact-deduped survivors, REFINED by
+        # exact n-gram Jaccard before clustering: banded LSH buckets
+        # admit moderately-similar non-duplicates (probability
+        # 1-(1-j^r)^bands), and transitive closure would chain them —
+        # clustering raw candidates and deleting non-canonical members
+        # silently drops non-duplicate documents (ADVICE r4). Only
+        # verified pairs (Jaccard ≥ near_dup_threshold) become edges.
+        # Connected components then label every clustered doc with its
+        # min-id canonical; docs outside any verified cluster pass
+        # through untouched (left_anti on non-canonical members only).
+        cand = dedup.minhash_lsh_pairs(
             unique, id_col=id_col, text_col=text_col
+        )
+        pairs = dedup.verify_pairs_jaccard(
+            unique,
+            cand,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=near_dup_threshold,
         )
         clustered = dedup.dup_clusters(pairs, out_id=id_col)
         drop = clustered.filter(
@@ -96,6 +113,7 @@ def prepare_corpus(
         "n_out": n_out,
         "splits": by_split,
         "near_dedup": near_dedup,
+        "near_dup_threshold": near_dup_threshold,
         "min_quality": min_quality,
         "lang": lang,
         "seed": seed,

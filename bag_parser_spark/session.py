@@ -48,3 +48,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_cached_blocks(spark: SparkSession) -> int:
+    """Release EVERY cached block the session holds: CacheManager entries
+    (df.persist / table caches — what spark.catalog.clearCache() covers)
+    plus raw persistent RDDs that bypass the CacheManager
+    (``localCheckpoint`` in dup_clusters leaves these — clearCache never
+    sees them, so bench reps would accumulate checkpoint blocks).
+    Returns the number of persistent RDDs dropped. Call between bench
+    reps / after materializing a persist-using catalog query; operators
+    deliberately do NOT self-unpersist because their caller owns the
+    action (module convention — unpersisting before the caller's action
+    would re-execute the shared subtrees the persist exists to dedupe).
+    """
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    rdds = list(jsc.getPersistentRDDs().values())
+    for jrdd in rdds:
+        jrdd.unpersist(False)
+    return len(rdds)

@@ -212,6 +212,150 @@ def read_bag_entity_raw(
     )
 
 
+_NS_PREFIX = {
+    # literal prefix per namespace URI, as written in Kadaster deliveries.
+    # The native reader matches QUALIFIED NAMES AS WRITTEN (Spark's XML
+    # source is not namespace-aware) — fine for LVBAG, whose deliveries
+    # use these fixed prefixes; the iterparse backend resolves real
+    # namespaces and has no such assumption.
+    "{www.kadaster.nl/schemas/lvbag/imbag/objecten/v20200601}": "Objecten",
+    "{www.kadaster.nl/schemas/lvbag/imbag/objecten-ref/v20200601}": "Objecten-ref",
+    "{www.kadaster.nl/schemas/lvbag/imbag/historie/v20200601}": "Historie",
+    "{www.kadaster.nl/schemas/lvbag/imbag/nen5825/v20200601}": "nen5825",
+    "{http://www.opengis.net/gml/3.2}": "gml",
+    "{www.kadaster.nl/schemas/lvbag/gem-wpl-rel/gwr-producten-lvc/v20200601}": "gwr",
+    "{www.kadaster.nl/schemas/lvbag/gem-wpl-rel/bag-types/v20200601}": "bagtypes",
+}
+
+
+def _prefixed(qtag: str) -> str:
+    for ns, prefix in _NS_PREFIX.items():
+        if qtag.startswith(ns):
+            return f"{prefix}:{qtag[len(ns):]}"
+    raise ValueError(f"unknown namespace in tag {qtag!r}")
+
+
+def _split_parent_key(key: str) -> tuple[str, str]:
+    # parent_fields keys are "{nsP}parent{nsC}child" — split at the
+    # second namespace brace
+    i = key.find("{", 1)
+    return key[:i], key[i:]
+
+
+def _native_schema(entity: EntityConfig) -> T.StructType:
+    """Explicit all-string read schema for the native XML source. Every
+    simple field is array<string> (repeated tags arrive as N elements,
+    single tags as 1 — comma-joined afterwards, the iterparse S4 rule);
+    every parent_fields parent is array<struct<child: string>> (S3)."""
+    fields = [
+        T.StructField(_prefixed(qtag), T.ArrayType(T.StringType()))
+        for qtag in entity.fields
+    ]
+    parents: dict[str, list[str]] = {}
+    for key in entity.parent_fields:
+        parent, child = _split_parent_key(key)
+        parents.setdefault(parent, []).append(child)
+    fields += [
+        T.StructField(
+            _prefixed(parent),
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(_prefixed(c), T.StringType())
+                        for c in children
+                    ]
+                )
+            ),
+        )
+        for parent, children in parents.items()
+    ]
+    return T.StructType(fields)
+
+
+def read_bag_entity_raw_native(
+    spark: SparkSession, path: str, entity_name: str
+) -> DataFrame:
+    """JVM-native XML scan (Spark 4 built-in ``format("xml")``) — the
+    optional fast path next to ``read_bag_entity_raw``: the parse never
+    leaves the JVM (no Python workers, no Arrow transfer), which is where
+    the iterparse backend spends its import time. Produces the same
+    all-string raw schema, so ``finalize_entity`` is shared verbatim.
+
+    Contract (narrower than iterparse, enforced loudly):
+    - plain ``.xml`` files only — the reference's own extract step
+      produces exactly this layout (reference import_bag.py:31-37); a
+      zipped delivery must use the iterparse backend or be pre-extracted.
+    - entity tags as direct children of the object element (LVBAG layout;
+      the iterparse backend additionally tolerates arbitrary nesting).
+    - ``__ordinal__`` is ``monotonically_increasing_id()`` — preserves
+      document order within a file, but the cross-file upsert tiebreak is
+      ``__file__`` first (same as iterparse), so last-write-wins differs
+      only for duplicate keys WITHIN one file whose parse splits across
+      partitions — not observed in real deliveries; use iterparse where
+      that matters.
+    """
+    import glob as _glob
+    import os
+
+    entity = ENTITIES[entity_name]
+    listing = (
+        _glob.glob(os.path.join(path, "*")) if os.path.isdir(path)
+        else _glob.glob(path)
+    )
+    zips = [p for p in listing if p.lower().endswith(".zip")]
+    if zips:
+        raise ValueError(
+            f"xml_backend='native' cannot read zip archives ({zips[:3]}…) "
+            "— extract the delivery first or use xml_backend='iterparse'"
+        )
+    xmls = [p for p in listing if p.lower().endswith(".xml")]
+    if not xmls:
+        raise FileNotFoundError(
+            f"xml_backend='native': no .xml files under {path!r}"
+        )
+
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", _prefixed(entity.object_tag))
+        .schema(_native_schema(entity))
+        .load(xmls)
+    )
+    cols = {}  # column name → array<string> expression, joined below
+    for qtag, colname in entity.fields.items():
+        arr = F.col(f"`{_prefixed(qtag)}`")
+        if colname == "geometry" and entity.has_geometry:
+            # P9 bracket wrap per occurrence, as parse_xml_records does
+            arr = F.transform(
+                arr, lambda x: F.concat(F.lit("["), x, F.lit("]"))
+            )
+        cols[colname] = arr
+    for key, colname in entity.parent_fields.items():
+        parent, child = _split_parent_key(key)
+        member = _prefixed(child)
+        arr = F.filter(
+            F.transform(
+                F.col(f"`{_prefixed(parent)}`"), lambda x: x[member]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        cols[colname] = arr
+    target = _raw_schema(entity)
+    out = [
+        F.coalesce(
+            F.array_join(cols[c], ","), F.lit(entity.defaults.get(c, ""))
+        ).alias(c)
+        if c in cols
+        else F.lit(entity.defaults.get(c, "")).alias(c)
+        for c in target.fieldNames()
+        if c not in ("__file__", "__ordinal__")
+    ]
+    return df.select(
+        *out,
+        F.input_file_name().alias("__file__"),
+        F.monotonically_increasing_id().alias("__ordinal__"),
+    )
+
+
 def finalize_entity(
     raw: DataFrame,
     entity_name: str,
@@ -292,8 +436,15 @@ def read_bag_entity(
     member_prefix: str | None = None,
 ) -> DataFrame:
     """Full S2 pipeline: XML files/zips at ``path`` → finalized entity
-    DataFrame."""
-    return finalize_entity(
-        read_bag_entity_raw(spark, path, entity_name, member_prefix),
-        entity_name, cfg, snapshot_date,
-    )
+    DataFrame. ``cfg.xml_backend`` picks the scan: "iterparse" (default,
+    zip-capable) or "native" (JVM-side parse, plain .xml only)."""
+    if cfg.xml_backend == "native":
+        raw = read_bag_entity_raw_native(spark, path, entity_name)
+    elif cfg.xml_backend == "iterparse":
+        raw = read_bag_entity_raw(spark, path, entity_name, member_prefix)
+    else:
+        raise ValueError(
+            f"unknown xml_backend {cfg.xml_backend!r} "
+            "(expected 'iterparse' or 'native')"
+        )
+    return finalize_entity(raw, entity_name, cfg, snapshot_date)

@@ -48,20 +48,31 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     source wants a directory, so a file path becomes (dirname,
     pathGlobFilter=basename).
 
-    Assumes a homogeneous encoding: ALL files under ``path`` must use the
-    same physical ts type as the (lexicographically first) peeked file —
-    a directory mixing the two encodings would be read with the wrong
-    schema for the other files. The driver regenerates whole directories
-    atomically, so this holds for every source we read; writers of custom
-    stream inputs must preserve it.
+    Requires a homogeneous encoding: ALL existing files under ``path``
+    must use the same physical ts type, and this is VERIFIED (one
+    metadata-only footer read per file, driver-side) rather than assumed —
+    a directory mixing the two encodings would otherwise be read with the
+    wrong schema for half the files, silently shifting their timestamps
+    by 10^3. Files arriving AFTER the stream starts are outside the
+    check's reach, which is the file source's inherent contract; the
+    driver regenerates whole directories atomically.
     """
     import glob
     import os
 
     import pyarrow.parquet as pq
 
+    def _is_nanos(f: str) -> bool:
+        # timestamp[ns] = INT64 TIMESTAMP(NANOS); plain int64 =
+        # pre-converted nano epochs (the redelivery fixtures write
+        # these) — both take the read-as-long + rebuild path.
+        return str(pq.read_schema(f).field("ts").type) in (
+            "timestamp[ns]",
+            "int64",
+        )
+
     if path.endswith(".parquet"):
-        sample = path
+        nanos = _is_nanos(path)
     else:
         found = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not found:
@@ -72,14 +83,24 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
                 "with an initial (possibly empty-rows) parquet file, or "
                 "point at a populated source."
             )
-        sample = found[0]
-    # timestamp[ns] = INT64 TIMESTAMP(NANOS); plain int64 = pre-converted
-    # nano epochs (the redelivery fixtures write these) — both take the
-    # read-as-long + rebuild path.
-    nanos = str(pq.read_schema(sample).field("ts").type) in (
-        "timestamp[ns]",
-        "int64",
-    )
+        kinds = {f: _is_nanos(f) for f in found}
+        if len(set(kinds.values())) > 1:
+            by_kind = {
+                "nanos-as-long": [
+                    os.path.basename(f) for f, k in kinds.items() if k
+                ],
+                "timestamp-micros": [
+                    os.path.basename(f) for f, k in kinds.items() if not k
+                ],
+            }
+            raise ValueError(
+                f"read_events_stream: mixed physical ts encodings under "
+                f"{path!r}: {by_kind} — one stream schema cannot read "
+                "both; rewrite the minority files to the majority "
+                "encoding (a silent read would shift their timestamps "
+                "by 1000x)."
+            )
+        nanos = next(iter(kinds.values()))
 
     ts_type = T.LongType() if nanos else T.TimestampNTZType()
     # watermarks/event-time require TIMESTAMP (with local tz); pin the
@@ -325,7 +346,9 @@ def ohlc_stream(
             F.min(v).alias("low"),
             F.max_by(v, order_key).alias("close"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(v), 6).alias("volume"),
+            F.round(
+                F.sum(v.cast("decimal(28,6)")).cast("double"), 6
+            ).alias("volume"),
         )
         .select(
             F.col("w.start").alias("bar_start"),

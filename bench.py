@@ -13,6 +13,16 @@ warmup/noise-dominated (±30-60% run-to-run measured in round 2) — a single
 rep cannot distinguish a real 1.5× regression from scheduler noise; the
 warm minimum is the stable estimator of the query's actual cost, and the
 median exposes variance to the reader.
+
+The JSON also carries an "import" object: the full BAG import path
+(zip scan → XML parse → upsert → adressen build → parquet sinks) timed
+on a generated $SPARK_GRAFT_IMPORT_N-address delivery (default 100k,
+0 disables) — the reference's headline ~6-min/~26k-addresses-per-sec
+number (readme.MD:86-88) that the query catalog alone never exercises.
+Fixture generation is untimed. At 100k the wall time is fixed-overhead
+dominated (scripts/import_bench.py measures ~19k addr/s at 800k with a
+~23k addr/s marginal rate); "addresses_per_sec" is reported against the
+SAME-run address count, so read it next to n_addresses.
 """
 
 from __future__ import annotations
@@ -25,7 +35,7 @@ import time
 import pandas as pd
 
 from bag_parser_spark.plans.catalog import registry
-from bag_parser_spark.session import get_spark
+from bag_parser_spark.session import get_spark, release_cached_blocks
 
 # Headline set: one per operator family — join chain, grouped agg, window
 # dedup, coordinate transform, plus extension operators as they land.
@@ -135,7 +145,25 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 3))
-            spark.catalog.clearCache()  # each rep re-executes persisted subtrees
+            # each rep re-executes persisted subtrees, and no cached or
+            # checkpointed block survives into the next timing
+            release_cached_blocks(spark)
+    import_metric = None
+    import_n = int(os.environ.get("SPARK_GRAFT_IMPORT_N", "100000"))
+    if import_n > 0:
+        import shutil
+        import tempfile
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from import_bench import run_import_bench
+
+        work = tempfile.mkdtemp(prefix="bag_import_bench_")
+        try:
+            import_metric = run_import_bench(spark, import_n, work)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        release_cached_blocks(spark)
+
     timings = {n: min(rs) for n, rs in runs.items()}
     details = {
         n: {"min": min(rs), "median": round(_median(rs), 3), "runs": rs}
@@ -152,6 +180,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "details": details,
+                "import": import_metric,
             }
         )
     )

@@ -308,3 +308,97 @@ def test_root_scan_skips_non_xml_siblings(spark, tmp_path):
         spark, str(d), "Woonplaats", CFG, member_prefix="9999WPL"
     ).collect()
     assert [r["id"] for r in out] == [9100]
+
+
+# ---------------------------------------------------------------------------
+# native (JVM) XML backend — parity with the iterparse backend
+# ---------------------------------------------------------------------------
+
+def test_native_backend_parity_on_generated_corpus(spark, tmp_path):
+    """cfg.xml_backend='native' must produce exactly the rows the default
+    iterparse backend produces on a plain-XML delivery (the post-extract
+    layout), for every entity — including repeated nevenadres parent refs,
+    inactive-record filtering, geometry bracket wrap, and coordinate
+    derivation — and its plan must contain NO Python evaluation stage
+    (VERDICT r4 #6: the parse stays JVM-side)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from scripts.import_bench import SNAPSHOT, generate_fixture
+
+    from bag_parser_spark.config import EngineConfig
+    from bag_parser_spark.plans.bag_job import XML_ENTITIES, entity_xml_path
+    from bag_parser_spark.sources.bag_xml import read_bag_entity
+    from bag_parser_spark.sources.bag_schemas import ENTITIES
+
+    root = str(tmp_path / "plain")
+    generate_fixture(root, 1500, objects_per_file=400, layout="plain")
+    base = dict(active_only=True, snapshot_date=SNAPSHOT)
+    cfg_it = EngineConfig(**base)
+    cfg_nat = EngineConfig(**base, xml_backend="native")
+    for entity in XML_ENTITIES:
+        path = entity_xml_path(root, entity)
+        it = read_bag_entity(
+            spark, path, entity, cfg_it,
+            member_prefix=ENTITIES[entity].file_code,
+        )
+        nat = read_bag_entity(spark, path, entity, cfg_nat)
+        assert it.columns == nat.columns, entity
+        plan = nat._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan and "Python" not in plan, entity
+        a = sorted(map(tuple, it.collect()))
+        b = sorted(map(tuple, nat.collect()))
+        assert a == b, (
+            f"{entity}: {len(a)} iterparse vs {len(b)} native rows; "
+            f"first diff: "
+            f"{next((x for x, y in zip(a, b) if x != y), (a or b)[:1])}"
+        )
+        assert len(a) > 0, entity
+
+
+def test_native_backend_last_write_wins_across_files(spark, tmp_path):
+    """Cross-file upsert order for the native backend: the later file (by
+    path) must win for a duplicate id, matching iterparse's
+    (__file__, __ordinal__) rule."""
+    from tests.test_bag_job import OBJ_NS
+
+    from bag_parser_spark.config import EngineConfig
+    from bag_parser_spark.sources.bag_xml import read_bag_entity
+
+    def wpl_doc(naam):
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n<root' + OBJ_NS + ">"
+            "<Objecten:Woonplaats>"
+            "<Objecten:identificatie>1050</Objecten:identificatie>"
+            f"<Objecten:naam>{naam}</Objecten:naam>"
+            "<Objecten:status>Woonplaats aangewezen</Objecten:status>"
+            "<Historie:beginGeldigheid>2010-01-01</Historie:beginGeldigheid>"
+            "</Objecten:Woonplaats></root>"
+        )
+
+    (tmp_path / "9999WPL0001.xml").write_text(wpl_doc("Oud"), encoding="utf-8")
+    (tmp_path / "9999WPL0002.xml").write_text(wpl_doc("Nieuw"), encoding="utf-8")
+    cfg = EngineConfig(active_only=True, snapshot_date="2026-01-01",
+                       xml_backend="native")
+    rows = read_bag_entity(
+        spark, str(tmp_path / "9999WPL*"), "Woonplaats", cfg
+    ).collect()
+    assert len(rows) == 1 and rows[0]["naam"] == "Nieuw"
+
+
+def test_native_backend_rejects_zips_loudly(spark, tmp_path):
+    import zipfile as _zf
+
+    import pytest
+
+    from bag_parser_spark.config import EngineConfig
+    from bag_parser_spark.sources.bag_xml import read_bag_entity
+
+    with _zf.ZipFile(tmp_path / "9999WPL.zip", "w") as zf:
+        zf.writestr("9999WPL0001.xml", "<root/>")
+    cfg = EngineConfig(xml_backend="native")
+    with pytest.raises(ValueError, match="cannot read zip"):
+        read_bag_entity(spark, str(tmp_path), "Woonplaats", cfg)

@@ -1129,3 +1129,150 @@ def test_image_ahash_handles_grayscale_and_rgba(spark):
     # rgba alpha excluded -> same bits as the rgb image
     assert out[3]["ahash"] == out[2]["ahash"]
     assert 0 < out[1]["n_ones"] < 64
+
+
+def test_verify_pairs_jaccard_refines_candidates(spark):
+    # doc0/doc1 share 2 of 4 distinct shingles (J=0.5); doc0/doc2 share
+    # none — a candidate generator that emitted both pairs must keep only
+    # the first at tau=0.5 and neither at tau=0.6
+    from bag_parser_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),   # shingles {abc, bcd, cde}
+            (1, "a b c d x"),   # shingles {abc, bcd, cdx}
+            (2, "p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], "id_a long, id_b long"
+    )
+    kept = dedup.verify_pairs_jaccard(
+        docs, pairs, id_col="doc_id", text_col="text", threshold=0.5
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in kept] == [(0, 1)]
+    assert abs(kept[0]["jaccard"] - 0.5) < 1e-12
+    assert (
+        dedup.verify_pairs_jaccard(
+            docs, pairs, id_col="doc_id", text_col="text", threshold=0.6
+        ).count()
+        == 0
+    )
+
+
+def test_prepare_corpus_keeps_lsh_false_positives(spark, tmp_path):
+    """ADVICE r4 (medium): raw banded-LSH candidates must NOT merge
+    clusters directly — a bucket collision between docs at true Jaccard
+    < tau would delete a non-duplicate document. This fixture is a
+    PRECOMPUTED deterministic false positive: doc1/doc2 share 60 of 100
+    tokens (shingle Jaccard 0.4203 < 0.5) yet collide in band 0 of the
+    12-hash/4-band scheme (verified against the md5 family offline).
+    doc3 is a true near-dup of doc1 and must still be dropped."""
+    from bag_parser_spark.operators import dedup
+    from bag_parser_spark.plans.corpus_prep import prepare_corpus
+
+    shared = [f"s{i}" for i in range(60)]
+    d1 = " ".join(shared + [f"a3_{i}" for i in range(40)])
+    d2 = " ".join(shared + [f"b3_{i}" for i in range(40)])
+    d3 = " ".join(shared + [f"a3_{i}" for i in range(39)] + ["zz"])
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    # premise guards: the false pair IS an LSH candidate, and its exact
+    # Jaccard is below the clustering threshold
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert (1, 2) in cand and (1, 3) in cand
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.verify_pairs_jaccard(
+            docs, spark.createDataFrame(
+                [(1, 2), (1, 3)], "id_a long, id_b long"
+            ),
+            id_col="doc_id", text_col="text", threshold=0.0,
+        ).collect()
+    }
+    assert truth[(1, 2)] < 0.5 < truth[(1, 3)]
+
+    summary = prepare_corpus(
+        spark,
+        docs,
+        str(tmp_path / "corpus"),
+        min_quality=0.0,
+        lang=None,
+    )
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # doc2 (false positive) survives; doc3 (true near-dup of doc1) is
+    # canonicalized away
+    assert kept == {1, 2}
+    assert summary["n_out"] == 2
+
+
+def test_events_pattern_match_token_boundaries(spark, tmp_path):
+    """Regression for ADVICE r4: 'preview,click,purchase' must NOT count
+    as a view→click→purchase match (substring scans false-positive on
+    token suffixes); true contiguous triples still count."""
+    import datetime
+
+    from bag_parser_spark.plans.catalog import registry
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid, types in [
+        (1, ["preview", "click", "purchase"]),          # no match
+        (2, ["view", "click", "purchase"]),             # one match
+        (3, ["view", "click", "view", "click", "purchase"]),  # one match
+        (4, ["view", "error", "click", "purchase"]),    # interleaved: none
+        (5, ["view", "click"]),                          # too short
+    ]:
+        for i, ty in enumerate(types):
+            rows.append((eid, t0 + datetime.timedelta(minutes=i), uid, ty, 1.0))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: (r["n_patterns"], r["converted"])
+        for r in registry()["events_pattern_match"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        1: (0, False), 2: (1, True), 3: (1, True),
+        4: (0, False), 5: (0, False),
+    }
+
+
+def test_release_cached_blocks_drops_persists_and_checkpoints(spark):
+    """VERDICT r4 #5: bench reps must not accumulate cached blocks. A
+    persist-using catalog query (lm_doc_score) plus a localCheckpoint
+    user (dup_clusters) both leave blocks behind by design (callers own
+    cleanup); release_cached_blocks must return the session to zero
+    persistent RDDs — including the checkpoint blocks clearCache alone
+    never touches."""
+    from bag_parser_spark.operators import dedup
+    from bag_parser_spark.plans.catalog import registry
+    from bag_parser_spark.session import release_cached_blocks
+
+    release_cached_blocks(spark)  # clean slate from earlier tests
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    registry()["lm_doc_score"].fn(spark, SF_CORRECT).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    dedup.dup_clusters(pairs, out_id="doc_id").count()
+    assert n_persistent() > 0  # premise: blocks really were left behind
+    release_cached_blocks(spark)
+    assert n_persistent() == 0

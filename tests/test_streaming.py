@@ -410,3 +410,41 @@ def test_interval_join_outer_stream_matches_batch(spark):
         f"{len(must_emit - stream_null)} provably-expired unmatched rows "
         "were never emitted"
     )
+
+
+def test_read_events_stream_rejects_mixed_ts_encodings(spark, tmp_path):
+    """A directory mixing INT64-nanos and TIMESTAMP-micros files must fail
+    loudly: one stream schema would silently misread half the files,
+    shifting their timestamps by 1000x (VERDICT r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from bag_parser_spark.streaming.events import read_events_stream
+
+    cols = {
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["view"], pa.string()),
+        "value": pa.array([1.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    }
+    micros = pa.table(
+        {**cols, "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))}
+    )
+    nanos = pa.table(
+        {**cols, "ts": pa.array([1_700_000_000_000_000_000], pa.int64())}
+    )
+    d = tmp_path / "mixed"
+    d.mkdir()
+    pq.write_table(micros, d / "a.parquet")
+    pq.write_table(nanos, d / "b.parquet")
+    with pytest.raises(ValueError, match="mixed physical ts encodings"):
+        read_events_stream(spark, str(d))
+    # a homogeneous directory still reads fine
+    h = tmp_path / "homog"
+    h.mkdir()
+    pq.write_table(micros, h / "a.parquet")
+    pq.write_table(micros, h / "b.parquet")
+    df = read_events_stream(spark, str(h))
+    assert df.isStreaming and dict(df.dtypes)["ts"] == "timestamp"

@@ -46,6 +46,20 @@ def test_decode_c420_frame_sizing():
     assert d["colorspace"] == "C420jpeg"
 
 
+def test_decode_rejects_odd_dims_for_subsampled_colorspaces():
+    """Floor-division sizing on odd dims would silently mis-frame the
+    stream (ADVICE r4) — the decoder must refuse instead."""
+    with pytest.raises(ValueError, match="C420 requires even"):
+        decode_y4m(b"YUV4MPEG2 W3 H4 F25:1 C420jpeg\nFRAME\n" + bytes(18))
+    with pytest.raises(ValueError, match="C420 requires even"):
+        decode_y4m(b"YUV4MPEG2 W4 H3 F25:1 C420jpeg\nFRAME\n" + bytes(18))
+    with pytest.raises(ValueError, match="C422 requires even"):
+        decode_y4m(b"YUV4MPEG2 W3 H4 F25:1 C422\nFRAME\n" + bytes(20))
+    # odd dims stay fine where there is no subsampling
+    d = decode_y4m(b"YUV4MPEG2 W3 H3 F25:1 C444\nFRAME\n" + bytes(27))
+    assert d["n_frames"] == 1 and len(d["frames"][0]) == 27
+
+
 def test_default_colorspace_is_c420():
     header = b"YUV4MPEG2 W2 H2 F25:1\n"   # no C tag -> C420 default
     frame = bytes(range(2 * 2 + 2 * 1))   # 4 + 1 + 1 = 6 bytes
