@@ -63,6 +63,7 @@ def cmd_import(args) -> int:
         use_short_street_names=args.short_street_names,
         parse_geometries=args.geometries,
         snapshot_date=args.snapshot_date,
+        xml_backend=args.xml_backend,
     )
     spark = _get_spark(args, "bag-import")
     _log(f"start: parse BAG XML {args.bag!r} to parquet {args.out!r}")
@@ -244,6 +245,11 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--geometries", action="store_true",
                      help="parse + convert geometries (reference "
                      "parse_geometries)")
+    imp.add_argument("--xml-backend", default="iterparse",
+                     choices=("iterparse", "native"),
+                     help="XML scan: 'iterparse' (zip-capable, default) or "
+                     "'native' (JVM-side parse; pre-extracted plain .xml "
+                     "files only)")
     _add_spark_args(imp)
     imp.set_defaults(fn=cmd_import)
 

@@ -213,6 +213,91 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    base_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup candidates between a NEW batch
+    and an already-deduped corpus — the production shape of corpus dedup
+    at 100 TB, where re-running all-corpus LSH for a daily increment
+    would re-shingle petabytes that cannot have produced new pairs.
+    Emits (new × base) and (new × new) candidates, never (base × base):
+    identical to ``minhash_lsh_pairs(base ∪ new)`` minus the base-only
+    pairs (the banding function is per-doc, so the identity is exact —
+    unit-tested).
+
+    ``base_sigs`` is the corpus's PRECOMPUTED signature table
+    (``minhash_signatures`` schema: __id__, h0..h{n-1}) — the stored
+    artifact an incremental pipeline maintains; only the new batch is
+    ever shingled here. Caller contract: base and new id spaces are
+    disjoint (returned pairs orient id_a < id_b, which is only a total
+    order across batches when ids never collide).
+
+    Scale shape: the new batch's banded projection is tiny next to the
+    corpus's, and the cross join is a (band, bucket) equi-join — store
+    the corpus banded table bucketed by (band, bucket) and the join is
+    exchange-free on the big side, shuffling only the increment. Same
+    parameters MUST be used as when base_sigs was built, or buckets
+    never match (shingle_n/num_hashes/bands are part of the artifact's
+    schema contract).
+    """
+    r = num_hashes // bands
+
+    def banded(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "__id__",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "|", *[F.col(f"h{b * r + j}") for j in range(r)]
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    bn = banded(
+        minhash_signatures(new_df, id_col, text_col, shingle_n, num_hashes)
+    ).persist()
+    bb = banded(base_sigs)
+    a = bn.select("band", "bucket", F.col("__id__").alias("id_a"))
+    b = bn.select(
+        F.col("band").alias("__band2__"),
+        F.col("bucket").alias("__bucket2__"),
+        F.col("__id__").alias("id_b"),
+    )
+    new_new = a.join(
+        b,
+        (F.col("band") == F.col("__band2__"))
+        & (F.col("bucket") == F.col("__bucket2__"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b")
+    bbase = bb.select(
+        F.col("band").alias("__band2__"),
+        F.col("bucket").alias("__bucket2__"),
+        F.col("__id__").alias("__base_id__"),
+    )
+    new_base = (
+        a.join(
+            bbase,
+            (F.col("band") == F.col("__band2__"))
+            & (F.col("bucket") == F.col("__bucket2__")),
+        )
+        .select(
+            F.least("id_a", "__base_id__").alias("id_a"),
+            F.greatest("id_a", "__base_id__").alias("id_b"),
+        )
+    )
+    return new_new.unionAll(new_base).distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -973,15 +973,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_negatives", "sample_global_shuffle", "quality_quantile_band",
     "cohort_retention", "cust_rfm", "orders_monthly_yoy",
     "dq_star_schema",
-    # …plus the queries rewritten since their last driver row:
-    # mm_frame_sample (r4 stub→real Y4M decode, never re-verified) and
-    # ts_ohlc_bars (r5: volume now sums in exact decimal)
-    "mm_frame_sample", "ts_ohlc_bars",
-    # pass 2 — events_pattern_match also changed in r5 (substring scan →
-    # positional triples) but is value-identical on the current event
-    # vocabulary and holds a green r4 row + the pytest oracle gate; it
-    # leads re-verification. The rest re-verify in prior-round order.
-    "events_pattern_match",
+    # …plus the two queries ADDED in r5 (no driver row can exist yet)
+    "dedup_verified_pairs", "dedup_incremental",
+    # pass 2 — queries rewritten since their last driver row lead
+    # re-verification (stale green + current pytest oracle gate):
+    # mm_frame_sample (r4 stub→real Y4M decode), ts_ohlc_bars (r5 exact-
+    # decimal volume), events_pattern_match (r5 positional triples,
+    # value-identical on the current vocabulary), mm_image_neardup (r5
+    # distinct-hash + salted within-class expansion, output-identical).
+    # They sit at 51–54 because the never-validated set exactly fills
+    # the 50-slot window.
+    "mm_frame_sample", "ts_ohlc_bars", "events_pattern_match",
+    "mm_image_neardup",
     "tpch_q1_pricing_summary", "ts_asof_join", "events_windowed_agg",
     "sim_cosine_topk", "mm_binary_metadata", "text_entropy",
     "a7_approx_distinct", "f14_null_semantics", "j10_salted_skew_join",
@@ -999,7 +1002,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_recall", "a25_market_basket", "split_temporal_embargo",
     "ml_pca_power_step", "a26_cube",
     "text_keywords_topk", "dedup_containment", "mm_image_ahash",
-    "sample_weighted_reservoir", "mm_image_neardup",
+    "sample_weighted_reservoir",
     "dedup_embedding_cosine",
     # pass 3
     "tpch_q3_shipping_priority", "ts_window_battery", "events_sessionize",

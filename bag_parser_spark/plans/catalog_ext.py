@@ -146,6 +146,133 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dup_clusters(pairs, out_id="doc_id")
 
 
+_VERIFY_TAU = 0.5
+
+
+@register(
+    "dedup_verified_pairs",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sig AS (SELECT doc_id AS id, {_mh_sig} AS sig FROM corpus),
+    bands AS ({_mh_bands}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    sh AS (
+      SELECT doc_id AS id, unnest({O.shingles_sql('text', _MH_N)}) AS shingle
+      FROM corpus
+      WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+    ),
+    shd AS (SELECT DISTINCT id, shingle FROM sh),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM shd GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN shd a ON a.id = c.id_a
+      JOIN shd b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE i.i / (sa.sz + sb.sz - i.i) >= {_VERIFY_TAU}
+    """,
+    doc="Verified near-dup pairs: the LSH candidate set refined by exact "
+    f"n-gram Jaccard >= {_VERIFY_TAU} — the pair set `prepare` is allowed "
+    "to cluster and delete from (ADVICE r4: raw banded collisions admit "
+    "moderately-similar non-duplicates; transitive closure would chain "
+    "them). Shingling for verification is SEMI-JOIN-restricted to docs "
+    "appearing in a candidate pair, the distinct shingle rows persist "
+    "once and feed sizes + both intersection probes, and every join key "
+    "is (id) or (id, shingle) — candidate-bounded, never all-pairs.",
+)
+def q_dedup_verified_pairs(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(
+        corpus,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=_MH_N,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+    )
+    return dedup.verify_pairs_jaccard(
+        corpus,
+        cand,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=_MH_N,
+        threshold=_VERIFY_TAU,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_inc_bands_base = _mh_bands.replace("FROM sig", "FROM sigb")
+_inc_bands_new = _mh_bands.replace("FROM sig", "FROM sign")
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    newb AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             text || ' zz' || CAST(doc_id % 7 AS VARCHAR) AS text
+      FROM documents
+    ),
+    sigb AS (SELECT doc_id AS id, {_mh_sig} AS sig FROM base),
+    sign AS (SELECT doc_id AS id, {_mh_sig} AS sig FROM newb),
+    bb AS ({_inc_bands_base}),
+    bn AS ({_inc_bands_new}),
+    nn AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bn a JOIN bn b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    nb AS (
+      SELECT DISTINCT least(a.id, b.id) AS id_a,
+                      greatest(a.id, b.id) AS id_b
+      FROM bn a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+    )
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT * FROM nn UNION ALL SELECT * FROM nb
+    )
+    """,
+    doc="Incremental corpus dedup: LSH candidates between a NEW batch "
+    "(the perturbed copies) and the EXISTING corpus's precomputed "
+    "signature table — (new x base) and (new x new), never (base x "
+    "base). The production shape at 100 TB: a daily increment never "
+    "re-shingles the corpus (only its stored signatures are read), and "
+    "with the corpus banded table bucketed by (band, bucket) the join "
+    "is exchange-free on the big side, shuffling only the increment. "
+    "Exactly equals full-corpus LSH minus base-only pairs (per-doc "
+    "banding; identity unit-tested).",
+)
+def q_dedup_incremental(spark, sf_dir):
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zz"), (F.col("doc_id") % 7).cast("string")
+        ).alias("text"),
+    )
+    base_sigs = dedup.minhash_signatures(
+        base, "doc_id", "text", _MH_N, _MH_HASHES
+    )
+    return dedup.minhash_lsh_pairs_incremental(
+        new,
+        base_sigs,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=_MH_N,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+    )
+
+
 _NGRAM_MAX_DF = 100
 
 
@@ -2039,21 +2166,22 @@ def _mm_neardup_oracle_sql() -> str:
     "a one-pixel-perturbed copy), real decode → aHash, 4-band blocking "
     "over the 64-bit hash (a ≤2-bit difference leaves ≥2 of 4 bands "
     "intact — the same banded-LSH guarantee as MinHash), exact nibble-"
-    "arithmetic hamming refine ≤2. Shuffles carry (band, 4-hex bucket, "
-    "id) — never pixels; hashes persist once and re-attach to the "
-    "deduped candidate pairs. The oracle recomputes every hash bit from "
-    "the pixel formula (perturbation included), so decode, resize, "
-    "threshold, banding, and hamming are ALL value-checked. Note the "
-    "synthetic corpus is aHash-degenerate BY DESIGN of the hash: aHash "
-    "is brightness-shift invariant, and the pixel formula makes "
-    "same-dimension images exact brightness shifts of each other, so "
-    "they collide at hamming 0 — ~24k pairs, a realistic stress of the "
-    "pair-join path and a correct demonstration of what aHash considers "
-    "a duplicate.",
+    "arithmetic hamming refine ≤2. The search runs over DISTINCT hash "
+    "values, not images: duplicate classes are hamming-0 by definition, "
+    "so banding/refine cost collapses from #images² to #distinct-hashes² "
+    "per bucket, cross-class doc pairs re-expand through two member "
+    "joins (distributing by hash key), and within-class all-pairs "
+    "expand through a SALTED self-join — without the salt, one giant "
+    "hamming-0 class (aHash is brightness-shift invariant, so synthetic "
+    "replicas collapse) lands its entire quadratic expansion in a "
+    "single task (observed wedged at 10x scale, r5 probe). Shuffles "
+    "carry (band, 4-hex bucket) and (hash, id) — never pixels. The "
+    "oracle recomputes every hash bit from the pixel formula "
+    "(perturbation included), so decode, resize, threshold, banding, "
+    "and hamming are ALL value-checked; its simpler all-images join is "
+    "set-identical because bands are functions of the hash alone.",
 )
 def q_mm_neardup(spark, sf_dir):
-    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
-
     corpus = multimodal.generate_png_payloads_perturbed(
         _t(spark, sf_dir, "documents")
     )
@@ -2063,8 +2191,9 @@ def q_mm_neardup(spark, sf_dir):
         .select("id", "ahash")
         .persist()
     )
-    bands = hashes.select(
-        "id",
+    distinct_h = hashes.select("ahash").distinct().persist()
+    bands = distinct_h.select(
+        "ahash",
         F.posexplode(
             F.array(
                 *[
@@ -2074,20 +2203,20 @@ def q_mm_neardup(spark, sf_dir):
             )
         ).alias("band", "bucket"),
     )
-    a = bands.select("band", "bucket", F.col("id").alias("id_a"))
+    a = bands.select("band", "bucket", F.col("ahash").alias("__ha__"))
     b = bands.select(
         F.col("band").alias("__b2__"),
         F.col("bucket").alias("__k2__"),
-        F.col("id").alias("id_b"),
+        F.col("ahash").alias("__hb__"),
     )
-    cand = (
+    cand_h = (
         a.join(
             b,
             (F.col("band") == F.col("__b2__"))
             & (F.col("bucket") == F.col("__k2__"))
-            & (F.col("id_a") < F.col("id_b")),
+            & (F.col("__ha__") < F.col("__hb__")),
         )
-        .select("id_a", "id_b")
+        .select("__ha__", "__hb__")
         .distinct()
     )
 
@@ -2113,12 +2242,42 @@ def q_mm_neardup(spark, sf_dir):
             )
         return total.cast("long")
 
-    ha = hashes.select(F.col("id").alias("id_a"), F.col("ahash").alias("__ha__"))
-    hb = hashes.select(F.col("id").alias("id_b"), F.col("ahash").alias("__hb__"))
-    return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .withColumn("hamming", hamming(F.col("__ha__"), F.col("__hb__")))
-        .filter(F.col("hamming") <= _AH_MAX_HAMMING)
-        .select("id_a", "id_b", "hamming")
+    near_h = cand_h.withColumn(
+        "hamming", hamming(F.col("__ha__"), F.col("__hb__"))
+    ).filter(F.col("hamming") <= _AH_MAX_HAMMING)
+    # cross-class doc pairs: re-attach members; ha != hb so each
+    # unordered doc pair appears exactly once, normalized by least/greatest
+    ma = hashes.select(F.col("ahash").alias("__ha__"), F.col("id").alias("__ida__"))
+    mb = hashes.select(F.col("ahash").alias("__hb__"), F.col("id").alias("__idb__"))
+    cross = (
+        near_h.join(ma, "__ha__")
+        .join(mb, "__hb__")
+        .select(
+            F.least("__ida__", "__idb__").alias("id_a"),
+            F.greatest("__ida__", "__idb__").alias("id_b"),
+            "hamming",
+        )
     )
+    # within-class pairs (hamming 0): salted self-join so a giant
+    # equivalence class spreads its quadratic output over _WITHIN_SALT
+    # reducers instead of one
+    _WITHIN_SALT = 32
+    left = hashes.select(
+        "ahash",
+        F.col("id").alias("id_a"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_WITHIN_SALT - 1))
+        ).alias("__salt__"),
+    )
+    right = hashes.select(
+        F.col("ahash").alias("__h2__"),
+        F.col("id").alias("id_b"),
+        F.pmod(F.xxhash64("id"), F.lit(_WITHIN_SALT)).alias("__salt2__"),
+    )
+    within = left.join(
+        right,
+        (F.col("ahash") == F.col("__h2__"))
+        & (F.col("__salt__") == F.col("__salt2__"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b", F.lit(0).cast("long").alias("hamming"))
+    return cross.unionAll(within)

@@ -70,6 +70,9 @@ HEADLINE = [
     "text_bm25_topk",
     "text_hash_classifier",
     "ts_ohlc_bars",
+    "dedup_verified_pairs",
+    "dedup_incremental",
+    "mm_image_neardup",
 ]
 
 

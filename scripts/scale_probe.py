@@ -1,9 +1,17 @@
 #!/usr/bin/env python
 """Reproducible scaling probe behind SCALE.md: derive a larger corpus
 from an existing SF directory (documents xN re-keyed + perturbed,
-embeddings xM re-keyed copies) into --out, then time a set of catalog
+embeddings xM re-keyed copies, events and lineitem xN with re-keyed
+id/user/order populations) into --out, then time a set of catalog
 queries on both and print one JSON line per query with the time and
 output-row ratios.
+
+events/lineitem replicas re-key user_id / l_orderkey so each replica is
+an independent population: per-user interval-join pairs and per-order
+baskets then grow LINEARLY with the factor (the honest cluster-scaling
+shape — more users, not deeper histories); keeping the original keys
+would instead grow per-key state quadratically, which is a skew test,
+not a scale test.
 
 Usage:
   python scripts/scale_probe.py [--base /root/testdata/sf0.1]
@@ -25,6 +33,9 @@ QUERIES = [
     "tfidf_vectors",
     "text_bm25_topk",
     "dedup_embedding_cosine",
+    "mm_image_neardup",
+    "ts_interval_join",
+    "a25_market_basket",
 ]
 
 
@@ -58,6 +69,35 @@ def derive(base: str, out: str, docs_x: int, emb_x: int) -> None:
         SELECT vec_id + {vec_stride} * r AS vec_id, embedding, label
         FROM '{base}/embeddings.parquet', range(0, {emb_x}) t(r)
       ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    (max_ev,) = con.execute(
+        f"SELECT MAX(event_id) FROM '{base}/events.parquet'"
+    ).fetchone()
+    (max_user,) = con.execute(
+        f"SELECT MAX(user_id) FROM '{base}/events.parquet'"
+    ).fetchone()
+    ev_stride = max(10_000_000, int(max_ev) + 1)
+    user_stride = max(1_000_000, int(max_user) + 1)
+    con.execute(f"""
+      COPY (
+        SELECT event_id + {ev_stride} * r AS event_id, ts,
+               user_id + {user_stride} * r AS user_id,
+               event_type, value, props
+        FROM '{base}/events.parquet', range(0, {docs_x}) t(r)
+      ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    (max_ok,) = con.execute(
+        f"SELECT MAX(l_orderkey) FROM '{base}/lineitem.parquet'"
+    ).fetchone()
+    ok_stride = max(10_000_000, int(max_ok) + 1)
+    con.execute(f"""
+      COPY (
+        SELECT l_orderkey + {ok_stride} * r AS l_orderkey,
+               l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_tax, l_returnflag,
+               l_linestatus, l_shipdate
+        FROM '{base}/lineitem.parquet', range(0, {docs_x}) t(r)
+      ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
     """)
 
 

@@ -1276,3 +1276,38 @@ def test_release_cached_blocks_drops_persists_and_checkpoints(spark):
     assert n_persistent() > 0  # premise: blocks really were left behind
     release_cached_blocks(spark)
     assert n_persistent() == 0
+
+
+def test_minhash_incremental_identity(spark):
+    """minhash_lsh_pairs_incremental(new, sig(base)) must equal
+    full-corpus LSH over base ∪ new MINUS the base-only pairs — banding
+    is per-doc, so the candidate set identity is exact."""
+    from bag_parser_spark.operators import dedup
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    new = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zz"), (F.col("doc_id") % 7).cast("string")
+        ).alias("text"),
+    )
+    kw = dict(id_col="doc_id", text_col="text", shingle_n=3,
+              num_hashes=12, bands=4)
+    pairs = lambda df: {
+        (r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
+            df, **kw).collect()
+    }
+    full = pairs(base.unionAll(new))
+    base_only = pairs(base)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs_incremental(
+            new, dedup.minhash_signatures(base, "doc_id", "text", 3, 12),
+            **kw,
+        ).collect()
+    }
+    assert inc == full - base_only
+    assert len(inc) > 0
