@@ -242,11 +242,69 @@ def _split_parent_key(key: str) -> tuple[str, str]:
     return key[:i], key[i:]
 
 
+# Known LVBAG wrapper elements whose CHILD the iterparse reader matches
+# at depth (it keys on the child tag alone) but the native reader must
+# declare structurally: entity → list of (wrapper StructField, target
+# column, extractor(df) -> array<string> of the nested values). These
+# cover the real-delivery VBO layout (PandRef inside maaktDeelUitVan,
+# point inside geometrie/gml:Point) next to the flat layout the
+# pre-extracted fixtures use; a record mixing BOTH layouts for one
+# column would comma-join flat values before nested ones (real
+# deliveries use exactly one form per record).
+def _vbo_wrappers():
+    deel = T.StructField(
+        "Objecten:maaktDeelUitVan",
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField(
+                        "Objecten-ref:PandRef",
+                        T.ArrayType(T.StringType()),
+                    )
+                ]
+            )
+        ),
+    )
+    geom = T.StructField(
+        "Objecten:geometrie",
+        T.StructType(
+            [
+                T.StructField(
+                    "gml:Point",
+                    T.StructType([T.StructField("gml:pos", T.StringType())]),
+                )
+            ]
+        ),
+    )
+
+    def deel_extract(df):
+        refs = F.flatten(
+            F.filter(
+                F.transform(
+                    F.col("`Objecten:maaktDeelUitVan`"),
+                    lambda x: x["Objecten-ref:PandRef"],
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+        return F.coalesce(refs, F.array().cast("array<string>"))
+
+    def geom_extract(df):
+        pos = F.col("`Objecten:geometrie`")["gml:Point"]["gml:pos"]
+        return F.filter(F.array(pos), lambda x: x.isNotNull())
+
+    return [(deel, "pand_id", deel_extract), (geom, "pos", geom_extract)]
+
+
+_NATIVE_WRAPPERS = {"Verblijfsobject": _vbo_wrappers}
+
+
 def _native_schema(entity: EntityConfig) -> T.StructType:
     """Explicit all-string read schema for the native XML source. Every
     simple field is array<string> (repeated tags arrive as N elements,
     single tags as 1 — comma-joined afterwards, the iterparse S4 rule);
-    every parent_fields parent is array<struct<child: string>> (S3)."""
+    every parent_fields parent is array<struct<child: string>> (S3);
+    plus the entity's known wrapper elements (_NATIVE_WRAPPERS)."""
     fields = [
         T.StructField(_prefixed(qtag), T.ArrayType(T.StringType()))
         for qtag in entity.fields
@@ -269,6 +327,9 @@ def _native_schema(entity: EntityConfig) -> T.StructType:
         )
         for parent, children in parents.items()
     ]
+    fields += [
+        sf for sf, _, _ in _NATIVE_WRAPPERS.get(entity.tag, lambda: [])()
+    ]
     return T.StructType(fields)
 
 
@@ -285,8 +346,11 @@ def read_bag_entity_raw_native(
     - plain ``.xml`` files only — the reference's own extract step
       produces exactly this layout (reference import_bag.py:31-37); a
       zipped delivery must use the iterparse backend or be pre-extracted.
-    - entity tags as direct children of the object element (LVBAG layout;
-      the iterparse backend additionally tolerates arbitrary nesting).
+    - entity tags as direct children of the object element, plus the
+      real-delivery nested wrappers declared in ``_NATIVE_WRAPPERS``
+      (VBO maaktDeelUitVan/PandRef and geometrie/gml:Point/gml:pos —
+      parity-tested); the iterparse backend tolerates arbitrary nesting
+      because it keys on the child tag alone.
     - ``__ordinal__`` is ``monotonically_increasing_id()`` — preserves
       document order within a file, but the cross-file upsert tiebreak is
       ``__file__`` first (same as iterparse), so last-write-wins differs
@@ -339,6 +403,14 @@ def read_bag_entity_raw_native(
             lambda x: x.isNotNull(),
         )
         cols[colname] = arr
+    for _, colname, extract in _NATIVE_WRAPPERS.get(
+        entity.tag, lambda: []
+    )():
+        empty = F.array().cast("array<string>")
+        cols[colname] = F.concat(
+            F.coalesce(cols[colname], empty) if colname in cols else empty,
+            F.coalesce(extract(df), empty),
+        )
     target = _raw_schema(entity)
     out = [
         F.coalesce(

@@ -402,3 +402,75 @@ def test_native_backend_rejects_zips_loudly(spark, tmp_path):
     cfg = EngineConfig(xml_backend="native")
     with pytest.raises(ValueError, match="cannot read zip"):
         read_bag_entity(spark, str(tmp_path), "Woonplaats", cfg)
+
+
+def test_native_backend_parity_special_characters(spark, tmp_path):
+    """Escaped entities, accented text, and CDATA must decode identically
+    in both backends (the iterparse reader resolves them via ElementTree;
+    the native reader must agree or silently corrupt names like
+    Súdwest-Fryslân)."""
+    from tests.test_bag_job import OBJ_NS
+
+    from bag_parser_spark.config import EngineConfig
+    from bag_parser_spark.sources.bag_xml import read_bag_entity
+
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n<root' + OBJ_NS + ">"
+        "<Objecten:Woonplaats>"
+        "<Objecten:identificatie>1900</Objecten:identificatie>"
+        "<Objecten:naam>Súdwest-Fryslân &amp; Co &lt;x&gt;</Objecten:naam>"
+        "<Objecten:status>Woonplaats aangewezen</Objecten:status>"
+        "<Historie:beginGeldigheid>2010-01-01</Historie:beginGeldigheid>"
+        "</Objecten:Woonplaats>"
+        "<Objecten:Woonplaats>"
+        "<Objecten:identificatie>1901</Objecten:identificatie>"
+        "<Objecten:naam><![CDATA[Plaats <met> & rare tekens]]></Objecten:naam>"
+        "<Objecten:status>Woonplaats aangewezen</Objecten:status>"
+        "<Historie:beginGeldigheid>2010-01-01</Historie:beginGeldigheid>"
+        "</Objecten:Woonplaats></root>"
+    )
+    (tmp_path / "9999WPL0001.xml").write_text(doc, encoding="utf-8")
+    base = dict(active_only=True, snapshot_date="2026-01-01")
+    rows = {}
+    for backend in ("iterparse", "native"):
+        cfg = EngineConfig(**base, xml_backend=backend)
+        rows[backend] = sorted(
+            (r["id"], r["naam"])
+            for r in read_bag_entity(
+                spark, str(tmp_path / "9999WPL*"), "Woonplaats", cfg,
+                member_prefix="9999WPL",
+            ).collect()
+        )
+    assert rows["iterparse"] == rows["native"]
+    assert rows["iterparse"][0] == (1900, "Súdwest-Fryslân & Co <x>")
+    assert rows["iterparse"][1] == (1901, "Plaats <met> & rare tekens")
+
+
+def test_native_backend_parity_real_nested_vbo_layout(spark, tmp_path):
+    """The real delivery nests PandRef inside maaktDeelUitVan and the
+    point inside geometrie/gml:Point; the native schema must read both
+    (plus the flat layout) and agree with iterparse on every column —
+    including the derived rd/wgs coordinates."""
+    d = tmp_path / "vbo_real"
+    d.mkdir()
+    (d / "9999VBO0001.xml").write_text(
+        _vbo_xml().replace(
+            "<gml:pos>155000.0 463000.0 0.0</gml:pos>",
+            "<Objecten:geometrie><gml:Point>"
+            "<gml:pos>155000.0 463000.0 0.0</gml:pos>"
+            "</gml:Point></Objecten:geometrie>",
+        ),
+        encoding="utf-8",
+    )
+    rows = {}
+    for backend in ("iterparse", "native"):
+        cfg = EngineConfig(active_only=True, snapshot_date=SNAPSHOT,
+                           xml_backend=backend)
+        out = read_bag_entity(spark, str(d / "9999VBO*"), "Verblijfsobject",
+                              cfg).collect()
+        assert len(out) == 1, backend
+        rows[backend] = out[0].asDict()
+    assert rows["iterparse"] == rows["native"]
+    r = rows["native"]
+    assert r["pand_id"] == "PAND1,PAND2"
+    assert r["rd_x"] == 155000.0 and r["rd_y"] == 463000.0
