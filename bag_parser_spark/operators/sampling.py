@@ -222,6 +222,51 @@ def sample_per_group(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    percents: dict[str, int],
+    seed: int | str = 0,
+    rank_name: str = "mixture_rank",
+) -> DataFrame:
+    """Target-mixture subsampling — the data-mixing step of corpus
+    curation: keep ``percents[source]`` percent of each source's rows
+    (sources absent from ``percents`` are dropped), chosen by the same
+    deterministic md5 rank as ``sample_per_group`` so the draw is fair
+    and every re-run / engine reproduces it. Targets are integer
+    arithmetic — floor(n · pct / 100) — so no float boundary can flip a
+    row's membership between engines.
+
+    Differs from ``weighted_sample`` (per-row Bernoulli at a rate: fast,
+    map-only, but only the EXPECTED fraction) by hitting the target
+    count exactly, which mixture specs usually require. Cost: one
+    shuffle on ``source_col`` for the per-source counts + rank window
+    (the window reuses the count shuffle's partitioning); the count
+    table is #sources rows and broadcasts back.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in percents.items() for x in kv]
+    )
+    eligible = df.withColumn("__pct__", mapping[F.col(source_col)]).filter(
+        F.col("__pct__").isNotNull()
+    )
+    counts = eligible.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    order = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        eligible.join(F.broadcast(counts), source_col)
+        .withColumn(rank_name, F.row_number().over(w))
+        .filter(
+            F.col(rank_name)
+            <= (F.col("__n__") * F.col("__pct__") / 100).cast("long")
+        )
+        .drop("__pct__", "__n__")
+    )
+
+
 def global_shuffle_rank(
     df: DataFrame,
     id_col: str = "doc_id",

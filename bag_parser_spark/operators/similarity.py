@@ -283,6 +283,106 @@ def ivf_topk(
     ).limit(k)
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    cluster embeddings to coarse cells, then search for near-duplicate
+    pairs ONLY within each cell — the cluster-then-compare shape that
+    bounds pair cost by cell size instead of corpus size.
+
+    ``centroids`` is (cid, cv), small by design; assignment is the same
+    broadcast-crossJoin + map-side argmax as ``ivf_topk`` (the shuffle
+    moves one row per vector, never the |corpus|x|cells| product), the
+    assigned projection persists once (self-join would otherwise execute
+    the assignment twice), and the pair stage is a cell equi-join under
+    ``id_a < id_b`` with the exact Arrow left-fold cosine verifying
+    each candidate against the ROUNDED threshold (engine-reproducible
+    cut). Returns (id_a, id_b, cell, cosine_sim).
+
+    Scale: pick |cells| ∝ n / target_cell_size so per-cell pair cost
+    stays bounded as the corpus grows; store the corpus partitioned by
+    cell and the pair join is partition-local. A degenerate giant cell
+    concentrates its quadratic expansion in few tasks — the same
+    identity-collapse lesson as the image-hash dedup (SCALE.md r5):
+    salt the within-cell join if cell-size skew appears. Approximate by
+    construction: a near-dup pair straddling a cell boundary is missed
+    (SemDeDup accepts this; raise |cells| recall via multi-probe
+    assignment if needed).
+    """
+    pair_cos = _arrow_pair_cosine()
+    c = centroids.select("cid", "cv")
+    best = F.min(
+        F.struct(
+            (-F.col("__sim__")).alias("__negsim__"),
+            F.col("cid").alias("c"),
+            F.col("__vec__").alias("v"),
+            F.col("__vnorm__").alias("n"),
+        )
+    ).alias("__best__")
+    assigned = (
+        df.select(
+            F.col(id_col).alias("__vid__"),
+            F.col(vec_col).alias("__vec__"),
+            norm(F.col(vec_col)).alias("__vnorm__"),
+        )
+        .crossJoin(F.broadcast(c.withColumn("__cnorm__", norm(F.col("cv")))))
+        .withColumn(
+            "__sim__",
+            pair_cos(
+                F.col("__vec__"), F.col("cv"),
+                F.col("__vnorm__"), F.col("__cnorm__"),
+            ),
+        )
+        .groupBy("__vid__")
+        .agg(best)
+        .select(
+            "__vid__",
+            F.col("__best__.c").alias("cell"),
+            F.col("__best__.v").alias("__vec__"),
+            F.col("__best__.n").alias("__vnorm__"),
+        )
+        .persist()
+    )
+    a = assigned.select(
+        "cell",
+        F.col("__vid__").alias("id_a"),
+        F.col("__vec__").alias("__avec__"),
+        F.col("__vnorm__").alias("__anorm__"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("__cell2__"),
+        F.col("__vid__").alias("id_b"),
+        F.col("__vec__").alias("__bvec__"),
+        F.col("__vnorm__").alias("__bnorm__"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cell") == F.col("__cell2__"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "cell",
+            F.round(
+                pair_cos(
+                    F.col("__avec__"), F.col("__bvec__"),
+                    F.col("__anorm__"), F.col("__bnorm__"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -973,8 +973,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_negatives", "sample_global_shuffle", "quality_quantile_band",
     "cohort_retention", "cust_rfm", "orders_monthly_yoy",
     "dq_star_schema",
-    # …plus the two queries ADDED in r5 (no driver row can exist yet)
+    # …plus the queries ADDED in r5 (no driver row can exist yet). The
+    # window only fits two of the four; sample_mixture and
+    # dedup_semantic follow immediately at 51–52 and rotate in next
+    # round (pytest oracle gates cover them meanwhile).
     "dedup_verified_pairs", "dedup_incremental",
+    # pass 1.5 — r5 additions past the 50-slot window
+    "sample_mixture", "dedup_semantic",
     # pass 2 — queries rewritten since their last driver row lead
     # re-verification (stale green + current pytest oracle gate):
     # mm_frame_sample (r4 stub→real Y4M decode), ts_ohlc_bars (r5 exact-

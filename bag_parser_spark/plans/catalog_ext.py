@@ -834,6 +834,101 @@ def q_sample_per_source(spark, sf_dir):
     ).select("doc_id", "source", "sample_rank")
 
 
+_MIX_PCT = {"src0": 100, "src1": 75, "src2": 50, "src3": 25, "src4": 10}
+_MIX_SEED = 7
+_mix_case = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {p}" for s, p in _MIX_PCT.items()
+) + " END"
+_mix_in = ", ".join(f"'{s}'" for s in _MIX_PCT)
+
+
+@register(
+    "sample_mixture",
+    f"""
+    WITH elig AS (
+      SELECT doc_id, source, {_mix_case} AS pct
+      FROM documents WHERE source IN ({_mix_in})
+    ),
+    cnt AS (SELECT source, COUNT(*) AS n FROM elig GROUP BY source),
+    ranked AS (
+      SELECT e.doc_id, e.source, e.pct, c.n,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.source
+               ORDER BY md5('{_MIX_SEED}:' || CAST(e.doc_id AS VARCHAR)) ASC,
+                        e.doc_id ASC) AS mixture_rank
+      FROM elig e JOIN cnt c USING (source)
+    )
+    SELECT doc_id, source, mixture_rank FROM ranked
+    WHERE mixture_rank <= (n * pct) // 100
+    """,
+    doc="Target-mixture subsampling (data mixing): keep an exact integer "
+    "percentage of each source (100/75/50/25/10 here; unlisted sources "
+    "dropped), chosen by md5-rank — a fair, layout-stable draw that hits "
+    "the target count EXACTLY, where per-row Bernoulli (weighted_sample) "
+    "only hits it in expectation. floor(n*pct/100) integer targets so no "
+    "float boundary flips membership between engines. One shuffle on "
+    "source (count agg + rank window share it); the #sources count "
+    "table broadcasts back.",
+)
+def q_sample_mixture(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.mixture_sample(
+        d, id_col="doc_id", source_col="source",
+        percents=_MIX_PCT, seed=_MIX_SEED,
+    ).select("doc_id", "source", "mixture_rank")
+
+
+def _semdedup_oracle_sql(threshold: float) -> str:
+    acos = O.cosine_sql("e.embedding", "c.cv")
+    pcos = O.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                   FROM embeddings WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {acos} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cell,
+           round({pcos}, 6) AS cosine_sim
+    FROM assign a JOIN assign b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE round({pcos}, 6) >= {threshold}
+    """
+
+
+_SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "dedup_semantic",
+    _semdedup_oracle_sql(_SEMDEDUP_TAU),
+    doc="SemDeDup-style semantic dedup: embeddings coarse-clustered to "
+    "nearest-centroid cells (broadcast assignment, map-side argmax — one "
+    "row per vector ever shuffles), near-dup pairs searched WITHIN cells "
+    "only via a cell equi-join under id_a < id_b, exact Arrow left-fold "
+    "cosine verifying against the rounded threshold. Pair cost is "
+    "sum(cell²) not corpus² — pick |cells| ∝ n/target_cell_size and "
+    "partition storage by cell so the join is partition-local at 100 TB. "
+    "Complements dedup_embedding_cosine (hyperplane buckets): cells "
+    "follow the DATA distribution, buckets the random planes.",
+)
+def q_dedup_semantic(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return similarity.semantic_dedup_pairs(
+        e, id_col="vec_id", vec_col="embedding",
+        centroids=cents, threshold=_SEMDEDUP_TAU,
+    )
+
+
 @register(
     "decontaminate_check",
     f"""

@@ -1,0 +1,191 @@
+"""Continuous corpus ingestion with incremental dedup — the streaming
+twin of the batch `prepare` pipeline for the recurring-delivery case:
+document batches arrive as files, and each micro-batch is deduplicated
+against BOTH itself and everything already accepted, without ever
+re-shingling the accepted corpus (only its stored MinHash signature
+table is read — `dedup.minhash_lsh_pairs_incremental`).
+
+State = two parquet tables the job owns under ``state_dir``:
+  accepted/    accepted documents (doc_id, text, content md5)
+  signatures/  their MinHash signatures (minhash_signatures schema)
+
+Per micro-batch (foreachBatch — stream-side joins against mutable
+parquet state need batch semantics; a stateless stream join would pin
+the state snapshot at query start):
+  1. exact dedup inside the batch (min-id per content hash) and
+     against accepted content hashes (anti join on md5),
+  2. LSH candidates: survivors vs (survivors ∪ accepted signatures),
+  3. exact n-gram Jaccard verification of candidate pairs against the
+     union corpus (verify before delete — same ADVICE-r4 contract as
+     batch prepare),
+  4. reject batch docs clustered with an accepted doc (first-arrival
+     wins — the streaming order analogue of batch min-id canonical) or
+     with an earlier-id batch survivor,
+  5. append accepted survivors + their signatures to the state tables.
+
+Scale shape: the accepted corpus's TEXT is only read for the
+candidate-verification semi-join (bounded by candidate pairs); the
+signature table is the only full-width state the LSH stage touches.
+At 100 TB, store both state tables bucketed — signatures by (band,
+bucket) for an exchange-free candidate join, accepted by doc_id for
+the verification semi-join. Batch writes append new files only, so
+state grows by increment size, never rewrites.
+
+Delivery semantics: foreachBatch is at-least-once; a replayed batch
+re-runs steps 1-4 against state that may already contain its output —
+every accepted doc would then be rejected as an exact duplicate of
+itself, so the append in step 5 is empty on replay and the state
+converges (idempotent by the dedup itself). The two state appends are
+ordered accepted-first: a crash between them leaves a doc accepted but
+unsignatured — replay skips it (content dedup), so no duplicate rows
+ever appear, at the cost that LSH misses future NEAR-dups of that one
+doc until a signature backfill (exact dups stay caught). The reverse
+order would lose the document entirely on replay.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MH_N, _MH_HASHES, _MH_BANDS = 3, 12, 4
+
+
+def _paths(state_dir: str) -> tuple[str, str]:
+    return (
+        os.path.join(state_dir, "accepted"),
+        os.path.join(state_dir, "signatures"),
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> int:
+    """Run one ingest round (steps 1-5 above) and append survivors to
+    the state tables. Returns the number of newly accepted docs.
+    Callable directly for backfills/tests; the stream wires it through
+    foreachBatch."""
+    from bag_parser_spark.operators import dedup
+
+    acc_path, sig_path = _paths(state_dir)
+    have_state = os.path.isdir(acc_path)
+    docs = batch.select(
+        F.col(id_col), F.col(text_col), F.md5(text_col).alias("__content__")
+    )
+    # 1. exact dedup: within batch (min id per content), then vs accepted
+    docs = dedup.dedup_exact(docs, on=["__content__"], id_col=id_col)
+    if have_state:
+        accepted = spark.read.parquet(acc_path)
+        docs = docs.join(
+            accepted.select(F.col("__content__")), "__content__", "left_anti"
+        )
+    docs = docs.persist()
+
+    # 2. LSH candidates: batch vs (batch ∪ accepted signatures)
+    base_sigs = (
+        spark.read.parquet(sig_path)
+        if have_state
+        else spark.createDataFrame(
+            [],
+            "__id__ long, "
+            + ", ".join(f"h{i} string" for i in range(_MH_HASHES)),
+        )
+    )
+    cand = dedup.minhash_lsh_pairs_incremental(
+        docs,
+        base_sigs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=_MH_N,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+    )
+    # 3. verify against the union corpus (text needed for exact Jaccard)
+    union_corpus = docs.select(id_col, text_col)
+    if have_state:
+        union_corpus = union_corpus.unionAll(
+            spark.read.parquet(acc_path).select(id_col, text_col)
+        )
+    verified = dedup.verify_pairs_jaccard(
+        union_corpus,
+        cand,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=_MH_N,
+        threshold=threshold,
+    )
+    # 4. first-arrival wins: a batch doc near-dup to ANY accepted doc or
+    # to a SMALLER-id batch doc is rejected. Pairs orient id_a < id_b;
+    # accepted ids are disjoint from batch ids (caller contract, as in
+    # minhash_lsh_pairs_incremental), so rejecting every id_b of a
+    # verified pair implements both rules when accepted ids sort first —
+    # enforced generally by rejecting whichever side is the batch doc
+    # paired with an accepted doc, plus id_b for batch-batch pairs.
+    batch_ids = docs.select(F.col(id_col).alias("__bid__"))
+    reject_vs_accepted = (
+        verified.join(
+            batch_ids, verified["id_a"] == batch_ids["__bid__"], "left_semi"
+        )
+        .join(batch_ids.withColumnRenamed("__bid__", "__bid2__"),
+              F.col("id_b") == F.col("__bid2__"), "left_anti")
+        .select(F.col("id_a").alias(id_col))
+    )  # id_a in batch, id_b accepted
+    reject_b = (
+        verified.join(
+            batch_ids, verified["id_b"] == batch_ids["__bid__"], "left_semi"
+        ).select(F.col("id_b").alias(id_col))
+    )  # id_b in batch (paired with accepted id_a < it, or batch id_a < it)
+    rejects = reject_vs_accepted.unionAll(reject_b).distinct()
+    # localCheckpoint (eager), NOT persist: the survivor plan READS the
+    # accepted/ path that step 5 APPENDS to, and Spark invalidates any
+    # cache referencing a path being written — a persisted survivors
+    # would silently recompute against the post-append state during the
+    # signature write and drop every just-accepted doc's signature
+    # (observed). Checkpointing truncates the lineage so the snapshot
+    # predates the writes.
+    survivors = docs.join(rejects, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+
+    # 5. append survivors + signatures (append-only state growth)
+    n = survivors.count()
+    if n:
+        survivors.select(id_col, text_col, "__content__").write.mode(
+            "append"
+        ).parquet(acc_path)
+        dedup.minhash_signatures(
+            survivors, id_col, text_col, _MH_N, _MH_HASHES
+        ).write.mode("append").parquet(sig_path)
+    docs.unpersist()
+    return n
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+) -> None:
+    """Drain a file-source stream of document parquet files through
+    ingest_batch with Trigger.AvailableNow (the backfill/test mode; a
+    live deployment drops the trigger and runs continuously)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(spark, batch_df, state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

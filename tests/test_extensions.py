@@ -1311,3 +1311,26 @@ def test_minhash_incremental_identity(spark):
     }
     assert inc == full - base_only
     assert len(inc) > 0
+
+
+def test_mixture_sample_exact_targets_and_determinism(spark):
+    from bag_parser_spark.operators import sampling
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    pct = {"s0": 100, "s1": 50, "s2": 10}  # s3 absent -> dropped
+    out = sampling.mixture_sample(
+        df, id_col="doc_id", source_col="source", percents=pct, seed=7
+    )
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 250, "s1": 125, "s2": 25}  # floor(250*pct/100)
+    # layout-stable: repartitioned input selects the identical rows
+    again = sampling.mixture_sample(
+        df.repartition(13), id_col="doc_id", source_col="source",
+        percents=pct, seed=7,
+    )
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    assert again.count() == out.count()

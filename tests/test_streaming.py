@@ -448,3 +448,60 @@ def test_read_events_stream_rejects_mixed_ts_encodings(spark, tmp_path):
     pq.write_table(micros, h / "b.parquet")
     df = read_events_stream(spark, str(h))
     assert df.isStreaming and dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_incremental_ingest_stream_dedups_across_batches(spark, tmp_path):
+    """Streaming corpus ingestion: each micro-batch dedups against itself
+    AND the accepted state (exact via content hash, near via incremental
+    LSH + exact-Jaccard verify), first arrival wins, and replaying the
+    whole source converges without duplicating state."""
+    from bag_parser_spark.streaming.corpus import run_ingest_stream
+
+    w = [f"w{i}" for i in range(30)]
+    t1 = " ".join(w)
+    t2 = " ".join(f"q{i}" for i in range(30))
+    t3 = " ".join(f"z{i}" for i in range(30))
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    chunk1 = spark.createDataFrame(
+        [
+            (1, t1),
+            (2, t2),
+            (3, t1),                        # exact dup of 1 (in batch)
+            (4, t1 + " extra tail words"),  # near dup of 1 (in batch)
+        ],
+        "doc_id long, text string",
+    )
+    chunk1.coalesce(1).write.parquet(str(src / "c1.parquet"))
+    run_ingest_stream(spark, f"{src}/*", state, ckpt)
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()
+    }
+    assert accepted == {1, 2}
+
+    chunk2 = spark.createDataFrame(
+        [
+            (11, t1),                        # exact dup vs accepted
+            (12, t1 + " other tail here"),   # near dup vs accepted 1
+            (13, t3),                        # fresh -> accepted
+            (14, t2 + " more words again"),  # near dup vs accepted 2
+        ],
+        "doc_id long, text string",
+    )
+    chunk2.coalesce(1).write.parquet(str(src / "c2.parquet"))
+    run_ingest_stream(spark, f"{src}/*", state, ckpt)
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()
+    }
+    assert accepted == {1, 2, 13}
+    sigs = spark.read.parquet(f"{state}/signatures")
+    assert {r["__id__"] for r in sigs.collect()} == {1, 2, 13}
+
+    # at-least-once replay: a fresh checkpoint re-delivers EVERY file;
+    # the state must converge (no new rows, no duplicates)
+    run_ingest_stream(spark, f"{src}/*", state, str(tmp_path / "ckpt2"))
+    rows = spark.read.parquet(f"{state}/accepted").collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 13} and len(rows) == 3
