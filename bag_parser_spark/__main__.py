@@ -49,6 +49,25 @@ def _load_db_tables(spark, db_dir: str, names: list[str]) -> dict:
     return {n: spark.read.parquet(os.path.join(db_dir, n)) for n in names}
 
 
+def cmd_ingest(args) -> int:
+    """Continuous corpus ingestion: drain new document parquet files
+    through the streaming incremental-dedup pipeline (exact + LSH +
+    Jaccard-verified vs the accepted state; streaming/corpus.py). One
+    JSON summary line on stdout."""
+    import json
+
+    from bag_parser_spark.streaming.corpus import run_ingest_stream
+
+    spark = _get_spark(args, "corpus-ingest")
+    run_ingest_stream(spark, args.source, args.state, args.checkpoint)
+    acc = spark.read.parquet(os.path.join(args.state, "accepted"))
+    n = acc.count()
+    _log(f"accepted corpus now {n} docs -> {args.state}")
+    print(json.dumps({"state": os.path.abspath(args.state), "n_accepted": n},
+                     sort_keys=True))
+    return 0
+
+
 def cmd_import(args) -> int:
     """Mirror of reference import_bag.py:13-90: unzip+parse the 8 entity
     streams, build adressen, validate, emit the artifact set."""
@@ -314,6 +333,22 @@ def build_parser() -> argparse.ArgumentParser:
                       "are verified, never trusted raw)")
     _add_spark_args(prep)
     prep.set_defaults(fn=cmd_prepare)
+
+    ing = sub.add_parser(
+        "ingest",
+        help="continuously ingest document parquet files with "
+        "incremental dedup against the accepted state",
+    )
+    ing.add_argument("--source", required=True,
+                     help="directory/glob of incoming documents parquet "
+                     "(doc_id, text)")
+    ing.add_argument("--state", required=True,
+                     help="state directory (accepted/ + signatures/)")
+    ing.add_argument("--checkpoint", required=True,
+                     help="stream checkpoint directory (reuse across runs "
+                     "to process only new files)")
+    _add_spark_args(ing)
+    ing.set_defaults(fn=cmd_ingest)
     return p
 
 

@@ -1937,3 +1937,61 @@ def q_events_pattern(spark, sf_dir):
             (n_pat > 0).alias("converted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_column_profile — one-pass per-column profiling (Deequ/TFDV-style)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+)
+
+
+@register(
+    "dq_column_profile",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_repr,
+               CAST(MAX({c}) AS VARCHAR) AS max_repr
+        FROM customer
+        """
+        for c in _PROFILE_COLS
+    ),
+    doc="Per-column data-quality profile of a table in ONE scan "
+    "(Deequ/TFDV-style): row/non-null/distinct counts plus min/max "
+    "rendered as strings per column. The Spark side computes every "
+    "column's aggregates in a single groupBy-less agg — 6 aggregates x "
+    "5 columns fused into one whole-stage pipeline over one pass — then "
+    "unpivots the 1-row wide result via stack() into the per-column "
+    "report (30 cells, driver-light). The naive per-column UNION the "
+    "oracle spells out scans the table |columns| times; at 100 TB the "
+    "fused single scan is the difference between one pass and five. "
+    "Numeric min/max casts to VARCHAR via the same plain repr in both "
+    "engines (keys and exact-decimal acctbal only — double repr would "
+    "diverge).",
+)
+def q_dq_column_profile(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    aggs = []
+    for col in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{col}"),
+            F.count(col).alias(f"__nn_{col}"),
+            F.countDistinct(col).alias(f"__nd_{col}"),
+            F.min(col).cast("string").alias(f"__mn_{col}"),
+            F.max(col).cast("string").alias(f"__mx_{col}"),
+        ]
+    wide = c.agg(*aggs)
+    stack_expr = "stack({}, {}) as (column_name, n_rows, n_non_null, n_distinct, min_repr, max_repr)".format(
+        len(_PROFILE_COLS),
+        ", ".join(
+            f"'{col}', __n_{col}, __nn_{col}, __nd_{col}, __mn_{col}, __mx_{col}"
+            for col in _PROFILE_COLS
+        ),
+    )
+    return wide.selectExpr(stack_expr)

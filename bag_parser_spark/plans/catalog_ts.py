@@ -575,3 +575,109 @@ def q_temporal_split(spark, sf_dir):
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_autocorr — autocorrelation of hourly counts, exact integer stats
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 6)
+
+
+@register(
+    "ts_autocorr",
+    f"""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT)
+               AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+      FROM hc a, (SELECT unnest([{", ".join(map(str, _ACF_LAGS))}]) AS lag) l
+      JOIN hc b ON b.event_type = a.event_type
+               AND b.h = a.h - l.lag * 3600
+    ),
+    s AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                             CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 6)
+             AS acf
+    FROM s
+    """,
+    doc="Autocorrelation of the per-type hourly event-count series at "
+    f"lags {_ACF_LAGS} (hours) — the seasonality/burstiness diagnostic a "
+    "monitoring pipeline runs per stream. Lag pairs align by exact "
+    "hour-epoch self-join (missing hours pair with nothing — no "
+    "imputation), and the Pearson correlation is computed from INTEGER "
+    "sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² as BIGINT — exact "
+    "and order-independent; F.corr's float accumulation would flake the "
+    "hash gate), with one double sqrt/divide at the end (same discipline "
+    "as a22_linreg_suffstats). Shuffles: one (type, hour) count with "
+    "map-side combine, one lag equi-join on (type, hour) keys, one "
+    "(type, lag) stats reduce — counts only, never events.",
+)
+def q_ts_autocorr(spark, sf_dir):
+    from bag_parser_spark.functions.scalars import ts_micros
+
+    e = _t(spark, sf_dir, "events")
+    hc = (
+        e.groupBy(
+            "event_type",
+            (ts_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(1_000_000))
+            .cast("long")
+            .alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lags = F.explode(F.array(*[F.lit(l) for l in _ACF_LAGS])).alias("lag")
+    a = hc.select("event_type", "h", F.col("c").alias("x"), lags)
+    b = hc.select(
+        F.col("event_type").alias("__et__"),
+        F.col("h").alias("__h2__"),
+        F.col("c").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("__et__"))
+        & (F.col("__h2__") == F.col("h") - F.col("lag") * 3600),
+    )
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.nullif(
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        ),
+        F.lit(0.0),
+    )
+    return s.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )

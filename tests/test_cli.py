@@ -200,3 +200,34 @@ def test_cli_prepare_writes_split_corpus(tmp_path):
         [f"{out_dir}/*/*.parquet"],
     ).fetchone()
     assert qmin >= 0.7
+
+
+def test_cli_ingest_incremental_dedup(spark, tmp_path):
+    """`ingest` drains new files through the streaming dedup pipeline;
+    rerunning with the same checkpoint after a second delivery only
+    processes the new file and the accepted state stays duplicate-free."""
+    import json
+
+    t1 = " ".join(f"w{i}" for i in range(30))
+    t2 = " ".join(f"q{i}" for i in range(30))
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t1)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "d1.parquet"))
+    args = [
+        "ingest", "--source", f"{src}/*",
+        "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ]
+    r = _run_cli(*args)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_accepted"] == 2
+
+    spark.createDataFrame(
+        [(11, t1 + " extra tail words"), (12, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "d2.parquet"))
+    r = _run_cli(*args)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_accepted"] == 3

@@ -423,3 +423,38 @@ def test_market_basket_single_fact_scan(spark):
     df = registry()["a25_market_basket"].fn(spark, SF_CORRECT)
     plan = _plan(df, "simple")
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_incremental_lsh_never_rescans_base_docs(spark, tmp_path):
+    """The production contract of minhash_lsh_pairs_incremental: the base
+    corpus contributes ONLY its stored signature table — the plan must
+    scan the signatures parquet, never the base documents (re-shingling
+    the corpus for a daily increment is exactly what the operator
+    exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators import dedup
+
+    base_docs_path = str(tmp_path / "base_docs")
+    sigs_path = str(tmp_path / "sigs")
+    base = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base.write.parquet(base_docs_path)
+    dedup.minhash_signatures(
+        spark.read.parquet(base_docs_path), "doc_id", "text", 3, 12
+    ).write.parquet(sigs_path)
+
+    new = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    pairs = dedup.minhash_lsh_pairs_incremental(
+        new,
+        spark.read.parquet(sigs_path),
+        id_col="doc_id",
+        text_col="text",
+    )
+    plan = _plan(pairs)
+    assert "sigs" in plan                  # base side: signature scan
+    assert "base_docs" not in plan         # base docs never touched
