@@ -88,10 +88,14 @@ def ingest_batch(
         )
     docs = docs.persist()
 
-    # 2. LSH candidates: batch vs (batch ∪ accepted signatures)
+    # 2. LSH candidates: batch vs (batch ∪ accepted signatures). The
+    # signature dir is probed separately from accepted/ — a crash between
+    # the two step-5 appends can leave accepted docs unsignatured (see
+    # module docstring), and a missing/empty signature dir must read as
+    # empty, not fail the whole stream.
     base_sigs = (
         spark.read.parquet(sig_path)
-        if have_state
+        if os.path.isdir(sig_path)
         else spark.createDataFrame(
             [],
             "__id__ long, "

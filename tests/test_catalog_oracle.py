@@ -60,10 +60,18 @@ def test_driver_priority_ordering_contract():
             seen |= set(json.load(f))
     never = [n for n in names if n not in seen]
     if never:
-        out = [n for n in never[:50] if n not in first50]
-        assert not out, (
-            f"never-driver-validated queries outside the first-50 window: "
-            f"{out} — rotate _DRIVER_PRIORITY"
+        # Never-validated queries must be PACKED at the front: within the
+        # ~50-slot driver window plus the unavoidable overflow when more
+        # exist than fit, with a 10-slot grace for queries added after
+        # the round's rotation (the driver may also run mid-round, so a
+        # hard window-edge assertion would go red between the driver
+        # writing CORRECTNESS_r{N} and the next rotation).
+        allowed = max(50, len(never)) + 10
+        pos = {n: i for i, n in enumerate(names)}
+        stragglers = [n for n in never if pos[n] >= allowed]
+        assert not stragglers, (
+            f"never-driver-validated queries parked beyond position "
+            f"{allowed}: {stragglers} — rotate _DRIVER_PRIORITY"
         )
         return
     families = {

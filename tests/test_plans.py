@@ -198,6 +198,9 @@ def test_no_rdd_api_and_bounded_driver_actions():
         "__main__.py",            # CLI driver program: report rows + counters
         "sources/sqlite_compat.py",  # driver-side compat sink by design
         "plans/corpus_prep.py",   # CLI summary: per-split counts (#splits rows)
+        "streaming/corpus.py",    # ingest_batch: 1-scalar survivor count
+                                  # gating the state append (a write-side
+                                  # effect decision, inherently driver-side)
     }
     action_re = re.compile(r"\.collect\(\)|\.count\(\)|\.toPandas\(\)")
     for py in sorted(pkg.rglob("*.py")):

@@ -505,3 +505,26 @@ def test_incremental_ingest_stream_dedups_across_batches(spark, tmp_path):
     run_ingest_stream(spark, f"{src}/*", state, str(tmp_path / "ckpt2"))
     rows = spark.read.parquet(f"{state}/accepted").collect()
     assert {r["doc_id"] for r in rows} == {1, 2, 13} and len(rows) == 3
+
+
+def test_ingest_batch_survives_missing_signature_dir(spark, tmp_path):
+    """Crash-recovery edge: accepted/ present but signatures/ missing
+    (the documented mid-append failure window) must not fail the next
+    batch — the signature state reads as empty and exact dedup still
+    rejects content duplicates."""
+    import shutil
+
+    from bag_parser_spark.streaming.corpus import ingest_batch
+
+    t1 = " ".join(f"w{i}" for i in range(30))
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(1, t1)], "doc_id long, text string")
+    assert ingest_batch(spark, b1, state) == 1
+    shutil.rmtree(f"{state}/signatures")  # simulate the crash window
+    b2 = spark.createDataFrame(
+        [(2, t1), (3, " ".join(f"q{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    assert ingest_batch(spark, b2, state) == 1  # exact dup 2 rejected
+    acc = {r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()}
+    assert acc == {1, 3}
