@@ -980,7 +980,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_verified_pairs", "dedup_incremental",
     # pass 1.5 — r5 additions past the 50-slot window
     "sample_mixture", "dedup_semantic", "ts_autocorr",
-    "dq_column_profile",
+    "dq_column_profile", "ml_auc_ranked",
     # pass 2 — queries rewritten since their last driver row lead
     # re-verification (stale green + current pytest oracle gate):
     # mm_frame_sample (r4 stub→real Y4M decode), ts_ohlc_bars (r5 exact-

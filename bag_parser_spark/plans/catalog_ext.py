@@ -679,6 +679,103 @@ def q_hash_classifier(spark, sf_dir):
     )
 
 
+@register(
+    "ml_auc_ranked",
+    f"""
+    WITH flat AS (
+      SELECT doc_id, unnest({O.words_sql('lower(text)')}) AS token
+      FROM documents
+    ),
+    weighted AS (
+      SELECT doc_id,
+             {O.md5_mod_sql(O.md5_mod_sql('token', _CLF_SEED + ':b', _CLF_BUCKETS), _CLF_SEED + ':w', _CLF_WMOD)}
+               - {_CLF_WMOD // 2} AS w
+      FROM flat
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_milli
+      FROM weighted GROUP BY doc_id
+    ),
+    labeled AS (
+      SELECT p.score_milli,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM per_doc p JOIN documents d USING (doc_id)
+    ),
+    by_score AS (
+      SELECT score_milli, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM labeled GROUP BY score_milli
+    ),
+    cum AS (
+      SELECT t, p,
+             CAST(COALESCE(SUM(t) OVER (
+               ORDER BY score_milli
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS c
+      FROM by_score
+    )
+    SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(t) - SUM(p) AS BIGINT) AS n_neg,
+           round(CAST(SUM(p * (2 * c + t + 1))
+                      - SUM(p) * (SUM(p) + 1) AS DOUBLE)
+                 / CAST(2 * SUM(p) * (SUM(t) - SUM(p)) AS DOUBLE), 6)
+             AS auc
+    FROM cum
+    """,
+    doc="Classifier evaluation: exact ROC-AUC of the hashed-linear score "
+    "against the lang='en' label via the Mann-Whitney rank statistic "
+    "with tie correction — computed ENTIRELY in integer arithmetic "
+    "(doubled tie-averaged rank sums stay integral; one double division "
+    "at the end), so the value is order-independent and engine-exact "
+    "where a float rank accumulation would flake the hash gate. Scale "
+    "shape: docs aggregate to the DISTINCT-SCORE table first (one "
+    "shuffle, map-side combine), and the only ordered pass is the "
+    "cumulative count over that tiny table — never a global sort of "
+    "the corpus.",
+)
+def q_ml_auc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scores = text.hash_classifier_scores(
+        d, id_col="doc_id", text_col="text",
+        n_buckets=_CLF_BUCKETS, seed=_CLF_SEED, w_mod=_CLF_WMOD,
+    ).select("doc_id", "score_milli")
+    labeled = scores.join(
+        d.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("long").alias("pos"),
+        ),
+        "doc_id",
+    )
+    by_score = labeled.groupBy("score_milli").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("pos").alias("p")
+    )
+    w = (
+        Window.orderBy("score_milli")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = by_score.withColumn(
+        "c", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+    )
+    s = cum.agg(
+        F.sum("p").alias("np"),
+        F.sum("t").alias("nt"),
+        F.sum(
+            F.col("p") * (2 * F.col("c") + F.col("t") + 1)
+        ).alias("rank2"),
+    )
+    return s.select(
+        F.col("np").alias("n_pos"),
+        (F.col("nt") - F.col("np")).alias("n_neg"),
+        F.round(
+            (F.col("rank2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2 * F.col("np") * (F.col("nt") - F.col("np"))).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dataset splitting / sequence packing
 # ---------------------------------------------------------------------------

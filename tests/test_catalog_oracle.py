@@ -91,3 +91,22 @@ def test_driver_priority_ordering_contract():
     uncovered = [fam for fam, pred in families.items()
                  if not any(pred(n) for n in first50)]
     assert not uncovered, f"families missing from driver window: {uncovered}"
+
+
+def test_bench_headline_names_resolve():
+    """bench.py is the driver's per-round feedback loop — a renamed
+    catalog query must fail HERE, not as a KeyError mid-benchmark. Also
+    pins the audit set of scripts/plan_audit.py for the same reason."""
+    import importlib.util
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for mod_path, attr in (
+        (os.path.join(root, "bench.py"), "HEADLINE"),
+        (os.path.join(root, "scripts", "plan_audit.py"), "AUDIT"),
+    ):
+        spec = importlib.util.spec_from_file_location("m_", mod_path)
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        missing = [n for n in getattr(m, attr) if n not in _REG]
+        assert not missing, f"{mod_path}:{attr} names not in registry: {missing}"
