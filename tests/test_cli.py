@@ -231,3 +231,36 @@ def test_cli_ingest_incremental_dedup(spark, tmp_path):
     r = _run_cli(*args)
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.strip().splitlines()[-1])["n_accepted"] == 3
+
+
+def test_cli_import_native_xml_backend(tmp_path):
+    """`import --xml-backend native` runs the JVM XML scan end to end on
+    a plain (pre-extracted) delivery and produces the same adressen the
+    iterparse backend would."""
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from scripts.import_bench import SNAPSHOT, generate_fixture
+
+    fixture = tmp_path / "plain"
+    generate_fixture(str(fixture), 300, objects_per_file=100, layout="plain")
+    out = {}
+    for backend in ("native", "iterparse"):
+        out_dir = str(tmp_path / f"db_{backend}")
+        r = _run_cli(
+            "import", "--bag", str(fixture),
+            "--gemeenten", str(fixture / "gemeenten.csv"),
+            "--out", out_dir, "--snapshot-date", SNAPSHOT,
+            "--xml-backend", backend,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        import duckdb
+
+        con = duckdb.connect()
+        out[backend] = con.execute(
+            "SELECT nummer_id, postcode, huisnummer, openbare_ruimte_id, "
+            "woonplaats_id, pand_id FROM "
+            f"read_parquet('{out_dir}/adressen/*.parquet') ORDER BY nummer_id"
+        ).fetchall()
+        con.close()
+    assert out["native"] == out["iterparse"] and len(out["native"]) == 300
