@@ -131,6 +131,7 @@ def minhash_signatures(
     text_col: str,
     shingle_n: int = 3,
     num_hashes: int = 12,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(id, h0..h{n-1}) minhash signature table, computed *relationally*:
     shingle rows → one md5 column per hash function → groupBy(id).min().
@@ -142,8 +143,19 @@ def minhash_signatures(
     interpreted mode (~50× slower — measured). The explode/agg form computes
     each shingle once, gets map-side combine for free, and its only shuffle
     carries (id, h0..h11) — tiny at any scale.
+
+    ``shingle_rows`` optionally supplies a precomputed (__id__, shingle)
+    table (typically persisted) so a pipeline that needs shingles twice —
+    candidate generation AND exact-Jaccard verification — tokenizes the
+    corpus once, not twice; at 100 TB the shingle map is the dominant
+    scan cost. Must come from ``word_shingle_rows`` with the same
+    ``shingle_n`` (non-deduped is fine — minima ignore duplicates).
     """
-    sh = word_shingle_rows(df, id_col, text_col, shingle_n)
+    sh = (
+        shingle_rows
+        if shingle_rows is not None
+        else word_shingle_rows(df, id_col, text_col, shingle_n)
+    )
     hashed = sh.select(
         "__id__",
         *[
@@ -163,6 +175,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs (id_a < id_b).
 
@@ -179,7 +192,10 @@ def minhash_lsh_pairs(
     document text. Returns distinct (id_a, id_b) pairs (id_a < id_b).
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, shingle_n, num_hashes)
+    sig = minhash_signatures(
+        df, id_col, text_col, shingle_n, num_hashes,
+        shingle_rows=shingle_rows,
+    )
     banded = sig.select(
         "__id__",
         F.posexplode(
@@ -305,6 +321,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shingle inverted index.
 
@@ -335,8 +352,17 @@ def ngram_jaccard_pairs(
     max_df), so it broadcasts: the pruning anti-join never reshuffles
     the shingle rows, which stay partitioned by __id__ for the size
     window below.
+
+    ``shingle_rows`` optionally reuses a precomputed (persisted)
+    ``word_shingle_rows`` table so a pipeline running BOTH this exact
+    truth computation and MinHash candidates (dedup_lsh_recall) shingles
+    the corpus once.
     """
-    sh = word_shingle_rows(df, id_col, text_col, shingle_n)
+    sh = (
+        shingle_rows
+        if shingle_rows is not None
+        else word_shingle_rows(df, id_col, text_col, shingle_n)
+    )
     shd = sh.dropDuplicates(["__id__", "shingle"])
     from pyspark.sql import Window
 
@@ -404,6 +430,7 @@ def verify_pairs_jaccard(
     threshold: float = 0.5,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard refinement of CANDIDATE pairs — the verify
     step between LSH candidate generation and any destructive use of the
@@ -429,6 +456,14 @@ def verify_pairs_jaccard(
     subtree (a banded-LSH join, typically): the r5 plan audit measured
     73 exchanges for the unpersisted verified-pairs query vs ~10 with
     the persist.
+
+    ``shingle_rows`` optionally reuses the (__id__, shingle) projection
+    the candidate generator already computed (pass the SAME persisted
+    table to ``minhash_lsh_pairs`` and here) — the corpus then tokenizes
+    once for the whole candidates→verify pipeline instead of twice.
+    When given, the semi-join restriction applies to the shared rows
+    (cheap filter over cached data); when absent, only candidate docs
+    are ever shingled here.
     """
     pairs = pairs.persist()
     ids = (
@@ -436,12 +471,14 @@ def verify_pairs_jaccard(
         .unionAll(pairs.select(F.col(id_b).alias(id_col)))
         .distinct()
     )
-    cand_docs = docs.join(ids, id_col, "semi")
-    sh = (
-        word_shingle_rows(cand_docs, id_col, text_col, shingle_n)
-        .dropDuplicates(["__id__", "shingle"])
-        .persist()
-    )
+    if shingle_rows is not None:
+        base = shingle_rows.join(
+            ids.withColumnRenamed(id_col, "__id__"), "__id__", "semi"
+        )
+    else:
+        cand_docs = docs.join(ids, id_col, "semi")
+        base = word_shingle_rows(cand_docs, id_col, text_col, shingle_n)
+    sh = base.dropDuplicates(["__id__", "shingle"]).persist()
     sizes = sh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
     sh_a = sh.select(
         F.col("__id__").alias(id_a), F.col("shingle").alias("__sh__")

@@ -192,6 +192,10 @@ _VERIFY_TAU = 0.5
 )
 def q_dedup_verified_pairs(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
+    # ONE tokenize+shingle pass feeds both candidate generation and the
+    # exact-Jaccard verification (the shingle map is the dominant scan
+    # cost at corpus scale — doing it twice doubles the heaviest stage)
+    sh = dedup.word_shingle_rows(corpus, "doc_id", "text", _MH_N).persist()
     cand = dedup.minhash_lsh_pairs(
         corpus,
         id_col="doc_id",
@@ -199,6 +203,7 @@ def q_dedup_verified_pairs(spark, sf_dir):
         shingle_n=_MH_N,
         num_hashes=_MH_HASHES,
         bands=_MH_BANDS,
+        shingle_rows=sh,
     )
     return dedup.verify_pairs_jaccard(
         corpus,
@@ -207,6 +212,7 @@ def q_dedup_verified_pairs(spark, sf_dir):
         text_col="text",
         shingle_n=_MH_N,
         threshold=_VERIFY_TAU,
+        shingle_rows=sh,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -454,6 +460,9 @@ _RECALL_TAU = 0.5
 )
 def q_lsh_recall(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
+    # one shingle pass for both the exact-Jaccard truth and the banded
+    # candidates (same sharing as dedup_verified_pairs)
+    sh = dedup.word_shingle_rows(corpus, "doc_id", "text", _MH_N).persist()
     truth = (
         dedup.ngram_jaccard_pairs(
             corpus,
@@ -462,6 +471,7 @@ def q_lsh_recall(spark, sf_dir):
             shingle_n=_MH_N,
             threshold=_RECALL_TAU,
             max_df=_NGRAM_MAX_DF,
+            shingle_rows=sh,
         )
         .select("id_a", "id_b")
         .persist()
@@ -473,6 +483,7 @@ def q_lsh_recall(spark, sf_dir):
         shingle_n=_MH_N,
         num_hashes=_MH_HASHES,
         bands=_MH_BANDS,
+        shingle_rows=sh,
     ).persist()
     t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))

@@ -74,8 +74,9 @@ def prepare_corpus(
         # Connected components then label every clustered doc with its
         # min-id canonical; docs outside any verified cluster pass
         # through untouched (left_anti on non-canonical members only).
+        sh = dedup.word_shingle_rows(unique, id_col, text_col, 3).persist()
         cand = dedup.minhash_lsh_pairs(
-            unique, id_col=id_col, text_col=text_col
+            unique, id_col=id_col, text_col=text_col, shingle_rows=sh
         )
         pairs = dedup.verify_pairs_jaccard(
             unique,
@@ -83,6 +84,7 @@ def prepare_corpus(
             id_col=id_col,
             text_col=text_col,
             threshold=near_dup_threshold,
+            shingle_rows=sh,
         )
         clustered = dedup.dup_clusters(pairs, out_id=id_col)
         drop = clustered.filter(
