@@ -266,9 +266,10 @@ def build_parser() -> argparse.ArgumentParser:
                      "parse_geometries)")
     imp.add_argument("--xml-backend", default="iterparse",
                      choices=("iterparse", "native"),
-                     help="XML scan: 'iterparse' (zip-capable, default) or "
-                     "'native' (JVM-side parse; pre-extracted plain .xml "
-                     "files only)")
+                     help="XML scan: 'iterparse' (reads zips in-stream, "
+                     "default) or 'native' (JVM-side parse; a zipped "
+                     "delivery is transparently extracted to plain .xml "
+                     "under --out first, then removed)")
     _add_spark_args(imp)
     imp.set_defaults(fn=cmd_import)
 

@@ -237,6 +237,7 @@ def minhash_lsh_pairs_incremental(
     shingle_n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH: near-dup candidates between a NEW batch
     and an already-deduped corpus — the production shape of corpus dedup
@@ -282,6 +283,10 @@ def minhash_lsh_pairs_incremental(
     bn = banded(
         minhash_signatures(new_df, id_col, text_col, shingle_n, num_hashes)
     ).persist()
+    # scoped callers (per-micro-batch) free this via cache_registry —
+    # see verify_pairs_jaccard's docstring for the contract
+    if cache_registry is not None:
+        cache_registry.append(bn)
     bb = banded(base_sigs)
     a = bn.select("band", "bucket", F.col("__id__").alias("id_a"))
     b = bn.select(
@@ -431,6 +436,7 @@ def verify_pairs_jaccard(
     id_a: str = "id_a",
     id_b: str = "id_b",
     shingle_rows: DataFrame | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard refinement of CANDIDATE pairs — the verify
     step between LSH candidate generation and any destructive use of the
@@ -464,8 +470,17 @@ def verify_pairs_jaccard(
     When given, the semi-join restriction applies to the shared rows
     (cheap filter over cached data); when absent, only candidate docs
     are ever shingled here.
+
+    ``cache_registry``: internal persists (``pairs``, the distinct
+    shingle rows) are appended to this list when given, so a SCOPED
+    caller — e.g. a foreachBatch running once per micro-batch — can
+    unpersist them after its action without touching long-lived caches
+    (ADVICE r5: a continuous stream otherwise accumulates cached
+    blocks without bound, because these handles are not caller-visible).
     """
     pairs = pairs.persist()
+    if cache_registry is not None:
+        cache_registry.append(pairs)
     ids = (
         pairs.select(F.col(id_a).alias(id_col))
         .unionAll(pairs.select(F.col(id_b).alias(id_col)))
@@ -479,6 +494,8 @@ def verify_pairs_jaccard(
         cand_docs = docs.join(ids, id_col, "semi")
         base = word_shingle_rows(cand_docs, id_col, text_col, shingle_n)
     sh = base.dropDuplicates(["__id__", "shingle"]).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     sizes = sh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__sz__"))
     sh_a = sh.select(
         F.col("__id__").alias(id_a), F.col("shingle").alias("__sh__")

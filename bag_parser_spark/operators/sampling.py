@@ -259,9 +259,12 @@ def mixture_sample(
     return (
         eligible.join(F.broadcast(counts), source_col)
         .withColumn(rank_name, F.row_number().over(w))
+        # `div` is integer division — the docstring/oracle contract is
+        # floor(n*pct/100) in PURE integer arithmetic; true-division-
+        # then-truncate only matches while n*pct is exactly representable
+        # as a double (ADVICE r5)
         .filter(
-            F.col(rank_name)
-            <= (F.col("__n__") * F.col("__pct__") / 100).cast("long")
+            F.col(rank_name) <= F.expr("__n__ * __pct__ div 100")
         )
         .drop("__pct__", "__n__")
     )

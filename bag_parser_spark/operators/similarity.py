@@ -289,6 +289,8 @@ def semantic_dedup_pairs(
     vec_col: str,
     centroids: DataFrame,
     threshold: float,
+    big_cell_cutoff: int = 100_000,
+    salt: int = 32,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -309,11 +311,20 @@ def semantic_dedup_pairs(
     stays bounded as the corpus grows; store the corpus partitioned by
     cell and the pair join is partition-local. A degenerate giant cell
     concentrates its quadratic expansion in few tasks — the same
-    identity-collapse lesson as the image-hash dedup (SCALE.md r5):
-    salt the within-cell join if cell-size skew appears. Approximate by
-    construction: a near-dup pair straddling a cell boundary is missed
-    (SemDeDup accepts this; raise |cells| recall via multi-probe
-    assignment if needed).
+    identity-collapse lesson as the image-hash dedup (SCALE.md r5), and
+    at 100 TB a when, not an if (one viral template embeds to one point).
+    Guard: cells larger than ``big_cell_cutoff`` rows (a tiny per-cell
+    count over the cached assignment; the big-cell list is bounded by
+    |cells|, so it collects) route through a SALTED self-join — the left
+    side replicated across ``salt`` sub-keys, the right side hashed into
+    them — spreading each giant cell's quadratic output over ``salt``
+    tasks instead of one. Small cells keep the plain equi-join: salting
+    everything would replicate every vector ``salt``x for no benefit.
+    The split is layout-only (each pair matches under exactly one salt),
+    so the result — and the oracle — is identical with or without it.
+    Approximate by construction: a near-dup pair straddling a cell
+    boundary is missed (SemDeDup accepts this; raise |cells| recall via
+    multi-probe assignment if needed).
     """
     pair_cos = _arrow_pair_cosine()
     c = centroids.select("cid", "cv")
@@ -349,38 +360,65 @@ def semantic_dedup_pairs(
         )
         .persist()
     )
+    def pair_join(left: DataFrame, extra_cond=None) -> DataFrame:
+        b = assigned.select(
+            F.col("cell").alias("__cell2__"),
+            F.col("__vid__").alias("id_b"),
+            F.col("__vec__").alias("__bvec__"),
+            F.col("__vnorm__").alias("__bnorm__"),
+            F.pmod(F.xxhash64("__vid__"), F.lit(salt)).alias("__salt2__"),
+        )
+        cond = (F.col("cell") == F.col("__cell2__")) & (
+            F.col("id_a") < F.col("id_b")
+        )
+        if extra_cond is not None:
+            cond = cond & extra_cond
+        return (
+            left.join(b, cond)
+            .select(
+                "id_a",
+                "id_b",
+                "cell",
+                F.round(
+                    pair_cos(
+                        F.col("__avec__"), F.col("__bvec__"),
+                        F.col("__anorm__"), F.col("__bnorm__"),
+                    ),
+                    6,
+                ).alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+        )
+
     a = assigned.select(
         "cell",
         F.col("__vid__").alias("id_a"),
         F.col("__vec__").alias("__avec__"),
         F.col("__vnorm__").alias("__anorm__"),
     )
-    b = assigned.select(
-        F.col("cell").alias("__cell2__"),
-        F.col("__vid__").alias("id_b"),
-        F.col("__vec__").alias("__bvec__"),
-        F.col("__vnorm__").alias("__bnorm__"),
+    # cell-size guard: per-cell counts over the cached assignment (tiny —
+    # one row per cell, bounded by |centroids|, so the collect is safe)
+    big_cells = [
+        r["cell"]
+        for r in assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") > big_cell_cutoff)
+        .collect()
+    ]
+    if not big_cells:
+        return pair_join(a)
+    small = pair_join(a.filter(~F.col("cell").isin(big_cells)))
+    # salted path: left replicated across `salt` sub-keys, right hashed
+    # into them — each giant cell's quadratic output spreads over `salt`
+    # tasks; every (id_a, id_b) pair matches under exactly one salt value
+    a_salted = a.filter(F.col("cell").isin(big_cells)).withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
-    return (
-        a.join(
-            b,
-            (F.col("cell") == F.col("__cell2__"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "cell",
-            F.round(
-                pair_cos(
-                    F.col("__avec__"), F.col("__bvec__"),
-                    F.col("__anorm__"), F.col("__bnorm__"),
-                ),
-                6,
-            ).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+    big = pair_join(
+        a_salted,
+        extra_cond=(F.col("__salt__") == F.col("__salt2__")),
     )
+    return small.unionAll(big)
 
 
 def embedding_neardup_pairs(

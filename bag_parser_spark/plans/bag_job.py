@@ -87,6 +87,28 @@ def import_bag(
     ``out_dir`` is set, each table is persisted as parquet (atomic job
     commit — the transaction equivalent) and read back, cutting lineage
     exactly where the reference commits its per-entity transaction."""
+    from bag_parser_spark.sources.bag_xml import (
+        delivery_has_zips,
+        extract_bag_delivery,
+    )
+
+    # The JVM-native XML source reads files, not zip members: flatten a
+    # zipped delivery to plain .xml first, transparently (the reference
+    # performs the same extraction to a temp dir, import_bag.py:31-37).
+    # The extraction lives under out_dir when given (removed after the
+    # persist cut re-reads every table from parquet) else a mkdtemp that
+    # must outlive the returned lazy DataFrames.
+    extract_dir = None
+    if cfg.xml_backend == "native" and delivery_has_zips(xml_root):
+        import tempfile
+
+        extract_dir = (
+            os.path.join(out_dir, "_native_xml_extract")
+            if out_dir
+            else tempfile.mkdtemp(prefix="bag_native_extract_")
+        )
+        xml_root = extract_bag_delivery(xml_root, extract_dir)
+
     csv_df = read_gemeenten_csv(spark, gemeenten_csv)
     tables: dict[str, DataFrame] = {
         "gemeenten": gemeenten_table(csv_df),
@@ -111,6 +133,12 @@ def import_bag(
             path = os.path.join(out_dir, name)
             tables[name].write.mode("overwrite").parquet(path)
             tables[name] = spark.read.parquet(path)
+        if extract_dir:
+            # every table is now parquet-backed; the extracted XML is
+            # no longer referenced by any live plan
+            import shutil
+
+            shutil.rmtree(extract_dir, ignore_errors=True)
     adressen = P.build_adressen(
         tables["nummers"],
         tables["openbare_ruimten"],

@@ -944,77 +944,60 @@ def q_f8(spark, sf_dir):
 
 # Driver-verification priority. The correctness driver samples the catalog in
 # dict order with a bounded budget (every round so far recorded exactly the
-# first 50 keys), so the order is re-rotated each round: queries that have
-# NEVER had a driver CORRECTNESS row (union of CORRECTNESS_r01–r04 = 106 of
-# 154) fill the first-50 window, together with queries whose implementation
-# CHANGED this round (a stale green row is not evidence for new code —
-# ADVICE r4). Everything already driver-green re-verifies whenever budget
-# remains; queries not listed (or added later) follow in registration order —
-# nothing is ever dropped. If this rotation lands, the cross-round union
-# reaches 154/154.
+# first 50 keys), so the order is re-rotated each round. r6 rotation
+# (VERDICT r5 #1): the 50-slot window leads with the 12 queries whose
+# driver evidence is missing or stale — 5 r5 additions with no driver row
+# at all, 2 carrying pre-oracle `no_oracle` FAIL rows (mm_resize /
+# mm_frame_sample, last driver verdict r2 although value-level oracles now
+# exist and pass under pytest), 3 rewritten since their last green row,
+# plus the r6 additions — then fills the remainder with a family
+# round-robin of already-green queries so re-verification keeps spanning
+# the whole surface under the cap. Queries not listed follow in
+# registration order — nothing is ever dropped. If this rotation lands,
+# the cross-round driver union reaches 161/161 with zero stale fails.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # pass 1 (r5 window, 50 slots) — the 48 queries with no driver row in
-    # r1–r4, in family round-robin order…
-    "f15_string_pack", "f16_date_pack", "f17_array_pack",
-    "f18_locale_format", "j12_runtime_filter_join", "j14_fuzzy_blocked_join",
-    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
-    "tpch_q14_promo_effect", "tpch_q18_large_volume",
-    "ts_topk_per_user", "ts_gapfill", "ts_scd2_intervals",
-    "ts_interval_join", "events_hopping_agg", "events_session_window",
-    "events_ema", "events_twa", "events_funnel", "events_markov",
-    "events_stream_enrich", "events_sliding_distinct",
-    "text_repetition_metrics", "text_source_drift", "lm_doc_score",
-    "chunk_documents", "dedup_canonical",
-    "docs_vocab_growth", "mm_audio_features",
-    "a15_heavy_hitters", "a16_mad_outliers", "a17_histogram", "a18_mode",
-    "a19_hll_mergeable", "a20_ntile_binning", "a21_trimmed_mean",
-    "a22_linreg_suffstats", "a23_pareto", "a24_incremental_rollup",
-    "sample_negatives", "sample_global_shuffle", "quality_quantile_band",
-    "cohort_retention", "cust_rfm", "orders_monthly_yoy",
-    "dq_star_schema",
-    # …plus the queries ADDED in r5 (no driver row can exist yet). The
-    # window only fits two of the four; sample_mixture and
-    # dedup_semantic follow immediately at 51–52 and rotate in next
-    # round (pytest oracle gates cover them meanwhile).
-    "dedup_verified_pairs", "dedup_incremental",
-    # pass 1.5 — r5 additions past the 50-slot window
+    # never driver-validated (added r5)
     "sample_mixture", "dedup_semantic", "ts_autocorr",
     "dq_column_profile", "ml_auc_ranked",
-    # pass 2 — queries rewritten since their last driver row lead
-    # re-verification (stale green + current pytest oracle gate):
-    # mm_frame_sample (r4 stub→real Y4M decode), ts_ohlc_bars (r5 exact-
-    # decimal volume), events_pattern_match (r5 positional triples,
-    # value-identical on the current vocabulary), mm_image_neardup (r5
-    # distinct-hash + salted within-class expansion, output-identical).
-    # They sit at 51–54 because the never-validated set exactly fills
-    # the 50-slot window.
-    "mm_frame_sample", "ts_ohlc_bars", "events_pattern_match",
-    "mm_image_neardup",
-    "tpch_q1_pricing_summary", "ts_asof_join", "events_windowed_agg",
-    "sim_cosine_topk", "mm_binary_metadata", "text_entropy",
-    "a7_approx_distinct", "f14_null_semantics", "j10_salted_skew_join",
-    "vocab_build",
-    "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q12_late_lines",
-    "tpch_q13_cust_distribution", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_relationship", "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue", "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers", "tpch_q22_sales_opportunity",
-    "dedup_repeated_substrings", "split_leakage_safe",
-    "text_bm25_topk", "text_hash_classifier",
-    "dedup_lsh_recall", "dq_k_anonymity", "text_bpe_pair_counts",
-    "sim_ann_recall", "a25_market_basket", "split_temporal_embargo",
-    "ml_pca_power_step", "a26_cube",
-    "text_keywords_topk", "dedup_containment", "mm_image_ahash",
-    "sample_weighted_reservoir",
-    "dedup_embedding_cosine",
-    # pass 3
-    "tpch_q3_shipping_priority", "ts_window_battery", "events_sessionize",
-    "sim_lsh_bucket_topk", "mm_image_features", "text_boilerplate_removal",
-    "a8_approx_quantiles", "tfidf_vectors", "sim_knn_join", "mm_resize",
-    "sim_ivf_topk",
+    # stale FAIL rows from pre-oracle rounds — erase the only two FAILs
+    # left in any CORRECTNESS file
+    "mm_resize", "mm_frame_sample",
+    # rewritten since their last green driver row (also listed in
+    # _REWRITTEN_SINCE_DRIVER_ROW, which the ordering-contract test pins
+    # inside the window)
+    "ts_ohlc_bars", "events_pattern_match", "mm_image_neardup",
+    # r6 additions go HERE (no driver row can exist yet)
+    # — family round-robin re-verification fills the window from here —
+    "j1_chained_left_join", "a1_grouped_stats", "w1_last_write_wins",
+    "f6_rd_to_wgs84", "p3_temporal_filter", "j4_explode_join_lastwins",
+    "f1_scalar_pack",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q9_product_profit", "tpch_q21_waiting_suppliers",
+    "tpch_q17_small_qty_revenue",
+    "ts_asof_join", "ts_gapfill", "ts_interval_join", "ts_window_battery",
+    "events_windowed_agg", "events_session_window", "events_funnel",
+    "events_hopping_agg",
+    "dedup_exact_docs", "dedup_minhash_lsh", "dedup_verified_pairs",
+    "dedup_incremental", "dedup_clusters",
+    "sim_cosine_topk", "sim_ivf_topk", "sim_ann_recall",
+    "mm_image_ahash", "mm_audio_features",
+    "text_quality_metrics", "text_bm25_topk", "tfidf_vectors",
+    "lm_doc_score",
+    "sample_global_shuffle", "split_leakage_safe",
+    "a15_heavy_hitters", "a19_hll_mergeable",
+    "j10_salted_skew_join", "f14_null_semantics",
+)
+
+# Queries REWRITTEN since their last green driver CORRECTNESS row: a stale
+# green is not evidence for new code (ADVICE r4), so the ordering-contract
+# test forces these into the driver window alongside never-validated names.
+# Maintained by hand: add a name here when materially changing its query or
+# operator; remove it once a NEWER driver round records a green row.
+_REWRITTEN_SINCE_DRIVER_ROW: tuple[str, ...] = (
+    "ts_ohlc_bars",        # r5: exact-decimal volume sums
+    "events_pattern_match",  # r5: positional-triple rewrite
+    "mm_image_neardup",    # r5: distinct-hash + salted within-class join
+    "sample_mixture",      # r6: integer-div cutoff (ADVICE r5)
 )
 
 

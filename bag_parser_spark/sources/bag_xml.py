@@ -333,6 +333,103 @@ def _native_schema(entity: EntityConfig) -> T.StructType:
     return T.StructType(fields)
 
 
+def extract_bag_delivery(path: str, dest_dir: str) -> str:
+    """Flatten a (possibly two-level) zipped BAG delivery into plain
+    ``.xml`` files under ``dest_dir`` — the pre-extraction step the
+    JVM-native backend needs (Spark's XML source reads files, not zip
+    members; the reference performs the same extraction to a temp dir,
+    reference import_bag.py:31-37). ``path`` may be the delivery zip
+    itself, a directory holding it and/or per-entity zips, or a mixed
+    layout with loose ``.xml`` files (copied through).
+
+    Naming preserves per-entity selection by file-code glob
+    (``entity_xml_path``): a member keeps its basename when it already
+    starts with a known entity file code; otherwise it is prefixed with
+    its enclosing archive's stem (the per-entity zips are named by file
+    code — 9999WPL….zip — so their anonymous members become
+    ``9999WPL…_member.xml``). Name collisions get a numeric suffix.
+    Returns ``dest_dir``.
+    """
+    import os
+    import shutil
+
+    os.makedirs(dest_dir, exist_ok=True)
+    codes = tuple(e.file_code for e in ENTITIES.values())
+    used: set[str] = set()
+
+    def target_name(member_base: str, archive_stem: str) -> str:
+        name = (
+            member_base
+            if member_base.startswith(codes) or not archive_stem
+            else f"{archive_stem}_{member_base}"
+        )
+        stem, ext = os.path.splitext(name)
+        k, out = 0, name
+        while out in used:
+            k += 1
+            out = f"{stem}_{k}{ext}"
+        used.add(out)
+        return out
+
+    def extract_zip(zf: zipfile.ZipFile, archive_stem: str) -> int:
+        n = 0
+        for member in sorted(zf.namelist()):
+            base = os.path.basename(member)
+            low = member.lower()
+            if low.endswith(".zip"):
+                with zipfile.ZipFile(io.BytesIO(zf.read(member))) as inner:
+                    n += extract_zip(inner, os.path.splitext(base)[0])
+            elif low.endswith(".xml"):
+                out = os.path.join(
+                    dest_dir, target_name(base, archive_stem)
+                )
+                with open(out, "wb") as f:
+                    f.write(zf.read(member))
+                n += 1
+        return n
+
+    import glob as _glob
+
+    sources = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(_glob.glob(os.path.join(path, "*")))
+    )
+    n = 0
+    for src in sources:
+        low = src.lower()
+        if low.endswith(".zip"):
+            with zipfile.ZipFile(src) as zf:
+                n += extract_zip(zf, "")
+        elif low.endswith(".xml"):
+            base = os.path.basename(src)
+            shutil.copyfile(src, os.path.join(dest_dir, target_name(base, "")))
+            n += 1
+    if n == 0:
+        raise FileNotFoundError(
+            f"extract_bag_delivery: no .xml members found under {path!r}"
+        )
+    return dest_dir
+
+
+def delivery_has_zips(path: str) -> bool:
+    """True when ``path`` is a zip or a directory with top-level zips —
+    i.e. the native backend needs ``extract_bag_delivery`` first."""
+    import glob as _glob
+    import os
+
+    if os.path.isfile(path):
+        return path.lower().endswith(".zip")
+    pats = (
+        [os.path.join(path, "*.zip"), os.path.join(path, "*.ZIP")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    return any(
+        p.lower().endswith(".zip") for pat in pats for p in _glob.glob(pat)
+    )
+
+
 def read_bag_entity_raw_native(
     spark: SparkSession, path: str, entity_name: str
 ) -> DataFrame:
@@ -370,7 +467,9 @@ def read_bag_entity_raw_native(
     if zips:
         raise ValueError(
             f"xml_backend='native' cannot read zip archives ({zips[:3]}…) "
-            "— extract the delivery first or use xml_backend='iterparse'"
+            "— extract the delivery first (extract_bag_delivery; the "
+            "import CLI does this automatically) or use "
+            "xml_backend='iterparse'"
         )
     xmls = [p for p in listing if p.lower().endswith(".xml")]
     if not xmls:

@@ -39,8 +39,8 @@ converges (idempotent by the dedup itself). The two state appends are
 ordered accepted-first: a crash between them leaves a doc accepted but
 unsignatured — replay skips it (content dedup), so no duplicate rows
 ever appear, at the cost that LSH misses future NEAR-dups of that one
-doc until a signature backfill (exact dups stay caught). The reverse
-order would lose the document entirely on replay.
+doc until ``backfill_signatures`` repairs it (exact dups stay caught).
+The reverse order would lose the document entirely on replay.
 """
 
 from __future__ import annotations
@@ -49,6 +49,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _MH_N, _MH_HASHES, _MH_BANDS = 3, 12, 4
 
@@ -72,10 +73,50 @@ def ingest_batch(
     the state tables. Returns the number of newly accepted docs.
     Callable directly for backfills/tests; the stream wires it through
     foreachBatch."""
-    from bag_parser_spark.operators import dedup
-
     acc_path, sig_path = _paths(state_dir)
     have_state = os.path.isdir(acc_path)
+    # Scoped cache accounting (ADVICE r5): the dedup helpers persist
+    # intermediates (candidate pairs, shingle rows, banded signatures)
+    # that have no caller-visible handle; on a continuous stream those
+    # blocks would accumulate across micro-batches without bound. Every
+    # helper appends its persists to cache_registry, and the batch frees
+    # them — plus the eager localCheckpoint's executor blocks, found by
+    # diffing persistent-RDD ids — after its writes. Long-lived caches
+    # owned by other queries on the same session are untouched (unlike
+    # release_cached_blocks, which drops everything).
+    handles: list[DataFrame] = []
+    jsc = spark.sparkContext._jsc
+    rdd_ids_before = set(jsc.getPersistentRDDs().keys())
+    try:
+        return _ingest_batch_inner(
+            spark, batch, acc_path, sig_path, have_state,
+            id_col, text_col, threshold, handles,
+        )
+    finally:
+        # runs on success AND on a mid-batch crash — a failed batch must
+        # not leak its caches into the stream's long-lived session
+        for h in handles:
+            h.unpersist()
+        # eager localCheckpoint blocks bypass the CacheManager; free only
+        # the ones THIS batch created (id diff), sparing unrelated caches
+        for rid, jrdd in jsc.getPersistentRDDs().items():
+            if rid not in rdd_ids_before:
+                jrdd.unpersist(False)
+
+
+def _ingest_batch_inner(
+    spark: SparkSession,
+    batch: DataFrame,
+    acc_path: str,
+    sig_path: str,
+    have_state: bool,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    handles: list[DataFrame],
+) -> int:
+    from bag_parser_spark.operators import dedup
+
     docs = batch.select(
         F.col(id_col), F.col(text_col), F.md5(text_col).alias("__content__")
     )
@@ -87,21 +128,31 @@ def ingest_batch(
             accepted.select(F.col("__content__")), "__content__", "left_anti"
         )
     docs = docs.persist()
+    handles.append(docs)
 
     # 2. LSH candidates: batch vs (batch ∪ accepted signatures). The
     # signature dir is probed separately from accepted/ — a crash between
     # the two step-5 appends can leave accepted docs unsignatured (see
     # module docstring), and a missing/empty signature dir must read as
     # empty, not fail the whole stream.
-    base_sigs = (
-        spark.read.parquet(sig_path)
-        if os.path.isdir(sig_path)
-        else spark.createDataFrame(
+    if os.path.isdir(sig_path):
+        base_sigs = spark.read.parquet(sig_path)
+    else:
+        # the empty table's __id__ must carry the CALLER's id type —
+        # ingest_batch is directly callable with arbitrary id_col, and a
+        # hardcoded long would hand string-id batches a type-mismatched
+        # base that least/greatest downstream only survives via implicit
+        # coercion (ADVICE r5)
+        base_sigs = spark.createDataFrame(
             [],
-            "__id__ long, "
-            + ", ".join(f"h{i} string" for i in range(_MH_HASHES)),
+            T.StructType(
+                [T.StructField("__id__", batch.schema[id_col].dataType)]
+                + [
+                    T.StructField(f"h{i}", T.StringType())
+                    for i in range(_MH_HASHES)
+                ]
+            ),
         )
-    )
     cand = dedup.minhash_lsh_pairs_incremental(
         docs,
         base_sigs,
@@ -110,6 +161,7 @@ def ingest_batch(
         shingle_n=_MH_N,
         num_hashes=_MH_HASHES,
         bands=_MH_BANDS,
+        cache_registry=handles,
     )
     # 3. verify against the union corpus (text needed for exact Jaccard)
     union_corpus = docs.select(id_col, text_col)
@@ -124,6 +176,7 @@ def ingest_batch(
         text_col=text_col,
         shingle_n=_MH_N,
         threshold=threshold,
+        cache_registry=handles,
     )
     # 4. first-arrival wins: a batch doc near-dup to ANY accepted doc or
     # to a SMALLER-id batch doc is rejected. Pairs orient id_a < id_b;
@@ -167,8 +220,65 @@ def ingest_batch(
         dedup.minhash_signatures(
             survivors, id_col, text_col, _MH_N, _MH_HASHES
         ).write.mode("append").parquet(sig_path)
-    docs.unpersist()
     return n
+
+
+def backfill_signatures(
+    spark: SparkSession,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Repair pass for the documented crash window: a failure between the
+    two step-5 appends leaves docs in ``accepted/`` with no row in
+    ``signatures/`` — exact dedup still catches their full duplicates
+    (content hash lives in accepted/), but LSH silently misses future
+    NEAR-dups of the orphaned docs. This shingles exactly the orphans
+    (anti-join of accepted ids against signature ids — at 100 TB that is
+    an ids-only shuffle; text is read only for the orphan rows) and
+    appends their signatures, restoring the invariant that every
+    accepted doc is LSH-visible. Idempotent: a second run finds zero
+    orphans. Run while the stream is quiesced (between micro-batches or
+    on recovery before restart) — signatures/ is append-only, so the
+    only race is double-appending an orphan's signature if a concurrent
+    batch crashed in the same window again. Returns the number of docs
+    backfilled. Uses the same MinHash parameters as ingest_batch —
+    signatures are an artifact of (shingle_n, num_hashes), so a backfill
+    with different constants would poison the bucket space.
+    """
+    from bag_parser_spark.operators import dedup
+
+    acc_path, sig_path = _paths(state_dir)
+    if not os.path.isdir(acc_path):
+        return 0
+    jsc = spark.sparkContext._jsc
+    rdd_ids_before = set(jsc.getPersistentRDDs().keys())
+    try:
+        accepted = spark.read.parquet(acc_path)
+        if os.path.isdir(sig_path):
+            signed = spark.read.parquet(sig_path).select(
+                F.col("__id__").alias(id_col)
+            )
+            orphans = accepted.join(signed, id_col, "left_anti")
+        else:
+            orphans = accepted
+        # localCheckpoint pins the orphan set: the count and the
+        # signature write must see the SAME snapshot even though the
+        # write appends to a path the (unpinned) plan's anti-join reads
+        orphans = orphans.select(id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        n = orphans.count()
+        if n:
+            dedup.minhash_signatures(
+                orphans, id_col, text_col, _MH_N, _MH_HASHES
+            ).write.mode("append").parquet(sig_path)
+        return n
+    finally:
+        # free the checkpoint blocks (same scoped diff as ingest_batch)
+        for rid, jrdd in jsc.getPersistentRDDs().items():
+            if rid not in rdd_ids_before:
+                jrdd.unpersist(False)
 
 
 def run_ingest_stream(

@@ -2,9 +2,19 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ..., "reps": n, "details": {name:
-{"min": s, "median": s, "runs": [...]}}}. Each query is materialized via
-the noop sink (full execution, no driver collect cost).
+"queries": {name: sec, ...}, "sf": ..., "reps": n, "import": {...}}.
+Each query is materialized via the noop sink (full execution, no driver
+collect cost).
+
+The stdout line is deliberately COMPACT: the driver archives only the
+last ~2000 characters of stdout and parses the final line as JSON — the
+r3–r5 records came back "parsed": null because the line (with per-run
+details inline) outgrew that window, losing the front half of the
+headline set from the archived record (VERDICT r5 #2). Per-run raw
+timings, medians, and the full import breakdown now go to the
+BENCH_DETAILS.json side file next to this script; stdout carries only
+the per-query minimum and a compact import summary. A unit test pins
+the line under the window for the current headline set.
 
 Methodology: every query runs $SPARK_GRAFT_BENCH_REPS (default 3) times in
 interleaved rounds; "queries" and the headline total report the per-query
@@ -172,22 +182,53 @@ def main() -> None:
         n: {"min": min(rs), "median": round(_median(rs), 3), "runs": rs}
         for n, rs in runs.items()
     }
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # full record → side file (not stdout: see module docstring)
+    side = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    with open(side, "w") as f:
+        json.dump(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "reps": reps,
                 "details": details,
                 "import": import_metric,
-            }
+            },
+            f,
+            indent=1,
         )
-    )
+    print(format_stdout_line(timings, sf, reps, import_metric))
     spark.stop()
+
+
+def format_stdout_line(
+    timings: dict[str, float],
+    sf: str,
+    reps: int,
+    import_metric: dict | None,
+) -> str:
+    """The single machine-parsed stdout line (compact separators, min
+    timings only, 3-field import summary). Kept as a function so the
+    length-budget unit test exercises the REAL formatting."""
+    import_compact = None
+    if import_metric is not None:
+        import_compact = {
+            "n": import_metric.get("n_addresses"),
+            "sec": import_metric.get("value"),
+            "addr_per_sec": import_metric.get("addresses_per_sec"),
+        }
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "reps": reps,
+            "import": import_compact,
+        },
+        separators=(",", ":"),
+    )
 
 
 if __name__ == "__main__":

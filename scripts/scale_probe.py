@@ -36,6 +36,10 @@ QUERIES = [
     "mm_image_neardup",
     "ts_interval_join",
     "a25_market_basket",
+    # the pair-emitting heavy trio added r5 (VERDICT r5 #4)
+    "dedup_verified_pairs",
+    "dedup_incremental",
+    "dedup_semantic",
 ]
 
 
@@ -108,13 +112,24 @@ def main() -> int:
     ap.add_argument("--docs-x", type=int, default=10)
     ap.add_argument("--emb-x", type=int, default=4)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the probe set (default: all)",
+    )
     args = ap.parse_args()
     if args.reps < 1 or args.docs_x < 1 or args.emb_x < 1:
         ap.error("--reps/--docs-x/--emb-x must all be >= 1")
+    selected = QUERIES
+    if args.queries:
+        selected = [q.strip() for q in args.queries.split(",") if q.strip()]
+        unknown = [q for q in selected if q not in QUERIES]
+        if unknown:
+            ap.error(f"not in the probe set: {unknown}")
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bag_parser_spark.plans.catalog import registry
-    from bag_parser_spark.session import get_spark
+    from bag_parser_spark.session import get_spark, release_cached_blocks
 
     derive(args.base, args.out, args.docs_x, args.emb_x)
     spark = get_spark(app_name="scale-probe")
@@ -123,7 +138,10 @@ def main() -> int:
     def best_time(name: str, sf: str) -> float:
         best = None
         for _ in range(args.reps):
-            spark.catalog.clearCache()
+            # full release (CacheManager + checkpoint RDDs): the heavy
+            # pair-emitting queries persist/checkpoint internally, and a
+            # leftover block would let a later rep read cached state
+            release_cached_blocks(spark)
             t0 = time.time()
             reg[name].fn(spark, sf).write.format("noop").mode(
                 "overwrite"
@@ -132,7 +150,7 @@ def main() -> int:
             best = dt if best is None or dt < best else best
         return best
 
-    for name in QUERIES:
+    for name in selected:
         a = best_time(name, args.base)
         b = best_time(name, args.out)
         rows_a = reg[name].fn(spark, args.base).count()

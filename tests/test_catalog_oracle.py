@@ -55,9 +55,42 @@ def test_driver_priority_ordering_contract():
 
     root = os.path.join(os.path.dirname(__file__), "..")
     seen: set[str] = set()
-    for p in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    last_verdict: dict[str, bool] = {}  # name -> ok?, at its LATEST round
+    for p in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         with open(p) as f:
-            seen |= set(json.load(f))
+            rows = json.load(f)
+        seen |= set(rows)
+        for n, r in rows.items():
+            last_verdict[n] = (
+                r.get("err") is None
+                and r.get("rows_match") is True
+                and r.get("schema_match") is True
+                and r.get("hash_match") is True
+            )
+    window = set(names[:50])
+    # 1. a query whose LATEST driver verdict is a FAIL must lead the
+    #    window until a green row erases it (VERDICT r5: the r4 contract
+    #    only protected never-validated names, letting the two pre-oracle
+    #    mm_* FAIL rows go stale for three rounds)
+    stale_fail = [
+        n for n, ok in last_verdict.items() if not ok and n in _REG
+    ]
+    parked_fails = [n for n in stale_fail if n not in window]
+    assert not parked_fails, (
+        f"queries whose latest driver verdict is FAIL sit outside the "
+        f"50-slot window: {parked_fails} — rotate _DRIVER_PRIORITY"
+    )
+    # 2. a query rewritten since its last green row (hand-maintained
+    #    list) must also re-verify inside the window
+    unknown = [n for n in catalog._REWRITTEN_SINCE_DRIVER_ROW if n not in _REG]
+    assert not unknown, f"_REWRITTEN_SINCE_DRIVER_ROW unknown names: {unknown}"
+    parked_rw = [
+        n for n in catalog._REWRITTEN_SINCE_DRIVER_ROW if n not in window
+    ]
+    assert not parked_rw, (
+        f"rewritten-since-last-driver-row queries outside the window: "
+        f"{parked_rw} — rotate _DRIVER_PRIORITY"
+    )
     never = [n for n in names if n not in seen]
     if never:
         # Never-validated queries must be PACKED at the front: within the
@@ -91,6 +124,41 @@ def test_driver_priority_ordering_contract():
     uncovered = [fam for fam, pred in families.items()
                  if not any(pred(n) for n in first50)]
     assert not uncovered, f"families missing from driver window: {uncovered}"
+
+
+def test_bench_stdout_line_fits_driver_window():
+    """The driver archives only the last ~2000 chars of bench stdout and
+    parses the final line as JSON; r3–r5 BENCH records came back
+    "parsed": null because the line outgrew that window (VERDICT r5 #2).
+    Pin the line — with worst-plausible 4-digit timings and a full
+    import object — comfortably under the window for the CURRENT
+    headline set, so adding queries that would overflow it fails here
+    instead of silently truncating the archived record."""
+    import importlib.util
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "bench_", os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    timings = {n: 9999.999 for n in bench.HEADLINE}
+    line = bench.format_stdout_line(
+        timings,
+        sf="0.1",
+        reps=3,
+        import_metric={
+            "n_addresses": 99_999_999,
+            "value": 99999.999,
+            "addresses_per_sec": 999_999,
+        },
+    )
+    assert "\n" not in line
+    assert len(line) < 1800, (
+        f"bench stdout line is {len(line)} chars — would overflow the "
+        "driver's ~2000-char tail; trim the headline set or the format"
+    )
 
 
 def test_bench_headline_names_resolve():

@@ -264,3 +264,42 @@ def test_cli_import_native_xml_backend(tmp_path):
         ).fetchall()
         con.close()
     assert out["native"] == out["iterparse"] and len(out["native"]) == 300
+
+
+def test_cli_import_native_backend_zipped_delivery(tmp_path):
+    """`import --xml-backend native` on a ZIPPED delivery (the real
+    per-entity-zip layout): the CLI transparently extracts to plain .xml
+    under --out, runs the JVM scan, removes the extraction dir after the
+    persist cut, and produces the same adressen as iterparse on the
+    same zips (VERDICT r5 #8)."""
+    import sys as _sys
+
+    _sys.path.insert(0, REPO)
+    from scripts.import_bench import SNAPSHOT, generate_fixture
+
+    fixture = tmp_path / "zipped"
+    generate_fixture(str(fixture), 300, objects_per_file=100, layout="zips")
+    out = {}
+    for backend in ("native", "iterparse"):
+        out_dir = str(tmp_path / f"db_{backend}")
+        r = _run_cli(
+            "import", "--bag", str(fixture),
+            "--gemeenten", str(fixture / "gemeenten.csv"),
+            "--out", out_dir, "--snapshot-date", SNAPSHOT,
+            "--xml-backend", backend,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        import duckdb
+
+        con = duckdb.connect()
+        out[backend] = con.execute(
+            "SELECT nummer_id, postcode, huisnummer, openbare_ruimte_id, "
+            "woonplaats_id, pand_id FROM "
+            f"read_parquet('{out_dir}/adressen/*.parquet') ORDER BY nummer_id"
+        ).fetchall()
+        con.close()
+    assert out["native"] == out["iterparse"] and len(out["native"]) == 300
+    # the transparent extraction cleans up after itself
+    assert not os.path.exists(
+        str(tmp_path / "db_native" / "_native_xml_extract")
+    )

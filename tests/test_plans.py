@@ -461,3 +461,44 @@ def test_incremental_lsh_never_rescans_base_docs(spark, tmp_path):
     plan = _plan(pairs)
     assert "sigs" in plan                  # base side: signature scan
     assert "base_docs" not in plan         # base docs never touched
+
+
+def test_runtime_cached_plan_shapes_persist_queries(spark):
+    """VERDICT r5 #6: pin the RUNTIME plan shape of the persist()-heavy
+    queries instead of documenting a static-count caveat. The executed-
+    plan string inlines each InMemoryRelation's build subtree into every
+    reference (60 'exchanges' for dedup_verified_pairs), but at runtime
+    the CacheManager builds each distinct cached relation once and the
+    other references are InMemoryTableScans — plan_stats deduplicates
+    the subtrees (exprIds/codegen-ids/depth normalized) and counts what
+    actually executes."""
+    from bag_parser_spark.plans.plan_stats import runtime_plan_stats
+
+    reg = registry()
+
+    def stats(name):
+        df = reg[name].fn(spark, SF_CORRECT)
+        return runtime_plan_stats(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+
+    st = stats("dedup_verified_pairs")
+    # shared shingle rows + banded projection + candidate pairs +
+    # verified distinct-shingle rows = 4 distinct cached relations…
+    assert st["cached_distinct"] == 4, st
+    # …each actually REUSED (more references than relations)
+    assert st["cached_refs"] > st["cached_distinct"], st
+    # executed shuffles are the ~8 the design intends, nowhere near the
+    # inlined static count
+    assert st["runtime_exchanges"] <= 10 < st["static_exchanges"], st
+
+    spark.catalog.clearCache()
+    st = stats("dedup_semantic")
+    assert st["cached_distinct"] == 1, st  # the assignment projection
+    assert st["cached_refs"] >= 2, st      # both sides of the pair join
+    assert st["runtime_exchanges"] <= 4, st
+
+    spark.catalog.clearCache()
+    st = stats("dedup_incremental")
+    assert st["cached_distinct"] == 1, st  # banded new-batch projection
+    assert st["runtime_exchanges"] <= 5, st

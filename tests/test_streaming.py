@@ -528,3 +528,103 @@ def test_ingest_batch_survives_missing_signature_dir(spark, tmp_path):
     assert ingest_batch(spark, b2, state) == 1  # exact dup 2 rejected
     acc = {r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()}
     assert acc == {1, 3}
+
+
+def test_ingest_crash_window_backfill(spark, tmp_path, monkeypatch):
+    """Crash injection for the documented mid-append window: kill the
+    batch BETWEEN the two state appends (accepted/ written, signatures/
+    not), prove the orphaned doc's near-dups then sneak past LSH, repair
+    with backfill_signatures, and prove they are caught again."""
+    import shutil
+
+    import pytest
+
+    from bag_parser_spark.operators import dedup
+    from bag_parser_spark.streaming.corpus import (
+        backfill_signatures,
+        ingest_batch,
+    )
+
+    t1 = " ".join(f"w{i}" for i in range(30))
+    t2 = " ".join(f"q{i}" for i in range(30))
+    state = str(tmp_path / "state")
+    b = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    assert ingest_batch(spark, b([(1, t1)]), state) == 1
+
+    real = dedup.minhash_signatures
+    calls = {"n": 0}
+
+    def crash_on_state_append(*a, **k):
+        # call 1 = step-2 LSH candidates; call 2 = the step-5 signature
+        # append, which runs AFTER the accepted/ append — raising here is
+        # exactly the crash window the module docstring documents
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between state appends")
+        return real(*a, **k)
+
+    monkeypatch.setattr(dedup, "minhash_signatures", crash_on_state_append)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_batch(spark, b([(2, t2)]), state)
+    monkeypatch.setattr(dedup, "minhash_signatures", real)
+
+    acc = {r["doc_id"] for r in spark.read.parquet(f"{state}/accepted").collect()}
+    sig = {r["__id__"] for r in spark.read.parquet(f"{state}/signatures").collect()}
+    assert acc == {1, 2} and sig == {1}  # doc 2 accepted but unsignatured
+
+    # the bug is real: without repair, a near-dup of the orphan passes LSH
+    near = t2 + " extra tail words"
+    broken = str(tmp_path / "state_norepair")
+    shutil.copytree(state, broken)
+    assert ingest_batch(spark, b([(3, near)]), broken) == 1  # wrongly kept
+
+    assert backfill_signatures(spark, state) == 1
+    assert {
+        r["__id__"] for r in spark.read.parquet(f"{state}/signatures").collect()
+    } == {1, 2}
+    assert backfill_signatures(spark, state) == 0  # idempotent
+    assert ingest_batch(spark, b([(3, near)]), state) == 0  # caught now
+
+
+def test_ingest_batch_zero_cache_residue(spark, tmp_path):
+    """A continuous stream runs ingest_batch forever on one session: the
+    per-batch persists (candidate pairs, shingle rows, banded signatures,
+    the survivors localCheckpoint) must all be freed when the batch ends
+    — cached-block count must not grow across batches (ADVICE r5)."""
+    from bag_parser_spark.streaming.corpus import ingest_batch
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keys())
+    state = str(tmp_path / "state")
+    t1 = " ".join(f"w{i}" for i in range(30))
+    for i, txt in enumerate(
+        [t1, t1 + " tail one", " ".join(f"q{j}" for j in range(30))]
+    ):
+        df = spark.createDataFrame(
+            [(10 * i + 1, txt)], "doc_id long, text string"
+        )
+        ingest_batch(spark, df, state)
+        after = set(jsc.getPersistentRDDs().keys())
+        assert after <= before, (
+            f"batch {i} leaked persistent RDDs: {sorted(after - before)}"
+        )
+
+
+def test_ingest_batch_string_ids_fresh_state(spark, tmp_path):
+    """ingest_batch with a string id column on a FRESH state (no
+    signature dir): the empty base-signature table must carry the
+    caller's id type, not a hardcoded long (ADVICE r5), and in-batch
+    near-dup rejection must still work."""
+    from bag_parser_spark.streaming.corpus import ingest_batch
+
+    t1 = " ".join(f"w{i}" for i in range(30))
+    state = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [("a", t1), ("b", t1 + " extra tail words")],
+        "doc_id string, text string",
+    )
+    assert ingest_batch(spark, batch, state) == 1
+    acc = spark.read.parquet(f"{state}/accepted")
+    assert [r["doc_id"] for r in acc.collect()] == ["a"]
+    sigs = spark.read.parquet(f"{state}/signatures")
+    assert dict(sigs.dtypes)["__id__"] == "string"
