@@ -191,24 +191,11 @@ def minhash_lsh_pairs(
     (one candidate pair) and shuffles only (band, bucket, id) — never
     document text. Returns distinct (id_a, id_b) pairs (id_a < id_b).
     """
-    r = num_hashes // bands
     sig = minhash_signatures(
         df, id_col, text_col, shingle_n, num_hashes,
         shingle_rows=shingle_rows,
     )
-    banded = sig.select(
-        "__id__",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * r + j}") for j in range(r)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    ).persist()
+    banded = band_signatures(sig, num_hashes, bands).persist()
     a = banded.select(
         "band", "bucket", F.col("__id__").alias("id_a")
     )
@@ -229,15 +216,42 @@ def minhash_lsh_pairs(
     )
 
 
+def band_signatures(
+    sigs: DataFrame, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Banded LSH projection of a ``minhash_signatures`` table:
+    (__id__, band, bucket), one row per (doc, band). This is the STORED
+    ARTIFACT shape of a recurring-ingest pipeline at scale — materialize
+    it bucketed by (band, bucket) (``sources.parquet.write_bucketed``)
+    and every future incremental candidate join reads the corpus side
+    with no exchange (see ``minhash_lsh_pairs_incremental``'s
+    ``base_banded`` parameter; plan-asserted in tests)."""
+    r = num_hashes // bands
+    return sigs.select(
+        "__id__",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * r + j}") for j in range(r)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_pairs_incremental(
     new_df: DataFrame,
-    base_sigs: DataFrame,
+    base_sigs: DataFrame | None,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
     cache_registry: list[DataFrame] | None = None,
+    base_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH: near-dup candidates between a NEW batch
     and an already-deduped corpus — the production shape of corpus dedup
@@ -256,38 +270,32 @@ def minhash_lsh_pairs_incremental(
     order across batches when ids never collide).
 
     Scale shape: the new batch's banded projection is tiny next to the
-    corpus's, and the cross join is a (band, bucket) equi-join — store
-    the corpus banded table bucketed by (band, bucket) and the join is
-    exchange-free on the big side, shuffling only the increment. Same
-    parameters MUST be used as when base_sigs was built, or buckets
-    never match (shingle_n/num_hashes/bands are part of the artifact's
-    schema contract).
+    corpus's, and the cross join is a (band, bucket) equi-join — pass
+    ``base_banded`` (the ``band_signatures`` projection, stored BUCKETED
+    by (band, bucket)) instead of ``base_sigs`` and the join is
+    exchange-free on the big side, shuffling only the increment
+    (plan-asserted: tests/test_extensions.py bucketed-signature-store
+    test). Same parameters MUST be used as when the base artifact was
+    built, or buckets never match (shingle_n/num_hashes/bands are part
+    of the artifact's schema contract).
     """
-    r = num_hashes // bands
-
-    def banded(sig: DataFrame) -> DataFrame:
-        return sig.select(
-            "__id__",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            "|", *[F.col(f"h{b * r + j}") for j in range(r)]
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "bucket"),
-        )
-
-    bn = banded(
-        minhash_signatures(new_df, id_col, text_col, shingle_n, num_hashes)
+    bn = band_signatures(
+        minhash_signatures(new_df, id_col, text_col, shingle_n, num_hashes),
+        num_hashes,
+        bands,
     ).persist()
     # scoped callers (per-micro-batch) free this via cache_registry —
     # see verify_pairs_jaccard's docstring for the contract
     if cache_registry is not None:
         cache_registry.append(bn)
-    bb = banded(base_sigs)
+    if base_banded is not None:
+        bb = base_banded.select("__id__", "band", "bucket")
+    elif base_sigs is not None:
+        bb = band_signatures(base_sigs, num_hashes, bands)
+    else:
+        raise ValueError(
+            "minhash_lsh_pairs_incremental needs base_sigs or base_banded"
+        )
     a = bn.select("band", "bucket", F.col("__id__").alias("id_a"))
     b = bn.select(
         F.col("band").alias("__band2__"),
@@ -521,6 +529,90 @@ def verify_pairs_jaccard(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select(id_a, id_b, "jaccard")
+    )
+
+
+def segment_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    segment_words: int = 10,
+    drop_threshold_pct: int = 50,
+) -> DataFrame:
+    """Sub-document duplication statistics — the LINE-level dedup step of
+    web-corpus pipelines (CCNet deduplicates at paragraph/line level;
+    RefinedWeb filters documents by their duplicated-content fraction)
+    adapted to token streams without line structure: split each document
+    into consecutive ``segment_words``-token segments, hash each, and
+    measure per document what fraction of its segments also occurs in
+    OTHER documents. Doc-level dedup misses this entirely — boilerplate
+    headers/footers repeat across millions of otherwise-unique pages.
+
+    Returns (id, n_segments, n_dup_segments, dup_fraction, keep): a
+    segment occurrence is duplicated when its hash appears in >1
+    DISTINCT document; ``keep`` is the integer-exact drop rule
+    ``n_dup*100 < n_segments*drop_threshold_pct`` (no float boundary
+    can flip a doc between engines).
+
+    Scale shape: segmentation is the same map-only explode as
+    chunk_documents (no shuffle); the duplication test is one groupBy on
+    the segment HASH carrying (hash, id) rows — 32-char hashes and ids,
+    never text — one equi-join back on the hash, and a per-doc
+    aggregation. No pair expansion anywhere: a boilerplate segment in k
+    docs costs k posting rows, not k² (documents are COUNTED per
+    segment, never paired), so the one skew risk of line dedup — the
+    universal header — is linear by construction.
+    """
+    w = segment_words
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), toks.alias("__toks__"), F.size(toks).alias("__n__")
+    )
+    # exact: small positive ints in double space (chunk_documents shape)
+    n_segs = ((F.col("__n__") + (w - 1)) / w).cast("long")
+    segs = base.select(
+        id_col,
+        "__toks__",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_segs - 1)
+        ).alias("__seg__"),
+    ).select(
+        id_col,
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("__toks__"),
+                    (F.col("__seg__") * w + 1).cast("int"),
+                    w,
+                ),
+                " ",
+            )
+        ).alias("__h__"),
+    )
+    docs_per_hash = segs.groupBy("__h__").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs__")
+    )
+    return (
+        segs.join(docs_per_hash, "__h__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(
+                F.when(F.col("__docs__") > 1, 1).otherwise(0)
+            ).alias("n_dup_segments"),
+        )
+        .select(
+            id_col,
+            "n_segments",
+            "n_dup_segments",
+            F.round(
+                F.col("n_dup_segments") / F.col("n_segments"), 6
+            ).alias("dup_fraction"),
+            (
+                F.col("n_dup_segments") * 100
+                < F.col("n_segments") * drop_threshold_pct
+            ).alias("keep"),
+        )
     )
 
 

@@ -1037,6 +1037,62 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+_SEG_W, _SEG_DROP_PCT = 10, 50
+
+
+@register(
+    "dedup_segment_fraction",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             (len(toks) + {_SEG_W - 1}) // {_SEG_W} AS n_segs
+      FROM t
+    ),
+    segs AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               toks[CAST(i * {_SEG_W} + 1 AS INTEGER)
+                    : CAST(least(i * {_SEG_W} + {_SEG_W}, n) AS INTEGER)],
+               ' ')) AS h
+      FROM d, UNNEST(range(0, n_segs)) AS u(i)
+    ),
+    hf AS (SELECT h, COUNT(DISTINCT doc_id) AS docs FROM segs GROUP BY h)
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN hf.docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           round(CAST(SUM(CASE WHEN hf.docs > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS dup_fraction,
+           SUM(CASE WHEN hf.docs > 1 THEN 1 ELSE 0 END) * 100
+             < COUNT(*) * {_SEG_DROP_PCT} AS keep
+    FROM segs JOIN hf USING (h)
+    GROUP BY doc_id
+    """,
+    doc="Sub-document (segment-level) dedup statistics — the CCNet/"
+    "RefinedWeb line-dedup step for corpora without line structure: "
+    "each doc splits into consecutive 10-token segments (map-only "
+    "explode, chunk_documents shape), a segment occurrence counts as "
+    "duplicated when its hash appears in >1 distinct document, and the "
+    "per-doc duplicated fraction drives an integer-exact keep/drop rule "
+    "(n_dup*100 < n_segments*50). Catches cross-document boilerplate "
+    "that whole-doc dedup can never see. Shuffles carry (hash, id) "
+    "posting rows and per-doc counts — never text, never pairs: a "
+    "universal boilerplate segment in k docs costs k rows, not k².",
+)
+def q_dedup_segment_fraction(spark, sf_dir):
+    return dedup.segment_dup_stats(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        segment_words=_SEG_W,
+        drop_threshold_pct=_SEG_DROP_PCT,
+    )
+
+
 @register(
     "decontaminate_check",
     f"""

@@ -1379,3 +1379,86 @@ def test_semantic_dedup_salts_giant_cells(spark):
     )
     assert len(groups) >= 6  # 8 salt keys, allow hash collisions
     assert max(g["count"] for g in groups) < len(sv)
+
+
+def test_segment_dup_stats_known_values(spark):
+    """3 docs of 2 segments each (10-word segments): docs a and b share
+    their first segment (boilerplate header), all tails unique, doc c
+    fully unique. Exact counts, fraction, and the integer keep rule."""
+    from bag_parser_spark.operators import dedup
+
+    header = " ".join(f"h{i}" for i in range(10))
+    mk = lambda tag: " ".join(f"{tag}{i}" for i in range(10))  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, header + " " + mk("a")),
+            (2, header + " " + mk("b")),
+            (3, mk("c") + " " + mk("d")),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.segment_dup_stats(
+            df, id_col="doc_id", text_col="text",
+            segment_words=10, drop_threshold_pct=50,
+        ).collect()
+    }
+    for d in (1, 2):
+        assert rows[d]["n_segments"] == 2
+        assert rows[d]["n_dup_segments"] == 1
+        assert rows[d]["dup_fraction"] == 0.5
+        # 1*100 < 2*50 is FALSE: at exactly the threshold the doc drops
+        assert rows[d]["keep"] is False
+    assert rows[3]["n_segments"] == 2
+    assert rows[3]["n_dup_segments"] == 0
+    assert rows[3]["dup_fraction"] == 0.0
+    assert rows[3]["keep"] is True
+
+
+def test_incremental_lsh_bucketed_signature_store_exchange_free(spark):
+    """The recurring-ingest storage layout the docstrings promise: the
+    corpus's BANDED signature projection materialized bucketed by
+    (band, bucket) makes the incremental candidate join read the big
+    side with NO exchange — only the new batch shuffles. Asserts (a)
+    candidate sets identical to the unbucketed path, (b) the bucketed
+    plan scans buckets and carries strictly fewer shuffles."""
+    from bag_parser_spark.operators import dedup
+    from bag_parser_spark.sources.parquet import write_bucketed
+
+    base = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(25))) for i in range(40)]
+        + [(90, " ".join(f"shared{j}" for j in range(25)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(101, " ".join(f"shared{j}" for j in range(25)) + " tail"),
+         (102, " ".join(f"q{j}" for j in range(25)))],
+        "doc_id long, text string",
+    )
+    kw = dict(id_col="doc_id", text_col="text",
+              shingle_n=3, num_hashes=12, bands=4)
+    sigs = dedup.minhash_signatures(base, "doc_id", "text", 3, 12)
+    write_bucketed(
+        dedup.band_signatures(sigs, 12, 4),
+        "t_sig_banded", ["band", "bucket"], 8, ["band", "bucket"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = dedup.minhash_lsh_pairs_incremental(new, sigs, **kw)
+        bucketed = dedup.minhash_lsh_pairs_incremental(
+            new, None, **kw, base_banded=spark.table("t_sig_banded")
+        )
+        key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+        got_b = sorted(map(key, bucketed.collect()))
+        assert got_b == sorted(map(key, plain.collect()))
+        assert (90, 101) in got_b  # the cross-corpus near-dup is found
+        pb = bucketed._jdf.queryExecution().executedPlan().toString()
+        pp = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in pb
+        n_ex = lambda p: p.count("Exchange hashpartitioning")  # noqa: E731
+        assert n_ex(pb) < n_ex(pp), (n_ex(pb), n_ex(pp))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_sig_banded")
