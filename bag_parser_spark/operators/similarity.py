@@ -421,6 +421,163 @@ def semantic_dedup_pairs(
     return small.unionAll(big)
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared-L2 distance as a left-fold double sum over the squared
+    differences — same engine-reproducibility contract as ``dot`` (the
+    DuckDB mirror is ``list_dot_product(d, d)`` over the difference
+    list, which accumulates in list order)."""
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search") — the memory
+    trick behind billion-vector ANN indexes (IVF-PQ): each vector
+    splits into ``m`` contiguous ``dim/m``-dim subvectors and each
+    subvector is replaced by the id of its nearest (squared-L2)
+    codebook entry in that subspace, tie-broken by code id. A dim-float
+    vector compresses to ``m`` small integers; asymmetric distance
+    against the codebook then approximates L2 without touching raw
+    vectors. ``codebooks`` is (subspace, code, cv) — m·k rows, tiny by
+    construction.
+
+    Returns one row per (id, subspace): (id, subspace, code, err) with
+    ``err`` the squared-L2 residual of the chosen entry rounded to 6
+    (the packed code array is a trivial groupBy-collect away; rows keep
+    the oracle exact and the shuffle key simple).
+
+    Scale shape: the subvector explode is map-only (m rows per vector,
+    each carrying dim/m doubles); the codebook join is a BROADCAST (the
+    whole point of PQ is that codebooks stay tiny); the argmin is a
+    min-of-struct aggregate with map-side partials, so the one shuffle
+    carries ≤ one candidate row per (vector, subspace) per map
+    partition. Distances are left-fold double sums over the squared
+    differences — engine-reproducible, same contract as ``dot``.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    subs = (
+        df.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__v__")
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(m - 1).cast("long"))
+            ).alias("subspace"),
+            "__v__",
+        )
+        .select(
+            id_col,
+            "subspace",
+            F.slice(
+                F.col("__v__"),
+                (F.col("subspace") * w + 1).cast("int"),
+                w,
+            ).alias("__sv__"),
+        )
+    )
+    cb = codebooks.select(
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("code"),
+        _as_double(F.col("cv")).alias("__cv__"),
+    )
+    dist = _l2sq(F.col("__sv__"), F.col("__cv__"))
+    best = F.min(
+        F.struct(F.col("__d__").alias("d"), F.col("code").alias("c"))
+    ).alias("__best__")
+    return (
+        subs.join(F.broadcast(cb), "subspace")
+        .withColumn("__d__", dist)
+        .groupBy(id_col, "subspace")
+        .agg(best)
+        .select(
+            id_col,
+            "subspace",
+            F.col("__best__.c").alias("code"),
+            F.round(F.col("__best__.d"), 6).alias("err"),
+        )
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k search — how a PQ index is actually
+    queried (Jégou et al. 2011 §IV): the query stays UNQUANTIZED; its
+    squared-L2 distance to every codebook entry is computed ONCE into a
+    lookup table of m·k values, and each encoded vector's approximate
+    distance is then m table lookups + a sum. Raw vectors are never
+    touched at query time — that is the entire memory story of
+    billion-vector search.
+
+    ``codes`` is ``pq_encode`` output (id, subspace, code);
+    ``codebooks`` the same (subspace, code, cv) used to encode. Returns
+    the ``k`` ids with smallest approximate squared L2 (ties by id):
+    (id, approx_l2sq) rounded 6.
+
+    Scale shape: the LUT is m·k rows built from the codebook alone —
+    BROADCAST; the per-vector sum folds the m subspace distances in
+    FIXED subspace order (per-subspace min-when pivot then a
+    left-associated add chain, never F.sum whose accumulation order is
+    partition-dependent — engine-reproducible floats); top-k is a
+    TakeOrderedAndProject heap, never a global sort.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    lut = codebooks.select(
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("code"),
+        _l2sq(
+            F.slice(q, (F.col("subspace") * w + 1).cast("int"), w),
+            _as_double(F.col("cv")),
+        ).alias("__ld__"),
+    )
+    per = (
+        codes.select(id_col, "subspace", "code")
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("subspace") == i, F.col("__ld__"))
+                ).alias(f"__l{i}__")
+                for i in range(m)
+            ]
+        )
+    )
+    total = F.col("__l0__")
+    for i in range(1, m):
+        total = total + F.col(f"__l{i}__")
+    return (
+        per.select(F.col(id_col), total.alias("__t__"))
+        .orderBy(F.col("__t__").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round(F.col("__t__"), 6).alias("approx_l2sq"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

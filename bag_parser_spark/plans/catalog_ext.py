@@ -1037,6 +1037,260 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+_PQ_M, _PQ_DIM, _PQ_CENT_MOD = 4, 64, 25
+_PQ_W = _PQ_DIM // _PQ_M
+
+
+def _pq_codebooks(e):
+    """(subspace, code, cv): every _PQ_CENT_MOD-th vector's subvectors —
+    the deterministic stand-in for k-means-trained codebooks."""
+    return (
+        e.filter(F.col("vec_id") % _PQ_CENT_MOD == 0)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(_PQ_M - 1).cast("long")
+                )
+            ).alias("subspace"),
+            F.col("vec_id").alias("code"),
+            F.col("embedding").alias("__e__"),
+        )
+        .select(
+            "subspace",
+            "code",
+            F.slice(
+                F.col("__e__"),
+                (F.col("subspace") * _PQ_W + 1).cast("int"),
+                _PQ_W,
+            ).alias("cv"),
+        )
+    )
+
+
+@register(
+    "sim_pq_encode",
+    f"""
+    WITH cb AS (
+      SELECT CAST(mm.m AS BIGINT) AS subspace, e.vec_id AS code,
+             (CAST(e.embedding AS DOUBLE[]))
+               [CAST(mm.m * {_PQ_W} + 1 AS INTEGER)
+                : CAST(mm.m * {_PQ_W} + {_PQ_W} AS INTEGER)] AS cv
+      FROM embeddings e, UNNEST(range(0, {_PQ_M})) AS mm(m)
+      WHERE e.vec_id % {_PQ_CENT_MOD} = 0
+    ),
+    sv AS (
+      SELECT e.vec_id, CAST(mm.m AS BIGINT) AS subspace,
+             (CAST(e.embedding AS DOUBLE[]))
+               [CAST(mm.m * {_PQ_W} + 1 AS INTEGER)
+                : CAST(mm.m * {_PQ_W} + {_PQ_W} AS INTEGER)] AS v
+      FROM embeddings e, UNNEST(range(0, {_PQ_M})) AS mm(m)
+    ),
+    scored AS (
+      SELECT sv.vec_id, sv.subspace, cb.code,
+             list_transform(range(1, {_PQ_W + 1}),
+                            i -> sv.v[i] - cb.cv[i]) AS d,
+             list_dot_product(d, d) AS dist
+      FROM sv JOIN cb USING (subspace)
+    )
+    SELECT vec_id, subspace, code, round(dist, 6) AS err
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id, subspace ORDER BY dist ASC, code ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    doc="Product-quantization encoding (Jegou et al. 2011) — the "
+    "billion-vector ANN compression: 64-dim vectors split into 4 "
+    "subspaces of 16 dims, each subvector replaced by its nearest "
+    "(squared-L2, code-id tie-break) entry of a per-subspace codebook "
+    "(every 25th vector's subvectors here — k-means-trained in a real "
+    "index, any fixed codebook for the encoding itself). Map-only "
+    "subvector explode, BROADCAST codebook join (PQ codebooks are tiny "
+    "by design), min-of-struct argmin with map-side partials; left-fold "
+    "double distances, engine-reproducible.",
+)
+def q_sim_pq_encode(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(
+        e, id_col="vec_id", vec_col="embedding",
+        codebooks=_pq_codebooks(e), m=_PQ_M, dim=_PQ_DIM,
+    )
+
+
+_PQ_CODES_CTES = f"""
+    WITH cb AS (
+      SELECT CAST(mm.m AS BIGINT) AS subspace, e.vec_id AS code,
+             (CAST(e.embedding AS DOUBLE[]))
+               [CAST(mm.m * {_PQ_W} + 1 AS INTEGER)
+                : CAST(mm.m * {_PQ_W} + {_PQ_W} AS INTEGER)] AS cv
+      FROM embeddings e, UNNEST(range(0, {_PQ_M})) AS mm(m)
+      WHERE e.vec_id % {_PQ_CENT_MOD} = 0
+    ),
+    sv AS (
+      SELECT e.vec_id, CAST(mm.m AS BIGINT) AS subspace,
+             (CAST(e.embedding AS DOUBLE[]))
+               [CAST(mm.m * {_PQ_W} + 1 AS INTEGER)
+                : CAST(mm.m * {_PQ_W} + {_PQ_W} AS INTEGER)] AS v
+      FROM embeddings e, UNNEST(range(0, {_PQ_M})) AS mm(m)
+    ),
+    scored AS (
+      SELECT sv.vec_id, sv.subspace, cb.code,
+             list_transform(range(1, {_PQ_W + 1}),
+                            i -> sv.v[i] - cb.cv[i]) AS d,
+             list_dot_product(d, d) AS dist
+      FROM sv JOIN cb USING (subspace)
+    ),
+    codes AS (
+      SELECT vec_id, subspace, code, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, subspace
+          ORDER BY dist ASC, code ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "sim_pq_adc_topk",
+    _PQ_CODES_CTES + f""",
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qfull
+      FROM embeddings WHERE vec_id = 0
+    ),
+    lut AS (
+      SELECT cb.subspace, cb.code,
+             q.qfull[CAST(cb.subspace * {_PQ_W} + 1 AS INTEGER)
+                     : CAST(cb.subspace * {_PQ_W} + {_PQ_W} AS INTEGER)]
+               AS qsub,
+             list_transform(range(1, {_PQ_W + 1}),
+                            i -> qsub[i] - cb.cv[i]) AS d,
+             list_dot_product(d, d) AS ld
+      FROM cb, q
+    ),
+    per AS (
+      SELECT c.vec_id,
+             MIN(CASE WHEN c.subspace = 0 THEN l.ld END) AS l0,
+             MIN(CASE WHEN c.subspace = 1 THEN l.ld END) AS l1,
+             MIN(CASE WHEN c.subspace = 2 THEN l.ld END) AS l2,
+             MIN(CASE WHEN c.subspace = 3 THEN l.ld END) AS l3
+      FROM codes c JOIN lut l USING (subspace, code)
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(((l0 + l1) + l2) + l3, 6) AS approx_l2sq
+    FROM per
+    ORDER BY ((l0 + l1) + l2) + l3 ASC, vec_id ASC
+    LIMIT {10}
+    """,
+    doc="PQ asymmetric-distance top-k — how a PQ index is queried: the "
+    "unquantized query's squared-L2 to every codebook entry is computed "
+    "ONCE (an m*k lookup table, broadcast), each encoded vector's "
+    "approximate distance is m lookups summed in FIXED subspace order "
+    "(left-associated adds, never an order-nondeterministic SUM over "
+    "doubles), top-k via per-task heaps. Raw vectors are never read at "
+    "query time — the whole memory story of billion-vector ANN. "
+    "Composes sim_pq_encode's codes; oracle recomputes encode + LUT + "
+    "ADC end to end.",
+)
+def q_sim_pq_adc_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks(e)
+    codes = similarity.pq_encode(
+        e, id_col="vec_id", vec_col="embedding",
+        codebooks=cb, m=_PQ_M, dim=_PQ_DIM,
+    )
+    return similarity.pq_adc_topk(
+        codes, cb, _query_vec(spark, sf_dir),
+        id_col="vec_id", k=10, m=_PQ_M, dim=_PQ_DIM,
+    )
+
+
+@register(
+    "sim_pq_recall",
+    _PQ_CODES_CTES + f""",
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qfull
+      FROM embeddings WHERE vec_id = 0
+    ),
+    lut AS (
+      SELECT cb.subspace, cb.code,
+             q.qfull[CAST(cb.subspace * {_PQ_W} + 1 AS INTEGER)
+                     : CAST(cb.subspace * {_PQ_W} + {_PQ_W} AS INTEGER)]
+               AS qsub,
+             list_transform(range(1, {_PQ_W + 1}),
+                            i -> qsub[i] - cb.cv[i]) AS d,
+             list_dot_product(d, d) AS ld
+      FROM cb, q
+    ),
+    per AS (
+      SELECT c.vec_id,
+             MIN(CASE WHEN c.subspace = 0 THEN l.ld END) AS l0,
+             MIN(CASE WHEN c.subspace = 1 THEN l.ld END) AS l1,
+             MIN(CASE WHEN c.subspace = 2 THEN l.ld END) AS l2,
+             MIN(CASE WHEN c.subspace = 3 THEN l.ld END) AS l3
+      FROM codes c JOIN lut l USING (subspace, code)
+      GROUP BY c.vec_id
+    ),
+    adc AS (
+      SELECT vec_id FROM per
+      ORDER BY ((l0 + l1) + l2) + l3 ASC, vec_id ASC LIMIT 10
+    ),
+    exact AS (
+      SELECT e.vec_id,
+             list_transform(range(1, {_PQ_DIM + 1}),
+                            i -> CAST(e.embedding[i] AS DOUBLE) - q.qfull[i])
+               AS d,
+             list_dot_product(d, d) AS dist
+      FROM embeddings e, q
+      ORDER BY dist ASC, e.vec_id ASC LIMIT 10
+    )
+    SELECT 10 AS k, COUNT(*) AS n_hits,
+           round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
+    FROM adc JOIN exact USING (vec_id)
+    """,
+    doc="Measured PQ quality: recall@10 of the asymmetric-distance "
+    "search against the exact squared-L2 top-10 for the same query — "
+    "the compression/quality trade every PQ deployment tunes (raise "
+    "m or k until recall holds). Exact side is one bounded heap over "
+    "the corpus; the intersection is an id equi-join of two 10-row "
+    "sets. Oracle recomputes encode, LUT, ADC, and the exact ranking "
+    "end to end.",
+)
+def q_sim_pq_recall(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks(e)
+    codes = similarity.pq_encode(
+        e, id_col="vec_id", vec_col="embedding",
+        codebooks=cb, m=_PQ_M, dim=_PQ_DIM,
+    )
+    qv = _query_vec(spark, sf_dir)
+    adc = similarity.pq_adc_topk(
+        codes, cb, qv, id_col="vec_id", k=10, m=_PQ_M, dim=_PQ_DIM,
+    ).select("vec_id")
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    exact = (
+        e.select(
+            "vec_id",
+            similarity._l2sq(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                q,
+            ).alias("__d__"),
+        )
+        .orderBy(F.col("__d__").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    return (
+        adc.join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(10).alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
+        )
+    )
+
+
 _SEG_W, _SEG_DROP_PCT = 10, 50
 
 

@@ -83,6 +83,9 @@ HEADLINE = [
     "dedup_verified_pairs",
     "dedup_incremental",
     "mm_image_neardup",
+    "dedup_segment_fraction",
+    "sim_pq_encode",
+    "sim_pq_adc_topk",
 ]
 
 

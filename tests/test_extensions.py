@@ -1462,3 +1462,73 @@ def test_incremental_lsh_bucketed_signature_store_exchange_free(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_sig_banded")
+
+
+def test_pq_encode_known_values_and_broadcast_plan(spark):
+    """Hand-checkable PQ: 4-dim vectors, 2 subspaces of 2 dims, 2
+    codebook entries per subspace. Nearest entry per subvector with
+    code-id tie-break; the codebook join must be a broadcast (PQ
+    codebooks are tiny by construction — shuffling vectors against them
+    would defeat the point)."""
+    from bag_parser_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 5.0, 5.0]), (2, [1.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cb = spark.createDataFrame(
+        [
+            (0, 10, [0.0, 0.0]), (0, 11, [2.0, 2.0]),
+            (1, 10, [5.0, 5.0]), (1, 11, [0.0, 1.0]),
+        ],
+        "subspace long, code long, cv array<double>",
+    )
+    out = {
+        (r["vec_id"], r["subspace"]): (r["code"], r["err"])
+        for r in similarity.pq_encode(
+            df, id_col="vec_id", vec_col="embedding",
+            codebooks=cb, m=2, dim=4,
+        ).collect()
+    }
+    assert out[(1, 0)] == (10, 0.0)    # [0,0]: dist 0 vs 8
+    assert out[(1, 1)] == (10, 0.0)    # [5,5]: dist 0 vs 41
+    assert out[(2, 0)] == (10, 2.0)    # [1,1]: 2 vs 2 -> tie, lower code
+    assert out[(2, 1)] == (11, 1.0)    # [0,0]: 50 vs 1
+    plan = (
+        similarity.pq_encode(
+            df, id_col="vec_id", vec_col="embedding",
+            codebooks=cb, m=2, dim=4,
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_topk_known_values_and_heap_plan(spark):
+    """ADC over hand-checkable codes: vectors that ARE codebook entries
+    get approximate distance equal to the true L2² between their codes'
+    entries and the query. Top-k must be a heap (TakeOrderedAndProject),
+    and the LUT join a broadcast."""
+    from bag_parser_spark.operators import similarity
+
+    cb = spark.createDataFrame(
+        [
+            (0, 10, [0.0, 0.0]), (0, 11, [3.0, 0.0]),
+            (1, 10, [0.0, 0.0]), (1, 11, [0.0, 4.0]),
+        ],
+        "subspace long, code long, cv array<double>",
+    )
+    # vec 1 → codes (10, 10) = [0,0,0,0]; vec 2 → (11, 11) = [3,0,0,4]
+    codes = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 10), (2, 0, 11), (2, 1, 11)],
+        "vec_id long, subspace long, code long",
+    )
+    out = similarity.pq_adc_topk(
+        codes, cb, query_vec=[0.0, 0.0, 0.0, 0.0],
+        id_col="vec_id", k=10, m=2, dim=4,
+    )
+    rows = [(r["vec_id"], r["approx_l2sq"]) for r in out.collect()]
+    assert rows == [(1, 0.0), (2, 25.0)]  # 3²+4² for vec 2; sorted asc
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

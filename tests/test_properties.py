@@ -230,3 +230,50 @@ def test_repeated_substring_anchor_offset_independent(spark, data):
             f"anchors in {passage!r} lost under padding "
             f"pre1={pre1!r} pre2={pre2!r}"
         )
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_segment_dup_stats_matches_python_model(spark, data):
+    """segment_dup_stats against a plain-Python model: random small
+    corpora with forced segment sharing (docs drawn from a tiny word
+    pool in fixed-size blocks so cross-doc block collisions are
+    likely)."""
+    from bag_parser_spark.operators.dedup import segment_dup_stats
+
+    w = data.draw(st.integers(min_value=2, max_value=4))
+    block = lambda bid: " ".join(f"b{bid}t{j}" for j in range(w))  # noqa: E731
+    n_docs = data.draw(st.integers(min_value=2, max_value=6))
+    docs = []
+    for i in range(n_docs):
+        n_blocks = data.draw(st.integers(min_value=1, max_value=4))
+        ids = [
+            data.draw(st.integers(min_value=0, max_value=3))
+            for _ in range(n_blocks)
+        ]
+        docs.append((i, " ".join(block(b) for b in ids)))
+
+    # python model: same segmentation (consecutive w-token windows)
+    segs = {}
+    for i, text in docs:
+        toks = text.split()
+        segs[i] = [
+            " ".join(toks[s : s + w]) for s in range(0, len(toks), w)
+        ]
+    docs_per_seg = {}
+    for i, ss in segs.items():
+        for s in set(ss):
+            docs_per_seg.setdefault(s, set()).add(i)
+    expect = {}
+    for i, ss in segs.items():
+        dup = sum(1 for s in ss if len(docs_per_seg[s]) > 1)
+        expect[i] = (len(ss), dup)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_dup_segments"])
+        for r in segment_dup_stats(
+            df, id_col="doc_id", text_col="text", segment_words=w
+        ).collect()
+    }
+    assert got == expect
