@@ -1995,3 +1995,126 @@ def q_dq_column_profile(spark, sf_dir):
         ),
     )
     return wide.selectExpr(stack_expr)
+
+
+# ---------------------------------------------------------------------------
+# corpus_datasheet — per-source + corpus-total summary (datasheets for
+# datasets)
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_datasheet",
+    f"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             len({O.words_sql('text')}) AS n_toks
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(n_toks) AS BIGINT) AS min_doc_tokens,
+           CAST(MAX(n_toks) AS BIGINT) AS max_doc_tokens,
+           round(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 6)
+             AS mean_doc_tokens,
+           round(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS en_share
+    FROM d
+    GROUP BY ROLLUP(source)
+    """,
+    doc="Corpus datasheet ('Datasheets for Datasets', Gebru et al. "
+    "2021): the per-source + corpus-total composition summary every "
+    "training-data release ships — doc/char/token volumes, language "
+    "spread, per-doc token range/mean, English share. One pass: map-"
+    "side token counting, ROLLUP(source) so the ALL row rides the same "
+    "shuffle (no second scan), integer sums exact at any scale, the "
+    "two ratios are single divisions of exact integers (no float "
+    "accumulation across rows).",
+)
+def q_corpus_datasheet(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    base = d.select(
+        "source", "lang", "n_chars", toks.cast("long").alias("__nt__")
+    )
+    return base.rollup("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("__nt__").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.min("__nt__").alias("min_doc_tokens"),
+        F.max("__nt__").alias("max_doc_tokens"),
+        F.round(
+            F.sum("__nt__") / F.count(F.lit(1)), 6
+        ).alias("mean_doc_tokens"),
+        F.round(
+            F.sum((F.col("lang") == "en").cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("en_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_pagerank_step — one integer-exact PageRank iteration on the
+# customer→supplier purchase graph
+# ---------------------------------------------------------------------------
+
+_PR_SCALE, _PR_D_PCT = 1_000_000, 85
+
+
+@register(
+    "ml_pagerank_step",
+    f"""
+    WITH e AS (
+      SELECT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    contrib AS (
+      SELECT e.dst, SUM({_PR_SCALE} // outd.od) AS s
+      FROM e JOIN outd USING (src)
+      GROUP BY e.dst
+    )
+    SELECT dst AS suppkey,
+           ({100 - _PR_D_PCT} * {_PR_SCALE}) // 100
+             + ({_PR_D_PCT} * CAST(s AS BIGINT)) // 100 AS rank_micro
+    FROM contrib
+    """,
+    doc="One PageRank power-iteration step over the customer→supplier "
+    "purchase graph (edge per lineitem, multi-edges keep their "
+    "multiplicity as weight), damping 0.85, uniform start. INTEGER-"
+    "exact like ml_kmeans_step/ml_pca_power_step: ranks live in "
+    "micro-units, per-edge contribution is rank div outdegree and the "
+    "damped update is integer div 100 — no float accumulates across "
+    "rows, so any engine/partitioning reproduces it bit-for-bit. "
+    "Scale shape: the edge build is the orderkey equi-join (bucket "
+    "both sides in a real deployment), outdegree is an ids-only "
+    "aggregate, contributions combine map-side per (dst); iterating "
+    "repeats this step — the classic iterative-algorithm-as-joins "
+    "shape. Suppliers with no purchases are absent (they would carry "
+    "the bare teleport rank).",
+)
+def q_ml_pagerank_step(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    e = l.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst")).join(
+        o.select(F.col("o_orderkey"), F.col("o_custkey").alias("src")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("src", "dst")
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    contrib = (
+        e.join(outd, "src")
+        .select("dst", F.expr(f"{_PR_SCALE} div od").alias("__c__"))
+        .groupBy("dst")
+        .agg(F.sum("__c__").alias("__s__"))
+    )
+    return contrib.select(
+        F.col("dst").alias("suppkey"),
+        F.expr(
+            f"({100 - _PR_D_PCT} * {_PR_SCALE}) div 100"
+            f" + ({_PR_D_PCT} * __s__) div 100"
+        ).alias("rank_micro"),
+    )

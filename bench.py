@@ -86,6 +86,8 @@ HEADLINE = [
     "dedup_segment_fraction",
     "sim_pq_encode",
     "sim_pq_adc_topk",
+    "corpus_datasheet",
+    "ml_pagerank_step",
 ]
 
 

@@ -1532,3 +1532,32 @@ def test_pq_adc_topk_known_values_and_heap_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_pagerank_step_known_values(spark):
+    """Hand-computed one-step PageRank on a 3-edge bipartite graph:
+    customer 1 buys from suppliers A,A,B (outdeg 3, A twice), customer
+    2 from B (outdeg 1). Integer micro-unit arithmetic, exact."""
+    from bag_parser_spark.plans.catalog import registry
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(100, 7, 1), (100, 7, 2), (100, 8, 3), (200, 8, 1)],
+            "l_orderkey long, l_suppkey long, l_linenumber long",
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        spark.createDataFrame(
+            [(100, 1), (200, 2)], "o_orderkey long, o_custkey long"
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        got = {
+            r["suppkey"]: r["rank_micro"]
+            for r in registry()["ml_pagerank_step"].fn(spark, d).collect()
+        }
+    # cust1: od=3, per-edge 1000000 div 3 = 333333; cust2: od=1 -> 1000000
+    # A: s=666666 -> 150000 + (85*666666) div 100 = 150000 + 566666
+    # B: s=333333+1000000 -> 150000 + (85*1333333) div 100
+    assert got == {
+        7: 150000 + (85 * 666666) // 100,
+        8: 150000 + (85 * 1333333) // 100,
+    }
