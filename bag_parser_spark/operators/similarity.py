@@ -578,6 +578,99 @@ def pq_adc_topk(
     )
 
 
+def pq_adc_topk_batch(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Batched PQ asymmetric-distance search — the serving shape:
+    ``queries`` is a DataFrame of (qid, qvec) and every query gets its
+    own m·k lookup table in ONE pass (queries × codebooks, both tiny —
+    the LUT table is |Q|·m·k rows and broadcasts), then every encoded
+    vector's distance to every query is m lookups + a fixed-order sum,
+    and a per-query rank window keeps k. Returns (qid, id,
+    approx_l2sq) rounded 6, k rows per query, ties by id.
+
+    Scale shape: same as ``pq_adc_topk`` per query — raw vectors never
+    read; the only per-corpus-row work is the broadcast LUT join and
+    the (qid, id) aggregate (map-side partials). The top-k is a rank
+    window PARTITIONED by qid (never a global sort); with |Q| queries
+    the shuffle carries |Q|·|corpus| skinny rows — batch your queries
+    to what the cluster's shuffle comfortably holds, exactly how ANN
+    serving batches work.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    from pyspark.sql import Window
+
+    cb = codebooks.select(
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("code"),
+        _as_double(F.col("cv")).alias("__cv__"),
+    )
+    lut = (
+        queries.select(
+            F.col(qid_col).alias("__qid__"),
+            _as_double(F.col(qvec_col)).alias("__qv__"),
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "__qid__",
+            "subspace",
+            "code",
+            _l2sq(
+                F.slice(
+                    F.col("__qv__"),
+                    (F.col("subspace") * w + 1).cast("int"),
+                    w,
+                ),
+                F.col("__cv__"),
+            ).alias("__ld__"),
+        )
+    )
+    per = (
+        codes.select(id_col, "subspace", "code")
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("__qid__", id_col)
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("subspace") == i, F.col("__ld__"))
+                ).alias(f"__l{i}__")
+                for i in range(m)
+            ]
+        )
+    )
+    total = F.col("__l0__")
+    for i in range(1, m):
+        total = total + F.col(f"__l{i}__")
+    ranked = per.select(
+        F.col("__qid__"), F.col(id_col), total.alias("__t__")
+    ).withColumn(
+        "__rn__",
+        F.row_number().over(
+            Window.partitionBy("__qid__").orderBy(
+                F.col("__t__").asc(), F.col(id_col).asc()
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("__rn__") <= k)
+        .select(
+            F.col("__qid__").alias(qid_col),
+            id_col,
+            F.round(F.col("__t__"), 6).alias("approx_l2sq"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

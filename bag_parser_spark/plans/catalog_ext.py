@@ -1291,6 +1291,67 @@ def q_sim_pq_recall(spark, sf_dir):
     )
 
 
+_PQ_BATCH_Q = 3
+
+
+@register(
+    "sim_pq_adc_batch",
+    _PQ_CODES_CTES + f""",
+    probes AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qfull
+      FROM embeddings WHERE vec_id < {_PQ_BATCH_Q}
+    ),
+    lut AS (
+      SELECT p.qid, cb.subspace, cb.code,
+             p.qfull[CAST(cb.subspace * {_PQ_W} + 1 AS INTEGER)
+                     : CAST(cb.subspace * {_PQ_W} + {_PQ_W} AS INTEGER)]
+               AS qsub,
+             list_transform(range(1, {_PQ_W + 1}),
+                            i -> qsub[i] - cb.cv[i]) AS d,
+             list_dot_product(d, d) AS ld
+      FROM cb, probes p
+    ),
+    per AS (
+      SELECT l.qid, c.vec_id,
+             MIN(CASE WHEN c.subspace = 0 THEN l.ld END) AS l0,
+             MIN(CASE WHEN c.subspace = 1 THEN l.ld END) AS l1,
+             MIN(CASE WHEN c.subspace = 2 THEN l.ld END) AS l2,
+             MIN(CASE WHEN c.subspace = 3 THEN l.ld END) AS l3
+      FROM codes c JOIN lut l USING (subspace, code)
+      GROUP BY l.qid, c.vec_id
+    )
+    SELECT qid, vec_id, round(((l0 + l1) + l2) + l3, 6) AS approx_l2sq
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid
+        ORDER BY ((l0 + l1) + l2) + l3 ASC, vec_id ASC) AS rn
+      FROM per
+    ) WHERE rn <= 10
+    """,
+    doc="Batched PQ asymmetric-distance search — the ANN SERVING shape: "
+    "every probe query gets its own m*k lookup table in one pass "
+    "(queries x codebooks, broadcast), every encoded vector's distance "
+    "to every probe is m lookups + a fixed-order sum, and a rank "
+    "window PARTITIONED by query keeps k — never a global sort, never "
+    "a raw-vector read. Batch size is the shuffle-volume knob "
+    "(|Q|*|corpus| skinny rows), exactly how production ANN batches.",
+)
+def q_sim_pq_adc_batch(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks(e)
+    codes = similarity.pq_encode(
+        e, id_col="vec_id", vec_col="embedding",
+        codebooks=cb, m=_PQ_M, dim=_PQ_DIM,
+    )
+    probes = e.filter(F.col("vec_id") < _PQ_BATCH_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return similarity.pq_adc_topk_batch(
+        codes, cb, probes, id_col="vec_id", qid_col="qid",
+        qvec_col="qv", k=10, m=_PQ_M, dim=_PQ_DIM,
+    )
+
+
 _SEG_W, _SEG_DROP_PCT = 10, 50
 
 
