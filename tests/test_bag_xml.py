@@ -474,3 +474,47 @@ def test_native_backend_parity_real_nested_vbo_layout(spark, tmp_path):
     r = rows["native"]
     assert r["pand_id"] == "PAND1,PAND2"
     assert r["rd_x"] == 155000.0 and r["rd_y"] == 463000.0
+
+
+def test_extract_bag_delivery_two_level_zip(spark, tmp_path):
+    """The REAL delivery shape: one outer zip holding per-entity zips
+    whose members are anonymous numbered XMLs. extract_bag_delivery
+    must flatten to plain .xml files that keep per-entity selection via
+    the file-code prefix, and the native backend must then read them."""
+    import sys as _sys
+    import zipfile as _zf
+
+    import os as _os
+
+    _sys.path.insert(
+        0, _os.path.join(_os.path.dirname(__file__), "..", "scripts")
+    )
+    from import_bench import SNAPSHOT, generate_fixture
+
+    from bag_parser_spark.config import EngineConfig
+    from bag_parser_spark.plans.bag_job import entity_xml_path
+    from bag_parser_spark.sources.bag_xml import (
+        extract_bag_delivery,
+        read_bag_entity,
+    )
+
+    inner = tmp_path / "inner"
+    generate_fixture(str(inner), 200, objects_per_file=100, layout="zips")
+    outer = tmp_path / "lvbag-extract-nl.zip"
+    with _zf.ZipFile(outer, "w") as zf:
+        for p in sorted(inner.glob("*.zip")):
+            zf.write(p, p.name)
+
+    dest = str(tmp_path / "flat")
+    extract_bag_delivery(str(outer), dest)
+    xmls = sorted(_os.listdir(dest))
+    assert xmls and all(x.endswith(".xml") for x in xmls)
+    # per-entity file-code glob still selects (names carry the prefix)
+    wpl_glob = entity_xml_path(dest, "Woonplaats")
+    assert wpl_glob != dest  # matched the 9999WPL* pattern
+
+    cfg = EngineConfig(
+        active_only=True, snapshot_date=SNAPSHOT, xml_backend="native"
+    )
+    rows = read_bag_entity(spark, wpl_glob, "Woonplaats", cfg)
+    assert rows.count() > 0
