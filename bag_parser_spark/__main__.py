@@ -235,6 +235,7 @@ def cmd_prepare(args) -> int:
         seed=args.seed,
         near_dedup=not args.no_near_dedup,
         near_dup_threshold=args.near_dup_threshold,
+        max_segment_dup_pct=args.max_segment_dup_pct,
     )
     _log(f"prepared {summary['n_out']} docs -> {summary['out']}")
     print(json.dumps(summary, sort_keys=True))
@@ -332,6 +333,10 @@ def build_parser() -> argparse.ArgumentParser:
                       help="exact n-gram Jaccard a candidate pair must "
                       "reach before it may merge clusters (LSH candidates "
                       "are verified, never trusted raw)")
+    prep.add_argument("--max-segment-dup-pct", type=int, default=None,
+                      help="drop docs whose duplicated-segment share "
+                      "reaches this percent (sub-document boilerplate "
+                      "gate; off by default)")
     _add_spark_args(prep)
     prep.set_defaults(fn=cmd_prepare)
 

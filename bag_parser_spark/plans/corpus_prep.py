@@ -39,6 +39,7 @@ def prepare_corpus(
     seed: int = 42,
     near_dedup: bool = True,
     near_dup_threshold: float = 0.5,
+    max_segment_dup_pct: int | None = None,
 ) -> dict:
     """Run the curation pipeline and write ``out_dir`` partitioned by
     ``split``. Returns a summary dict (input/kept/emitted counts and the
@@ -92,6 +93,25 @@ def prepare_corpus(
         ).select(id_col)
         unique = unique.join(drop, id_col, "left_anti")
 
+    if max_segment_dup_pct is not None:
+        # Sub-document boilerplate gate (CCNet/RefinedWeb line dedup):
+        # whole-doc dedup above cannot see a shared header/footer inside
+        # otherwise-unique documents. Runs on the post-dedup survivors
+        # so canonical docs don't count their deleted duplicates as
+        # segment sharers; integer drop rule, same contract as
+        # dedup.segment_dup_stats.
+        seg_drop = (
+            dedup.segment_dup_stats(
+                unique,
+                id_col=id_col,
+                text_col=text_col,
+                drop_threshold_pct=max_segment_dup_pct,
+            )
+            .filter(~F.col("keep"))
+            .select(id_col)
+        )
+        unique = unique.join(seg_drop, id_col, "left_anti")
+
     split_df = sampling.hash_split(
         unique, id_col=id_col, splits=splits or DEFAULT_SPLITS, seed=seed
     ).drop("__content__", "lang_pred")
@@ -116,6 +136,7 @@ def prepare_corpus(
         "splits": by_split,
         "near_dedup": near_dedup,
         "near_dup_threshold": near_dup_threshold,
+        "max_segment_dup_pct": max_segment_dup_pct,
         "min_quality": min_quality,
         "lang": lang,
         "seed": seed,

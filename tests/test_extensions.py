@@ -1561,3 +1561,35 @@ def test_pagerank_step_known_values(spark):
         7: 150000 + (85 * 666666) // 100,
         8: 150000 + (85 * 1333333) // 100,
     }
+
+
+def test_prepare_corpus_segment_dup_gate(spark, tmp_path):
+    """prepare_corpus --max-segment-dup-pct: two docs sharing a 10-token
+    boilerplate header (half their content — below the whole-doc
+    near-dup bar, invisible to exact dedup) are dropped by the
+    sub-document gate; the fully-unique doc survives."""
+    from bag_parser_spark.plans.corpus_prep import prepare_corpus
+
+    header = " ".join(f"h{i}" for i in range(10))
+    mk = lambda t: " ".join(f"{t}{i}" for i in range(10))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, header + " " + mk("a")),
+            (2, header + " " + mk("b")),
+            (3, mk("c") + " " + mk("d")),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "corpus")
+    summary = prepare_corpus(
+        spark, docs, out,
+        min_quality=0.0, lang=None, max_segment_dup_pct=50,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {3}
+    assert summary["n_out"] == 1
+    assert summary["max_segment_dup_pct"] == 50
+    # gate off: all three survive (they are neither exact nor near dups)
+    out2 = str(tmp_path / "corpus2")
+    prepare_corpus(spark, docs, out2, min_quality=0.0, lang=None)
+    assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == {1, 2, 3}
