@@ -588,3 +588,104 @@ def bpe_pair_counts(
     topk = pc.orderBy(F.col("pair_count").desc(), F.col("pair")).limit(top_k)
     w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def bpe_merge_step(df, text_col: str = "text", top_k: int = 20):
+    """One full BPE tokenizer-training iteration, relational end to end:
+    count adjacent symbol pairs (``bpe_pair_counts``), pick the argmax
+    merge (count desc, pair asc — deterministic), APPLY it to every
+    word's symbol sequence, and return the post-merge pair counts — the
+    input to the next iteration. Training a tokenizer is just this step
+    in a loop.
+
+    The merge itself is the subtle part: greedy left-to-right,
+    non-overlapping (``aaa`` under merge (a,a) becomes ``[aa, a]``, not
+    two overlapping merges). Implemented with a boundary-safe LITERAL
+    string replace — each symbol wrapped as ``|sym|`` and the pair
+    ``|x||y|`` replaced by ``|xy|`` — because literal ``replace()`` is
+    greedy-left and non-overlapping in every engine (Java and DuckDB
+    alike), making the merge bit-reproducible without a single UDF. The
+    wrapped form keeps each symbol's OWN delimiters, so consecutive
+    disjoint matches (``[x,y,x,y]``) all merge in one pass.
+
+    Scale shape: everything runs over the word-FREQUENCY table (vocab-
+    bounded by Zipf), never per token occurrence; the argmax pair is a
+    1-row broadcast crossJoin (no driver round-trip); shuffles are the
+    word groupBy and the post-merge pair groupBy — both map-side
+    combined. Returns (pair_a, pair_b, pair_count, rank), ``top_k``
+    rows.
+    """
+    from pyspark.sql import Window
+
+    wf = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pair_idx = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array())
+    top1 = (
+        wf.select(
+            "f",
+            F.explode(
+                F.transform(
+                    pair_idx, lambda i: F.col("w").substr(i, F.lit(2))
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("f").alias("__c__"))
+        .orderBy(F.col("__c__").desc(), F.col("pair"))
+        .limit(1)
+        .select(
+            F.col("pair").substr(1, 1).alias("__x__"),
+            F.col("pair").substr(2, 1).alias("__y__"),
+        )
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    wrapped = F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
+    merged = (
+        wf.crossJoin(F.broadcast(top1))
+        .withColumn("__s__", wrapped)
+        .select(
+            "f",
+            F.expr(
+                "replace(__s__, '|' || __x__ || '||' || __y__ || '|', "
+                "'|' || __x__ || __y__ || '|')"
+            ).alias("__m__"),
+        )
+    )
+    syms = merged.select(
+        "f",
+        F.split(
+            F.expr("substring(__m__, 2, length(__m__) - 2)"), r"\|\|"
+        ).alias("__a__"),
+    )
+    sym_idx = F.when(
+        F.size("__a__") >= 2, F.sequence(F.lit(1), F.size("__a__") - 1)
+    ).otherwise(F.array())
+    pairs = syms.select(
+        "f",
+        F.explode(
+            F.transform(
+                sym_idx,
+                lambda i: F.struct(
+                    F.element_at("__a__", i).alias("pair_a"),
+                    F.element_at("__a__", i + 1).alias("pair_b"),
+                ),
+            )
+        ).alias("__p__"),
+    ).select("f", F.col("__p__.pair_a"), F.col("__p__.pair_b"))
+    pc = pairs.groupBy("pair_a", "pair_b").agg(
+        F.sum("f").alias("pair_count")
+    )
+    order = [
+        F.col("pair_count").desc(), F.col("pair_a"), F.col("pair_b"),
+    ]
+    topk = pc.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -2533,6 +2533,78 @@ def q_bpe_pairs(spark, sf_dir):
     )
 
 
+_BPE_MERGE_TOPK = 20
+
+
+@register(
+    "text_bpe_merge_step",
+    f"""
+    WITH wf AS (
+      SELECT token AS w, COUNT(*) AS f
+      FROM (SELECT unnest({O.words_sql('lower(text)')}) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    pairs0 AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, f
+      FROM (SELECT w, f, unnest(range(1, length(w))) AS i FROM wf)
+    ),
+    top1 AS (
+      SELECT substring(pair, 1, 1) AS x, substring(pair, 2, 1) AS y
+      FROM (
+        SELECT pair, SUM(f) AS c FROM pairs0 GROUP BY pair
+        ORDER BY c DESC, pair LIMIT 1
+      )
+    ),
+    merged AS (
+      SELECT f,
+             replace(
+               '|' || array_to_string(
+                 list_transform(range(1, length(w) + 1),
+                                i -> substring(w, CAST(i AS INTEGER), 1)),
+                 '||') || '|',
+               '|' || t.x || '||' || t.y || '|',
+               '|' || t.x || t.y || '|') AS m
+      FROM wf, top1 t
+    ),
+    syms AS (
+      SELECT f,
+             string_split(substring(m, 2, length(m) - 2), '||') AS a
+      FROM merged
+    ),
+    p AS (
+      SELECT a[CAST(i AS INTEGER)] AS pair_a,
+             a[CAST(i + 1 AS INTEGER)] AS pair_b, f
+      FROM (SELECT a, f, unnest(range(1, len(a))) AS i FROM syms)
+    ),
+    pc AS (
+      SELECT pair_a, pair_b, CAST(SUM(f) AS BIGINT) AS pair_count
+      FROM p GROUP BY pair_a, pair_b
+    )
+    SELECT pair_a, pair_b, pair_count, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY pair_count DESC, pair_a, pair_b) AS rank
+      FROM pc
+    ) WHERE rank <= {_BPE_MERGE_TOPK}
+    """,
+    doc="One FULL BPE tokenizer-training iteration: count adjacent "
+    "symbol pairs, pick the argmax merge (count desc, pair asc), APPLY "
+    "it to every word's symbol sequence, and emit the post-merge pair "
+    "counts — the input of iteration 2; training is this step in a "
+    "loop. The greedy non-overlapping merge is a boundary-safe LITERAL "
+    "replace over |-wrapped symbols (literal replace is greedy-left in "
+    "every engine), so the whole iteration is UDF-free and bit-"
+    "reproducible. Runs over the Zipf-bounded word-frequency table, "
+    "never the token stream; the argmax is a 1-row broadcast.",
+)
+def q_text_bpe_merge_step(spark, sf_dir):
+    return text.bpe_merge_step(
+        _t(spark, sf_dir, "documents"),
+        text_col="text",
+        top_k=_BPE_MERGE_TOPK,
+    )
+
+
 @register(
     "ml_pca_power_step",
     """

@@ -88,6 +88,7 @@ HEADLINE = [
     "sim_pq_adc_topk",
     "corpus_datasheet",
     "ml_pagerank_step",
+    "text_bpe_merge_step",
 ]
 
 

@@ -1593,3 +1593,26 @@ def test_prepare_corpus_segment_dup_gate(spark, tmp_path):
     out2 = str(tmp_path / "corpus2")
     prepare_corpus(spark, docs, out2, min_quality=0.0, lang=None)
     assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == {1, 2, 3}
+
+
+def test_bpe_merge_step_known_values(spark):
+    """Hand-computed BPE iteration on {aaa, abab, banana x2, band}: the
+    argmax first merge is (a,n) with corpus count 5; post-merge counts
+    include the merged 'an' symbol pairs and the greedy-non-overlapping
+    (a,a) count of 2 for 'aaa' (not 2 overlapping merges)."""
+    from bag_parser_spark.operators.text import bpe_merge_step
+
+    df = spark.createDataFrame(
+        [(1, "aaa abab banana"), (2, "banana band")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["pair_a"], r["pair_b"]): (r["pair_count"], r["rank"])
+        for r in bpe_merge_step(df, top_k=10).collect()
+    }
+    assert got[("b", "an")] == (3, 1)
+    assert got[("a", "a")][0] == 2       # aaa -> [a,a,a]: two pairs
+    assert got[("an", "an")][0] == 2     # banana -> [b,an,an,a] x2
+    assert got[("an", "a")][0] == 2
+    assert got[("an", "d")][0] == 1
+    assert ("a", "n") not in got         # merged symbol never re-pairs
