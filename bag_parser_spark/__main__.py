@@ -335,8 +335,10 @@ def build_parser() -> argparse.ArgumentParser:
                       "are verified, never trusted raw)")
     prep.add_argument("--max-segment-dup-pct", type=int, default=None,
                       help="drop docs whose duplicated-segment share "
-                      "reaches this percent (sub-document boilerplate "
-                      "gate; off by default)")
+                      "reaches this percent, 1-100 (sub-document "
+                      "boilerplate gate; off by default; the rule is "
+                      "strict-less, so 0 is rejected — it would drop "
+                      "every document)")
     _add_spark_args(prep)
     prep.set_defaults(fn=cmd_prepare)
 

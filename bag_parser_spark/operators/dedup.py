@@ -538,6 +538,7 @@ def segment_dup_stats(
     text_col: str,
     segment_words: int = 10,
     drop_threshold_pct: int = 50,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Sub-document duplication statistics — the LINE-level dedup step of
     web-corpus pipelines (CCNet deduplicates at paragraph/line level;
@@ -561,8 +562,24 @@ def segment_dup_stats(
     aggregation. No pair expansion anywhere: a boilerplate segment in k
     docs costs k posting rows, not k² (documents are COUNTED per
     segment, never paired), so the one skew risk of line dedup — the
-    universal header — is linear by construction.
+    universal header — is linear by construction. The (id, hash)
+    segment rows persist once: both the per-hash doc counts and the
+    join's probe side read them, and without the persist the dominant
+    tokenize+slice+md5 scan would execute twice (``cache_registry``
+    follows the module's scoped-caller contract, see
+    verify_pairs_jaccard).
+
+    ``drop_threshold_pct`` must be 1..100: the rule is STRICT-less
+    (a doc at exactly the threshold drops), so 0 would drop every
+    document including fully-unique ones — rejected loudly rather than
+    silently emptying a corpus.
     """
+    if not 1 <= drop_threshold_pct <= 100:
+        raise ValueError(
+            f"drop_threshold_pct must be in 1..100, got "
+            f"{drop_threshold_pct} (the keep rule is strict-less, so 0 "
+            "would drop every document)"
+        )
     w = segment_words
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(
@@ -588,7 +605,9 @@ def segment_dup_stats(
                 " ",
             )
         ).alias("__h__"),
-    )
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(segs)
     docs_per_hash = segs.groupBy("__h__").agg(
         F.count_distinct(F.col(id_col)).alias("__docs__")
     )

@@ -548,6 +548,35 @@ def hash_classifier_scores(
     )
 
 
+def _word_freqs(df, text_col: str):
+    """Word-frequency table (w, f): the Zipf-bounded collapse both BPE
+    routines run over — at 100 TB this is the difference between
+    exploding ~1e6 vocabulary rows and ~1e13 token occurrences for
+    identical counts."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+
+def _char_pair_counts(wf):
+    """Corpus-weighted adjacent char-pair counts over a (w, f) table.
+    Single-char and empty words contribute no pairs (the length guard
+    matters: Spark's sequence(1, 0) is DESCENDING, not empty — the
+    `when` keeps it out of the lambda)."""
+    pair_idx = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array())
+    pairs = wf.select(
+        "f",
+        F.explode(
+            F.transform(pair_idx, lambda i: F.col("w").substr(i, F.lit(2)))
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(F.sum("f").alias("pair_count"))
+
+
 def bpe_pair_counts(
     df,
     text_col: str = "text",
@@ -558,55 +587,47 @@ def bpe_pair_counts(
     tokenizer trainer maximizes when picking its next merge.
 
     The corpus collapses to the word-frequency table FIRST (vocab-bounded
-    by Zipf — orders of magnitude below corpus size), so the char-pair
-    explode runs over unique words weighted by frequency, not over every
-    token occurrence: at 100 TB that is the difference between exploding
-    ~1e6 vocabulary rows and ~1e13 token rows for identical counts.
+    by Zipf; see _word_freqs), so the char-pair explode runs over unique
+    words weighted by frequency, not over every token occurrence.
     Shuffles: word groupBy (map-side combined), pair groupBy over the
     vocab-sized expansion. Top-k via orderBy().limit() →
-    TakeOrderedAndProject. Single-char words contribute no pairs (the
-    length guard matters: Spark's sequence(1, 0) is DESCENDING, not
-    empty — the `when` keeps it out of the lambda).
+    TakeOrderedAndProject.
     """
     from pyspark.sql import Window
 
-    wf = (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
-    pair_idx = F.when(
-        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
-    ).otherwise(F.array())
-    pairs = wf.select(
-        "f",
-        F.explode(
-            F.transform(pair_idx, lambda i: F.col("w").substr(i, F.lit(2)))
-        ).alias("pair"),
-    )
-    pc = pairs.groupBy("pair").agg(F.sum("f").alias("pair_count"))
+    pc = _char_pair_counts(_word_freqs(df, text_col))
     topk = pc.orderBy(F.col("pair_count").desc(), F.col("pair")).limit(top_k)
     w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
     return topk.withColumn("rank", F.row_number().over(w))
 
 
+# Symbol delimiter for the BPE merge encoding: ASCII unit separator.
+# Tokens that contain it are sanitized (the char is STRIPPED before
+# counting and merging, mirrored in the oracle) — unlike any printable
+# character, U+001F cannot plausibly be a meaningful token byte, and a
+# delimiter that could appear inside a symbol would corrupt the
+# boundary-safe replace below.
+_BPE_SEP = "\x1f"
+
+
 def bpe_merge_step(df, text_col: str = "text", top_k: int = 20):
     """One full BPE tokenizer-training iteration, relational end to end:
-    count adjacent symbol pairs (``bpe_pair_counts``), pick the argmax
-    merge (count desc, pair asc — deterministic), APPLY it to every
-    word's symbol sequence, and return the post-merge pair counts — the
-    input to the next iteration. Training a tokenizer is just this step
-    in a loop.
+    count adjacent symbol pairs (same counting as ``bpe_pair_counts``),
+    pick the argmax merge (count desc, pair asc — deterministic), APPLY
+    it to every word's symbol sequence, and return the post-merge pair
+    counts — the input to the next iteration. Training a tokenizer is
+    just this step in a loop.
 
     The merge itself is the subtle part: greedy left-to-right,
     non-overlapping (``aaa`` under merge (a,a) becomes ``[aa, a]``, not
     two overlapping merges). Implemented with a boundary-safe LITERAL
-    string replace — each symbol wrapped as ``|sym|`` and the pair
-    ``|x||y|`` replaced by ``|xy|`` — because literal ``replace()`` is
-    greedy-left and non-overlapping in every engine (Java and DuckDB
-    alike), making the merge bit-reproducible without a single UDF. The
-    wrapped form keeps each symbol's OWN delimiters, so consecutive
-    disjoint matches (``[x,y,x,y]``) all merge in one pass.
+    string replace — each symbol wrapped in unit-separator delimiters
+    and the delimited pair replaced by the delimited merged symbol —
+    because literal ``replace()`` is greedy-left and non-overlapping in
+    every engine (Java and DuckDB alike), making the merge
+    bit-reproducible without a single UDF. Wrapping keeps each symbol's
+    OWN delimiters, so consecutive disjoint matches (``[x,y,x,y]``)
+    all merge in one pass.
 
     Scale shape: everything runs over the word-FREQUENCY table (vocab-
     bounded by Zipf), never per token occurrence; the argmax pair is a
@@ -617,52 +638,55 @@ def bpe_merge_step(df, text_col: str = "text", top_k: int = 20):
     """
     from pyspark.sql import Window
 
-    wf = (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("f"))
+    sep = _BPE_SEP
+    # strip the delimiter char from words (defense + documented
+    # contract; the oracle mirrors it)
+    wf = _word_freqs(df, text_col).withColumn(
+        "w", F.translate("w", sep, "")
     )
-    pair_idx = F.when(
-        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
-    ).otherwise(F.array())
     top1 = (
-        wf.select(
-            "f",
-            F.explode(
-                F.transform(
-                    pair_idx, lambda i: F.col("w").substr(i, F.lit(2))
-                )
-            ).alias("pair"),
-        )
-        .groupBy("pair")
-        .agg(F.sum("f").alias("__c__"))
-        .orderBy(F.col("__c__").desc(), F.col("pair"))
+        _char_pair_counts(wf)
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
         .limit(1)
         .select(
             F.col("pair").substr(1, 1).alias("__x__"),
             F.col("pair").substr(2, 1).alias("__y__"),
         )
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("w")),
-        lambda i: F.col("w").substr(i, F.lit(1)),
+    # empty words (a token that was ONLY separator chars) must yield an
+    # empty char array — sequence(1, 0) is descending, not empty
+    chars = F.when(
+        F.length("w") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wrapped = F.concat(
+        F.lit(sep), F.array_join(chars, sep + sep), F.lit(sep)
     )
-    wrapped = F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
     merged = (
         wf.crossJoin(F.broadcast(top1))
         .withColumn("__s__", wrapped)
         .select(
             "f",
-            F.expr(
-                "replace(__s__, '|' || __x__ || '||' || __y__ || '|', "
-                "'|' || __x__ || __y__ || '|')"
+            F.replace(
+                F.col("__s__"),
+                F.concat(
+                    F.lit(sep), F.col("__x__"), F.lit(sep + sep),
+                    F.col("__y__"), F.lit(sep),
+                ),
+                F.concat(
+                    F.lit(sep), F.col("__x__"), F.col("__y__"),
+                    F.lit(sep),
+                ),
             ).alias("__m__"),
         )
     )
     syms = merged.select(
         "f",
         F.split(
-            F.expr("substring(__m__, 2, length(__m__) - 2)"), r"\|\|"
+            F.expr("substring(__m__, 2, length(__m__) - 2)"), sep + sep
         ).alias("__a__"),
     )
     sym_idx = F.when(

@@ -108,7 +108,29 @@ def import_bag(
             else tempfile.mkdtemp(prefix="bag_native_extract_")
         )
         xml_root = extract_bag_delivery(xml_root, extract_dir)
+    try:
+        return _import_bag_inner(
+            spark, xml_root, gemeenten_csv, out_dir, cfg, extract_dir
+        )
+    except BaseException:
+        # a crashed import must not leave the extraction behind: a rerun
+        # would extract the (possibly updated) delivery NEXT TO the stale
+        # files and the entity globs would read both
+        if extract_dir and out_dir:
+            import shutil
 
+            shutil.rmtree(extract_dir, ignore_errors=True)
+        raise
+
+
+def _import_bag_inner(
+    spark: SparkSession,
+    xml_root: str,
+    gemeenten_csv: str,
+    out_dir: str | None,
+    cfg: EngineConfig,
+    extract_dir: str | None,
+) -> dict[str, DataFrame]:
     csv_df = read_gemeenten_csv(spark, gemeenten_csv)
     tables: dict[str, DataFrame] = {
         "gemeenten": gemeenten_table(csv_df),

@@ -2540,7 +2540,7 @@ _BPE_MERGE_TOPK = 20
     "text_bpe_merge_step",
     f"""
     WITH wf AS (
-      SELECT token AS w, COUNT(*) AS f
+      SELECT replace(token, chr(31), '') AS w, COUNT(*) AS f
       FROM (SELECT unnest({O.words_sql('lower(text)')}) AS token
             FROM documents)
       GROUP BY token
@@ -2559,17 +2559,18 @@ _BPE_MERGE_TOPK = 20
     merged AS (
       SELECT f,
              replace(
-               '|' || array_to_string(
+               chr(31) || array_to_string(
                  list_transform(range(1, length(w) + 1),
                                 i -> substring(w, CAST(i AS INTEGER), 1)),
-                 '||') || '|',
-               '|' || t.x || '||' || t.y || '|',
-               '|' || t.x || t.y || '|') AS m
+                 chr(31) || chr(31)) || chr(31),
+               chr(31) || t.x || chr(31) || chr(31) || t.y || chr(31),
+               chr(31) || t.x || t.y || chr(31)) AS m
       FROM wf, top1 t
     ),
     syms AS (
       SELECT f,
-             string_split(substring(m, 2, length(m) - 2), '||') AS a
+             string_split(substring(m, 2, length(m) - 2),
+                          chr(31) || chr(31)) AS a
       FROM merged
     ),
     p AS (
@@ -2592,7 +2593,7 @@ _BPE_MERGE_TOPK = 20
     "it to every word's symbol sequence, and emit the post-merge pair "
     "counts — the input of iteration 2; training is this step in a "
     "loop. The greedy non-overlapping merge is a boundary-safe LITERAL "
-    "replace over |-wrapped symbols (literal replace is greedy-left in "
+    "replace over delimiter-wrapped symbols (literal replace is greedy-left in "
     "every engine), so the whole iteration is UDF-free and bit-"
     "reproducible. Runs over the Zipf-bounded word-frequency table, "
     "never the token stream; the argmax is a 1-row broadcast.",

@@ -348,11 +348,16 @@ def extract_bag_delivery(path: str, dest_dir: str) -> str:
     its enclosing archive's stem (the per-entity zips are named by file
     code — 9999WPL….zip — so their anonymous members become
     ``9999WPL…_member.xml``). Name collisions get a numeric suffix.
-    Returns ``dest_dir``.
+    Returns ``dest_dir``. A pre-existing ``dest_dir`` is REPLACED —
+    leftovers from a crashed earlier extraction would otherwise sit
+    beside the fresh files and both match the entity globs (stale rows
+    imported silently).
     """
     import os
     import shutil
 
+    if os.path.isdir(dest_dir):
+        shutil.rmtree(dest_dir)
     os.makedirs(dest_dir, exist_ok=True)
     codes = tuple(e.file_code for e in ENTITIES.values())
     used: set[str] = set()

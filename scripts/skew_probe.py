@@ -36,7 +36,13 @@ def derive(base: str, out: str, skew_pct: int, emb_x: int) -> None:
     (max_vec,) = con.execute(
         f"SELECT MAX(vec_id) FROM '{base}/embeddings.parquet'"
     ).fetchone()
+    # stride must be a multiple of 100 (lcm of the %50 centroid pattern
+    # and the %100 skew pattern): replica ids then preserve both, so
+    # every copy keeps landing in the SAME giant cell — otherwise a base
+    # with max_vec+1 not divisible by 100 silently measures a milder,
+    # multi-cell workload
     stride = max(1_000_000, int(max_vec) + 1)
+    stride = ((stride + 99) // 100) * 100
     con.execute(f"""
       COPY (
         SELECT e.vec_id + {stride} * r AS vec_id,

@@ -1616,3 +1616,38 @@ def test_bpe_merge_step_known_values(spark):
     assert got[("an", "a")][0] == 2
     assert got[("an", "d")][0] == 1
     assert ("a", "n") not in got         # merged symbol never re-pairs
+
+
+def test_bpe_merge_step_pipe_tokens_and_blank_doc(spark):
+    """Review regressions: (a) a token containing '|' is an ordinary
+    character to the merge encoding (the delimiter is U+001F, not a
+    printable char); (b) a whitespace-only document (whose tokens()
+    yield one empty token) contributes nothing — Spark's descending
+    sequence(1, 0) must not fabricate ('','') pairs."""
+    from bag_parser_spark.operators.text import bpe_merge_step
+
+    df = spark.createDataFrame(
+        [(1, "a|b a|b cc cc cc"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["pair_a"], r["pair_b"]): r["pair_count"]
+        for r in bpe_merge_step(df, top_k=10).collect()
+    }
+    # top pair is ('c','c') count 3 -> merge; a|b keeps its pipe pairs
+    assert got == {("a", "|"): 2, ("|", "b"): 2}
+    assert ("", "") not in got
+
+
+def test_segment_dup_stats_rejects_pct_zero(spark):
+    """pct=0 under the strict-less keep rule would drop every document
+    (review finding) — rejected loudly instead."""
+    import pytest
+
+    from bag_parser_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="drop_threshold_pct"):
+        dedup.segment_dup_stats(
+            df, id_col="doc_id", text_col="text", drop_threshold_pct=0
+        )
