@@ -421,11 +421,28 @@ def semantic_dedup_pairs(
     return small.unionAll(big)
 
 
-def _l2sq(a: Column, b: Column) -> Column:
-    """Squared-L2 distance as a left-fold double sum over the squared
-    differences — same engine-reproducibility contract as ``dot`` (the
-    DuckDB mirror is ``list_dot_product(d, d)`` over the difference
-    list, which accumulates in list order)."""
+def _l2sq(a: Column, b: Column, w: int | None = None) -> Column:
+    """Squared-L2 distance as a sequential-order double sum over the
+    squared differences — same engine-reproducibility contract as
+    ``dot`` (the DuckDB mirror is ``list_dot_product(d, d)`` over the
+    difference list, which accumulates in list order).
+
+    ``w`` unrolls the sum into a left-associated expression chain for a
+    KNOWN width: higher-order lambdas are interpreted, not codegen'd,
+    and for the PQ subvector width (16) the unrolled form measured
+    ~2.5x faster on the corpus-side encode join (3.0 s -> 1.2 s at
+    sf0.1) — the opposite trade from ``dot`` at dim=64, where the
+    64-term tree bloats codegen. Both forms are IEEE-identical:
+    (0+t1)+t2+… ≡ (t1+t2)+… , so the oracle never sees a difference."""
+    if w is not None:
+        terms = [
+            (a.getItem(i) - b.getItem(i)) * (a.getItem(i) - b.getItem(i))
+            for i in range(w)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     diff = F.zip_with(a, b, lambda x, y: x - y)
     return F.aggregate(
         F.zip_with(diff, diff, lambda x, y: x * y),
@@ -495,7 +512,7 @@ def pq_encode(
         F.col("code"),
         _as_double(F.col("cv")).alias("__cv__"),
     )
-    dist = _l2sq(F.col("__sv__"), F.col("__cv__"))
+    dist = _l2sq(F.col("__sv__"), F.col("__cv__"), w)
     best = F.min(
         F.struct(F.col("__d__").alias("d"), F.col("code").alias("c"))
     ).alias("__best__")
@@ -552,6 +569,7 @@ def pq_adc_topk(
         _l2sq(
             F.slice(q, (F.col("subspace") * w + 1).cast("int"), w),
             _as_double(F.col("cv")),
+            w,
         ).alias("__ld__"),
     )
     per = (
@@ -632,6 +650,7 @@ def pq_adc_topk_batch(
                     w,
                 ),
                 F.col("__cv__"),
+                w,
             ).alias("__ld__"),
         )
     )
