@@ -3,9 +3,13 @@ star: ANN over array<float> embeddings).
 
 Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant is
 the 100 TB path: random-hyperplane signatures turn the O(n·q) scan into a
-bucket equi-join, shuffling only (bucket, id) pairs. All arithmetic is
-sequential-order double math (F.aggregate left fold) so a single-threaded
-oracle computes bit-identical similarities.
+bucket equi-join, shuffling only (bucket, id) pairs. IVF adds data-driven
+cells (and SemDeDup-style within-cell dedup with a salted giant-cell
+guard); product quantization adds the billion-vector memory story —
+encode to m small codes, search via broadcast lookup tables without ever
+reading raw vectors at query time. All arithmetic is sequential-order
+double math (left folds, or IEEE-equivalent unrolled chains for fixed
+widths) so a single-threaded oracle computes bit-identical similarities.
 """
 
 from __future__ import annotations
