@@ -27,7 +27,7 @@ sort, amortized over every future scan that prunes on either column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # bit-spreading mask ladder: x with 16 significant bits -> bits at even
@@ -78,4 +78,115 @@ def zorder_layout(
     return (
         keyed.repartitionByRange(num_files, F.col("__z__"))
         .sortWithinPartitions("__z__")
+    )
+
+
+def file_skipping_stats(
+    df: DataFrame,
+    a: Column,
+    b: Column,
+    natural_order: Column,
+    a_lo: int,
+    a_hi: int,
+    b_lo: int,
+    b_hi: int,
+    num_files: int = 64,
+) -> DataFrame:
+    """Quantify what Z-ordering buys: simulate writing the table into
+    ``num_files`` files under two layouts — ``natural`` (ordered by
+    ``natural_order``, i.e. arrival order) and ``zorder`` (ordered by the
+    Morton key of (a, b)) — build each file's zone map (min/max of both
+    predicate columns), and report how many files a box predicate
+    ``a in [a_lo, a_hi] and b in [b_lo, b_hi]`` must actually read.
+    This is the audit a lakehouse table-maintenance job runs to decide
+    whether re-clustering pays for itself: same rows, same predicate,
+    and the zorder row shows a fraction of the natural row's
+    ``files_read``/``rows_read``.
+
+    File assignment is the deterministic stand-in for
+    ``repartitionByRange``'s sampled boundaries, computed differently per
+    layout to stay scale-safe: the natural key (a dense sequential row
+    id) is VALUE-banded — ``(key * num_files) div (max_key + 1)`` needs
+    only a broadcast max — while the z key (sparse: most of the 2^32
+    curve positions are unpopulated, so value bands would leave most
+    files empty and the rest giant) is EQUI-DEPTH banded through its
+    distinct-value histogram: group by z, running row count over the
+    sorted distinct values, ``(cum * num_files) div total``. That window
+    is ordered over DISTINCT z values only — bounded by the key space
+    (16-bit x 5-bit here, ~2M worst case), never by table size, so no
+    per-row global sort hides in the audit. Everything is int64
+    arithmetic (``div`` is true integer division in Spark and DuckDB
+    alike — double division plus floor could round across a file
+    boundary), so file ids, zone maps, and counts are bit-reproducible
+    on any engine.
+
+    Returns one row per layout: (layout, n_files, files_read, rows_read,
+    rows_matching) — rows_matching is layout-invariant by construction
+    and pins the predicate itself.
+    """
+    keyed = df.select(
+        a.alias("__a__"),
+        b.alias("__b__"),
+        natural_order.cast("long").alias("__nat__"),
+    ).withColumn(
+        "__z__", zorder_key(F.col("__a__"), F.col("__b__")).cast("long")
+    )
+    tot = keyed.agg(
+        F.max("__nat__").alias("__nmax__"),
+        F.count(F.lit(1)).alias("__total__"),
+    )
+    nat_rows = keyed.crossJoin(F.broadcast(tot)).select(
+        F.lit("natural").alias("layout"),
+        F.expr(f"(__nat__ * {num_files}) div (__nmax__ + 1)").alias(
+            "file_id"
+        ),
+        "__a__",
+        "__b__",
+    )
+    zhist = keyed.groupBy("__z__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    wz = Window.orderBy("__z__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    zmap = (
+        zhist.select(
+            "__z__",
+            F.coalesce(F.sum("__cnt__").over(wz), F.lit(0)).alias("__cum__"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__z__",
+            F.expr(f"(__cum__ * {num_files}) div __total__").alias(
+                "file_id"
+            ),
+        )
+    )
+    z_rows = keyed.join(zmap, "__z__").select(
+        F.lit("zorder").alias("layout"), "file_id", "__a__", "__b__"
+    )
+    filed = nat_rows.unionAll(z_rows)
+    match = (
+        F.col("__a__").between(a_lo, a_hi)
+        & F.col("__b__").between(b_lo, b_hi)
+    ).cast("long")
+    zone = filed.groupBy("layout", "file_id").agg(
+        F.min("__a__").alias("__amin__"),
+        F.max("__a__").alias("__amax__"),
+        F.min("__b__").alias("__bmin__"),
+        F.max("__b__").alias("__bmax__"),
+        F.count(F.lit(1)).alias("__rows__"),
+        F.sum(match).alias("__match__"),
+    )
+    read = (
+        (F.col("__amax__") >= a_lo)
+        & (F.col("__amin__") <= a_hi)
+        & (F.col("__bmax__") >= b_lo)
+        & (F.col("__bmin__") <= b_hi)
+    )
+    return zone.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(read.cast("long")).alias("files_read"),
+        F.sum(F.when(read, F.col("__rows__")).otherwise(F.lit(0))).alias(
+            "rows_read"
+        ),
+        F.sum("__match__").alias("rows_matching"),
     )

@@ -141,6 +141,54 @@ def weighted_sample(
     return df.filter(md5_mod(F.col(id_col), seed) < threshold)
 
 
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    seed: int | str = 11,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (the T5/mT5 alpha-sampling
+    shape, Raffel et al. 2020 §3.4.3, alpha = 0.5): per-source keep-rates
+    are computed FROM the corpus itself — rate_s = sqrt(n_min / n_s), so
+    the smallest source keeps everything and a source 100x larger is
+    downsampled 10x — then applied as the same deterministic per-row
+    Bernoulli as :func:`weighted_sample`. This flattens the source
+    distribution toward (but not all the way to) uniform, the standard
+    mitigation for web-crawl domination of a pretraining mixture.
+
+    Two-pass scale shape: pass 1 is a map-side-combined groupBy to the
+    per-source count table (|sources| rows — tiny at any corpus size);
+    the min and the rates derive from that table alone; pass 2 BROADCASTS
+    the rate table back onto the full scan, so the corpus itself never
+    shuffles — the exact pattern a 100 TB mixture job must use (a window
+    over source would shuffle everything).
+
+    Exactness contract: alpha is FIXED at 0.5 because sqrt and division
+    are correctly-rounded IEEE ops — bit-identical in every engine —
+    while a general ``pow(n, alpha)`` is a libm call whose last ulp
+    differs across engines and would break threshold parity. The
+    threshold is floor(rate * MOD) (Spark's long cast truncates; the
+    oracle must spell ``floor`` — DuckDB's BIGINT cast ROUNDS).
+
+    Returns the kept rows with ``__n__`` (source size) and ``__rate__``
+    (keep rate) columns attached for downstream reporting.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n__"))
+    nmin = counts.agg(F.min("__n__").alias("__nmin__"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        source_col,
+        "__n__",
+        F.sqrt(
+            F.col("__nmin__").cast("double") / F.col("__n__").cast("double")
+        ).alias("__rate__"),
+    )
+    keyed = df.join(F.broadcast(rates), source_col)
+    return keyed.filter(
+        md5_mod(F.col(id_col), seed)
+        < (F.col("__rate__") * HASH_SPLIT_MOD).cast("long")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

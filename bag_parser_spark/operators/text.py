@@ -713,3 +713,113 @@ def bpe_merge_step(df, text_col: str = "text", top_k: int = 20):
     topk = pc.orderBy(*order).limit(top_k)
     w = Window.orderBy(*order)
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def bpe_encode(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_merges: int = 12,
+):
+    """BPE tokenizer APPLICATION — the serving twin of ``bpe_merge_step``:
+    given an ordered merge list (here the top-``num_merges`` pairs of the
+    initial corpus pair counts — in a production index the k-iteration
+    trained table plugs into the same fold), encode every document and
+    report its post-merge token count. A merge table plus this operator
+    is how "tokens per document" is computed over a 100 TB corpus
+    without a tokenizer UDF.
+
+    The encode is ONE relational fold, zero UDFs: each word's characters
+    are wrapped in unit-separator delimiters and ``F.aggregate`` folds
+    the merge array in rank order, applying the boundary-safe literal
+    replace per merge (greedy-left, non-overlapping — identical
+    semantics in Java and DuckDB, see ``bpe_merge_step``). Merges apply
+    to DISTINCT words only (the Zipf-bounded vocab), never per token
+    occurrence; per-doc counts come from an equi-join of the exploded
+    (doc, word) stream against the encoded vocab — AQE picks
+    broadcast vs shuffle by vocab size.
+
+    Returns (id, n_words, n_bpe_tokens, n_chars): whitespace word count,
+    post-merge symbol count, and the character total as an exactness
+    anchor — all exact integers.
+    """
+    from pyspark.sql import Window
+
+    sep = _BPE_SEP
+    wf = _word_freqs(df, text_col).withColumn(
+        "w", F.translate("w", sep, "")
+    )
+    order = [F.col("pair_count").desc(), F.col("pair")]
+    merges = (
+        _char_pair_counts(wf)
+        .orderBy(*order)
+        .limit(num_merges)
+        .withColumn("r", F.row_number().over(Window.orderBy(*order)))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("r", "pair"))).alias(
+                "__merges__"
+            )
+        )
+    )
+    chars = F.when(
+        F.length("w") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wrapped = F.concat(
+        F.lit(sep), F.array_join(chars, sep + sep), F.lit(sep)
+    )
+    enc = (
+        wf.select("w")
+        .distinct()
+        .crossJoin(F.broadcast(merges))
+        .withColumn("__s__", wrapped)
+        .withColumn(
+            "__m__",
+            F.aggregate(
+                F.col("__merges__"),
+                F.col("__s__"),
+                lambda acc, m: F.replace(
+                    acc,
+                    F.concat(
+                        F.lit(sep),
+                        m["pair"].substr(1, 1),
+                        F.lit(sep + sep),
+                        m["pair"].substr(2, 1),
+                        F.lit(sep),
+                    ),
+                    F.concat(F.lit(sep), m["pair"], F.lit(sep)),
+                ),
+            ),
+        )
+        .select(
+            "w",
+            F.when(
+                F.length("w") >= 1,
+                F.size(
+                    F.split(
+                        F.expr("substring(__m__, 2, length(__m__) - 2)"),
+                        sep + sep,
+                    )
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("__nsym__"),
+        )
+    )
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__w0__"),
+    ).select(id_col, F.translate("__w0__", sep, "").alias("w"))
+    return (
+        doc_words.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__nsym__").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+    )

@@ -491,6 +491,105 @@ def q_zorder(spark, sf_dir):
     )
 
 
+_SKIP_FILES = 64
+# Narrow user band x wide day band: the natural (arrival-ordered) layout
+# is implicitly clustered on day already, so this box isolates the
+# two-column win — only the z-order layout can prune on user_id too.
+_SKIP_A_LO, _SKIP_A_HI, _SKIP_B_LO, _SKIP_B_HI = 64, 95, 4, 27
+
+
+def _file_skipping_sql() -> str:
+    from bag_parser_spark.operators.layout import zorder_key_sql
+
+    zk = zorder_key_sql("user_id", "date_part('day', ts)")
+    pred = (
+        f"a BETWEEN {_SKIP_A_LO} AND {_SKIP_A_HI} "
+        f"AND b BETWEEN {_SKIP_B_LO} AND {_SKIP_B_HI}"
+    )
+    overlap = (
+        f"amax >= {_SKIP_A_LO} AND amin <= {_SKIP_A_HI} "
+        f"AND bmax >= {_SKIP_B_LO} AND bmin <= {_SKIP_B_HI}"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT user_id AS a, CAST(date_part('day', ts) AS BIGINT) AS b,
+             event_id AS nat, CAST({zk} AS BIGINT) AS z
+      FROM events
+    ),
+    tot AS (SELECT MAX(nat) AS nmax, COUNT(*) AS total FROM keyed),
+    nat_rows AS (
+      SELECT 'natural' AS layout,
+             (k.nat * {_SKIP_FILES}) // (t.nmax + 1) AS file_id, a, b
+      FROM keyed k, tot t
+    ),
+    zhist AS (SELECT z, COUNT(*) AS cnt FROM keyed GROUP BY z),
+    zmap AS (
+      SELECT z,
+             COALESCE(CAST(SUM(cnt) OVER (
+               ORDER BY z
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cum
+      FROM zhist
+    ),
+    z_rows AS (
+      SELECT 'zorder' AS layout,
+             (m.cum * {_SKIP_FILES}) // t.total AS file_id, k.a, k.b
+      FROM keyed k JOIN zmap m USING (z), tot t
+    ),
+    filed AS (
+      SELECT * FROM nat_rows UNION ALL SELECT * FROM z_rows
+    ),
+    zone AS (
+      SELECT layout, file_id,
+             MIN(a) AS amin, MAX(a) AS amax,
+             MIN(b) AS bmin, MAX(b) AS bmax,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+      FROM filed GROUP BY layout, file_id
+    )
+    SELECT layout, COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN {overlap} THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_read,
+           CAST(SUM(CASE WHEN {overlap} THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_read,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matching
+    FROM zone GROUP BY layout
+    """
+
+
+@register(
+    "layout_file_skipping",
+    _file_skipping_sql(),
+    doc="Zone-map data-skipping audit (operators/layout.py:"
+    "file_skipping_stats): simulate writing events into 64 files under "
+    "the natural (event_id arrival) layout and the Z-order layout, build "
+    "each file's (user_id, day) min/max zone map, and count how many "
+    "files/rows a box predicate must read under each. The quantitative "
+    "justification for the reference's index twin (SURVEY S11): same "
+    "rows, same predicate — the zorder row reads a fraction of the "
+    "natural row's files. File assignment is value-banded integer "
+    "arithmetic (a 2-row max broadcast, never a global row_number), so "
+    "the audit itself scales: zone maps are |files| rows regardless of "
+    "table size.",
+)
+def q_layout_file_skipping(spark, sf_dir):
+    from bag_parser_spark.operators.layout import file_skipping_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return file_skipping_stats(
+        ev,
+        a=F.col("user_id"),
+        b=F.dayofmonth("ts").cast("long"),
+        natural_order=F.col("event_id"),
+        a_lo=_SKIP_A_LO,
+        a_hi=_SKIP_A_HI,
+        b_lo=_SKIP_B_LO,
+        b_hi=_SKIP_B_HI,
+        num_files=_SKIP_FILES,
+    )
+
+
 @register(
     "j11_merge_apply",
     """

@@ -1476,6 +1476,70 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+@register(
+    "sample_temperature",
+    f"""
+    WITH corpus AS (
+      SELECT d.doc_id * 8 + u.c AS rid, d.source
+      FROM documents d,
+           UNNEST(range(0, 1 + (CAST(substring(d.source, 4, 10) AS INTEGER)
+                                % 5))) AS u(c)
+    ),
+    counts AS (SELECT source, COUNT(*) AS n FROM corpus GROUP BY source),
+    nmin AS (SELECT MIN(n) AS nmin FROM counts),
+    rates AS (
+      SELECT source, n,
+             sqrt(CAST(nmin.nmin AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+      FROM counts, nmin
+    ),
+    kept AS (
+      SELECT c.rid, c.source, r.n, r.rate
+      FROM corpus c JOIN rates r USING (source)
+      WHERE {O.md5_mod_sql('c.rid', 11)}
+            < CAST(floor(r.rate * 10000) AS BIGINT)
+    )
+    SELECT source, MIN(n) AS n_before,
+           round(MIN(rate), 6) AS keep_rate,
+           COUNT(*) AS n_kept,
+           CAST(SUM(rid) AS BIGINT) AS kept_checksum
+    FROM kept GROUP BY source
+    """,
+    doc="Temperature-flattened mixture sampling (T5 alpha-sampling, "
+    "alpha=0.5): per-source keep-rates sqrt(n_min/n_s) computed FROM the "
+    "corpus (skewed here by replicating each source's docs 1-5x), then "
+    "the same deterministic md5 Bernoulli as sample_weighted_sources. "
+    "Two passes: a map-side-combined count groupBy to a |sources|-row "
+    "table, then that table BROADCAST back onto the full scan — the "
+    "corpus never shuffles, which is the only viable shape at 100 TB. "
+    "alpha is fixed at 0.5 because sqrt/divide are correctly-rounded "
+    "IEEE ops (bit-identical across engines) where pow is libm-"
+    "dependent; the threshold spells floor() because DuckDB's BIGINT "
+    "cast rounds while Spark's truncates. Output is the per-source "
+    "audit: size before, keep rate, kept count, kept-id checksum.",
+)
+def q_sample_temperature(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    srcnum = F.substring(F.col("source"), 4, 10).cast("int")
+    corpus = d.select(
+        (F.col("doc_id") * 8).alias("__base__"),
+        "source",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (srcnum % 5).cast("long"))
+        ).alias("__c__"),
+    ).select((F.col("__base__") + F.col("__c__")).alias("rid"), "source")
+    kept = sampling.temperature_sample(
+        corpus, id_col="rid", source_col="source", seed=11
+    )
+    return kept.groupBy("source").agg(
+        F.min("__n__").alias("n_before"),
+        F.round(F.min("__rate__"), 6).alias("keep_rate"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("rid").alias("kept_checksum"),
+    )
+
+
 _CHUNK_CTX, _CHUNK_OVERLAP = 32, 8
 _CHUNK_STEP = _CHUNK_CTX - _CHUNK_OVERLAP
 
@@ -2603,6 +2667,83 @@ def q_text_bpe_merge_step(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         text_col="text",
         top_k=_BPE_MERGE_TOPK,
+    )
+
+
+_BPE_ENC_MERGES = 12
+
+
+@register(
+    "text_bpe_encode",
+    f"""
+    WITH wf AS (
+      SELECT replace(token, chr(31), '') AS w, COUNT(*) AS f
+      FROM (SELECT unnest({O.words_sql('lower(text)')}) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    pairs0 AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, f
+      FROM (SELECT w, f, unnest(range(1, length(w))) AS i FROM wf)
+    ),
+    merges AS (
+      SELECT pair, ROW_NUMBER() OVER (ORDER BY c DESC, pair) AS r
+      FROM (SELECT pair, SUM(f) AS c FROM pairs0 GROUP BY pair
+            ORDER BY c DESC, pair LIMIT {_BPE_ENC_MERGES})
+    ),
+    mlist AS (SELECT list(pair ORDER BY r) AS ms FROM merges),
+    vocab AS (SELECT DISTINCT w FROM wf),
+    enc AS (
+      SELECT w,
+             list_reduce(
+               list_prepend(
+                 chr(31) || array_to_string(
+                   list_transform(range(1, length(w) + 1),
+                                  i -> substring(w, CAST(i AS INTEGER), 1)),
+                   chr(31) || chr(31)) || chr(31),
+                 m.ms),
+               (acc, p) -> replace(
+                 acc,
+                 chr(31) || substring(p, 1, 1) || chr(31) || chr(31)
+                         || substring(p, 2, 1) || chr(31),
+                 chr(31) || p || chr(31))) AS m2
+      FROM vocab, mlist m
+    ),
+    nsym AS (
+      SELECT w,
+             CASE WHEN length(w) >= 1
+                  THEN len(string_split(substring(m2, 2, length(m2) - 2),
+                                        chr(31) || chr(31)))
+                  ELSE 0 END AS n_syms
+      FROM enc
+    ),
+    docw AS (
+      SELECT doc_id, replace(token, chr(31), '') AS w
+      FROM (SELECT doc_id, unnest({O.words_sql('lower(text)')}) AS token
+            FROM documents)
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(n.n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(d.w)) AS BIGINT) AS n_chars
+    FROM docw d JOIN nsym n USING (w)
+    GROUP BY doc_id
+    """,
+    doc="BPE tokenizer APPLICATION (operators/text.py:bpe_encode) — the "
+    "serving twin of text_bpe_merge_step: an ordered merge list (top-12 "
+    "initial pair counts standing in for a trained table) applied to "
+    "every document via ONE relational fold over delimiter-wrapped "
+    "symbols, zero UDFs, bit-reproducible greedy-left merges in both "
+    "engines. Merges apply to DISTINCT words (Zipf-bounded vocab), "
+    "never per occurrence; per-doc counts come from the (doc, word) "
+    "equi-join against the encoded vocab. Output: post-merge token "
+    "counts per doc with word/char totals as exactness anchors.",
+)
+def q_text_bpe_encode(spark, sf_dir):
+    return text.bpe_encode(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        num_merges=_BPE_ENC_MERGES,
     )
 
 

@@ -1651,3 +1651,94 @@ def test_segment_dup_stats_rejects_pct_zero(spark):
         dedup.segment_dup_stats(
             df, id_col="doc_id", text_col="text", drop_threshold_pct=0
         )
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    """sqrt-flattening contract: the smallest source's rate is exactly
+    1.0 (keeps everything), a 4x larger source's rate is exactly 0.5
+    (sqrt(1/4) is an exact double), and the kept set is identical under
+    any input partitioning (md5 membership, no RNG)."""
+    from bag_parser_spark.operators import sampling
+
+    # sources: s0 -> 100 rows, s1 -> 400 rows
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "s0").otherwise("s1").alias("source"),
+    )
+    kept = sampling.temperature_sample(
+        df, id_col="doc_id", source_col="source", seed=11
+    )
+    rates = {
+        r["source"]: (r["__n__"], r["__rate__"])
+        for r in kept.select("source", "__n__", "__rate__")
+        .distinct()
+        .collect()
+    }
+    assert rates["s0"] == (100, 1.0)
+    assert rates["s1"] == (400, 0.5)
+    s0 = kept.filter(F.col("source") == "s0").count()
+    assert s0 == 100  # rate 1.0 keeps every row
+    again = sampling.temperature_sample(
+        df.repartition(13), id_col="doc_id", source_col="source", seed=11
+    )
+    assert (
+        kept.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    )
+    assert again.count() == kept.count()
+
+
+def test_file_skipping_stats_clustered_vs_scattered(spark):
+    """Zone-map audit on a hand-built table: column a cycles 0..9 row by
+    row (scattered under the natural layout), so a box on a keeps every
+    natural file but only the z-clustered files; rows_matching is
+    layout-invariant; file counts are exact."""
+    from bag_parser_spark.operators.layout import file_skipping_stats
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 10).alias("a"),
+        (F.col("id") % 7).alias("b"),
+    )
+    out = {
+        r["layout"]: r
+        for r in file_skipping_stats(
+            df,
+            a=F.col("a"),
+            b=F.col("b"),
+            natural_order=F.col("rid"),
+            a_lo=3,
+            a_hi=3,
+            b_lo=0,
+            b_hi=6,
+            num_files=8,
+        ).collect()
+    }
+    nat, zo = out["natural"], out["zorder"]
+    assert nat["rows_matching"] == zo["rows_matching"] == n // 10
+    # every natural file contains a=3 rows -> zero pruning
+    assert nat["n_files"] == 8 and nat["files_read"] == 8
+    assert nat["rows_read"] == n
+    # z-clustered files isolate the a=3 band -> most files pruned
+    assert zo["files_read"] < zo["n_files"]
+    assert zo["rows_read"] < n // 2
+
+
+def test_bpe_encode_known_values(spark):
+    """Hand-computed encode on {banana x2, band}: initial pair counts
+    an:5, na:4, ba:3, nd:1 -> merge list [an, na]. Greedy-left 'an'
+    turns banana into [b,an,an,a] (4 symbols) and band into [b,an,d]
+    (3); 'na' then finds no singleton n+a left. A whitespace-only doc
+    (one empty token) encodes to 0 symbols, not a phantom symbol."""
+    from bag_parser_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "banana banana band"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_chars"])
+        for r in bpe_encode(df, num_merges=2).collect()
+    }
+    assert out[1] == (3, 11, 16)
+    assert out[2] == (1, 0, 0)
