@@ -534,6 +534,160 @@ def pq_encode(
     )
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: DataFrame,
+    donor_filter,
+    k: int = 10,
+    nprobe: int = 3,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: the coarse-quantizer + product-quantizer composition that
+    billion-vector indexes (FAISS ``IndexIVFPQ``, Jégou et al. 2011 §V)
+    actually serve from — IVF alone still reads raw vectors inside
+    probed cells, PQ alone still scans every code; composed, a query
+    reads only the probed cells' codes and never a raw vector.
+
+    Index build (all relational): every vector is assigned to its
+    nearest (squared-L2, min-cid tiebreak) coarse centroid via a
+    broadcast crossJoin + min-of-struct partial aggregate (one shuffle
+    of n skinny rows, exactly the ``ivf_topk`` shape but expression-only
+    — no Python anywhere); its RESIDUAL (vector minus centroid — the
+    residual trick is what makes shared codebooks tight across cells)
+    is PQ-encoded against per-subspace codebooks drawn from the
+    residuals of ``donor_filter`` rows (deterministic stand-in for
+    k-means training, as in ``pq_encode``).
+
+    Query: the ``nprobe`` cells nearest the query are ranked
+    relationally (|cells| rows — no driver round-trip, unlike
+    ``ivf_topk``); each probed cell gets its own m·k lookup table from
+    the QUERY's residual in that cell; the codes⋈LUT broadcast join on
+    (cid, subspace, code) prunes unprobed cells for free, and each
+    surviving vector costs m lookups + a fixed-order left-associated
+    sum (engine-reproducible floats). Top-k is a TakeOrderedAndProject
+    heap. At 100 TB, cid is the stored table's partition column, so the
+    probe prunes at the SCAN — per-query work is nprobe·|cell| code
+    rows, not n.
+
+    Returns (id, approx_l2sq) rounded 6, ascending, ties by id.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    cb0 = centroids.select(
+        F.col("cid"), _as_double(F.col("cv")).alias("__cv__")
+    )
+    v = df.select(
+        F.col(id_col).alias("__vid__"),
+        _as_double(F.col(vec_col)).alias("__v__"),
+    )
+    assign_best = F.min(
+        F.struct(
+            F.col("__d__").alias("d"),
+            F.col("cid").alias("c"),
+            F.col("__v__").alias("v"),
+        )
+    ).alias("__b__")
+    assigned = (
+        v.crossJoin(F.broadcast(cb0))
+        .withColumn("__d__", _l2sq(F.col("__v__"), F.col("__cv__")))
+        .groupBy("__vid__")
+        .agg(assign_best)
+        .select(
+            "__vid__",
+            F.col("__b__.c").alias("cid"),
+            F.col("__b__.v").alias("__v__"),
+        )
+        .join(F.broadcast(cb0), "cid")
+    )
+    resid = assigned.select(
+        "__vid__",
+        "cid",
+        F.zip_with("__v__", "__cv__", lambda x, y: x - y).alias("__r__"),
+    )
+    sub_ids = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(m - 1).cast("long"))
+    ).alias("subspace")
+    cbk = (
+        resid.filter(donor_filter(F.col("__vid__")))
+        .select(sub_ids, F.col("__vid__").alias("code"), "__r__")
+        .select(
+            "subspace",
+            "code",
+            F.slice(
+                F.col("__r__"), (F.col("subspace") * w + 1).cast("int"), w
+            ).alias("cv"),
+        )
+    )
+    subs = resid.select("__vid__", "cid", sub_ids, "__r__").select(
+        "__vid__",
+        "cid",
+        "subspace",
+        F.slice(
+            F.col("__r__"), (F.col("subspace") * w + 1).cast("int"), w
+        ).alias("__sv__"),
+    )
+    enc_best = F.min(
+        F.struct(F.col("__d__").alias("d"), F.col("code").alias("c"))
+    ).alias("__b__")
+    codes = (
+        subs.join(F.broadcast(cbk), "subspace")
+        .withColumn("__d__", _l2sq(F.col("__sv__"), F.col("cv"), w))
+        .groupBy("__vid__", "cid", "subspace")
+        .agg(enc_best)
+        .select("__vid__", "cid", "subspace", F.col("__b__.c").alias("code"))
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcells = (
+        cb0.withColumn("__qd__", _l2sq(q, F.col("__cv__")))
+        .orderBy(F.col("__qd__").asc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select(
+            "cid",
+            F.zip_with(q, F.col("__cv__"), lambda x, y: x - y).alias(
+                "__qr__"
+            ),
+        )
+    )
+    lut = qcells.crossJoin(F.broadcast(cbk)).select(
+        "cid",
+        "subspace",
+        "code",
+        _l2sq(
+            F.slice(
+                F.col("__qr__"), (F.col("subspace") * w + 1).cast("int"), w
+            ),
+            F.col("cv"),
+            w,
+        ).alias("__ld__"),
+    )
+    per = (
+        codes.join(F.broadcast(lut), ["cid", "subspace", "code"])
+        .groupBy("__vid__")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("subspace") == i, F.col("__ld__"))
+                ).alias(f"__l{i}__")
+                for i in range(m)
+            ]
+        )
+    )
+    total = F.col("__l0__")
+    for i in range(1, m):
+        total = total + F.col(f"__l{i}__")
+    return (
+        per.select(F.col("__vid__").alias(id_col), total.alias("__t__"))
+        .orderBy(F.col("__t__").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round(F.col("__t__"), 6).alias("approx_l2sq"))
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebooks: DataFrame,

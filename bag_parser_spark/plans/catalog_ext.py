@@ -1352,6 +1352,137 @@ def q_sim_pq_adc_batch(spark, sf_dir):
     )
 
 
+_IVFPQ_CENT_MOD, _IVFPQ_NPROBE, _IVFPQ_QID = 50, 3, 7
+
+
+@register(
+    "sim_ivfpq_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % {_IVFPQ_CENT_MOD} = 0
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ad AS (
+      SELECT v.vec_id, c.cid, v.v, c.cv,
+             list_transform(range(1, {_PQ_DIM + 1}),
+                            i -> v.v[i] - c.cv[i]) AS dd,
+             list_dot_product(dd, dd) AS dist
+      FROM v CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cid, v, cv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist ASC, cid ASC) AS rn
+        FROM ad) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT vec_id, cid,
+             list_transform(range(1, {_PQ_DIM + 1}), i -> v[i] - cv[i]) AS r
+      FROM assign
+    ),
+    cbk AS (
+      SELECT CAST(mm.m AS BIGINT) AS subspace, d.vec_id AS code,
+             d.r[CAST(mm.m * {_PQ_W} + 1 AS INTEGER)
+                 : CAST(mm.m * {_PQ_W} + {_PQ_W} AS INTEGER)] AS cv
+      FROM resid d, UNNEST(range(0, {_PQ_M})) AS mm(m)
+      WHERE d.vec_id % {_PQ_CENT_MOD} = 0
+    ),
+    sv AS (
+      SELECT d.vec_id, d.cid, CAST(mm.m AS BIGINT) AS subspace,
+             d.r[CAST(mm.m * {_PQ_W} + 1 AS INTEGER)
+                 : CAST(mm.m * {_PQ_W} + {_PQ_W} AS INTEGER)] AS sv
+      FROM resid d, UNNEST(range(0, {_PQ_M})) AS mm(m)
+    ),
+    scored AS (
+      SELECT sv.vec_id, sv.cid, sv.subspace, cbk.code,
+             list_transform(range(1, {_PQ_W + 1}),
+                            i -> sv.sv[i] - cbk.cv[i]) AS d,
+             list_dot_product(d, d) AS dist
+      FROM sv JOIN cbk USING (subspace)
+    ),
+    codes AS (
+      SELECT vec_id, cid, subspace, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY dist ASC, code ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qf
+          FROM embeddings WHERE vec_id = {_IVFPQ_QID}),
+    qd AS (
+      SELECT c.cid, c.cv,
+             list_transform(range(1, {_PQ_DIM + 1}),
+                            i -> q.qf[i] - c.cv[i]) AS dd,
+             list_dot_product(dd, dd) AS dist
+      FROM cents c, q
+    ),
+    qcells AS (
+      SELECT t.cid,
+             list_transform(range(1, {_PQ_DIM + 1}),
+                            i -> q.qf[i] - t.cv[i]) AS qr
+      FROM (SELECT cid, cv,
+                   ROW_NUMBER() OVER (ORDER BY dist ASC, cid ASC) AS rn
+            FROM qd) t, q
+      WHERE t.rn <= {_IVFPQ_NPROBE}
+    ),
+    lut AS (
+      SELECT qc.cid, cb.subspace, cb.code,
+             list_transform(range(1, {_PQ_W + 1}),
+                            i -> qc.qr[CAST(cb.subspace * {_PQ_W} + i
+                                            AS INTEGER)] - cb.cv[i]) AS d,
+             list_dot_product(d, d) AS ld
+      FROM qcells qc CROSS JOIN cbk cb
+    ),
+    per AS (
+      SELECT c.vec_id,
+             MIN(CASE WHEN c.subspace = 0 THEN l.ld END) AS l0,
+             MIN(CASE WHEN c.subspace = 1 THEN l.ld END) AS l1,
+             MIN(CASE WHEN c.subspace = 2 THEN l.ld END) AS l2,
+             MIN(CASE WHEN c.subspace = 3 THEN l.ld END) AS l3
+      FROM codes c
+      JOIN lut l ON l.cid = c.cid AND l.subspace = c.subspace
+                AND l.code = c.code
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(((l0 + l1) + l2) + l3, 6) AS approx_l2sq
+    FROM per
+    ORDER BY ((l0 + l1) + l2) + l3 ASC, vec_id ASC
+    LIMIT 10
+    """,
+    doc="IVF-PQ composition (operators/similarity.py:ivfpq_topk) — the "
+    "layout billion-vector indexes serve from (FAISS IndexIVFPQ): "
+    "coarse-assign every vector to its nearest centroid "
+    "(expression-only broadcast crossJoin + min-struct partial agg), "
+    "PQ-encode the RESIDUAL against shared codebooks, then answer a "
+    "query by ranking nprobe=3 cells relationally (no driver "
+    "round-trip), building one LUT per probed cell from the query's "
+    "per-cell residual, and summing m lookups per code row in fixed "
+    "subspace order. The codes-to-LUT broadcast join on (cid, subspace, "
+    "code) prunes unprobed cells; with cid as the storage partition "
+    "column the pruning happens at the scan, so per-query cost is "
+    "nprobe*|cell|, never n. Oracle recomputes the whole index + query "
+    "end to end.",
+)
+def q_sim_ivfpq(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % _IVFPQ_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qrow = e.filter(F.col("vec_id") == _IVFPQ_QID).head()
+    return similarity.ivfpq_topk(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_vec=[float(x) for x in qrow["embedding"]],
+        centroids=cents,
+        donor_filter=lambda c: c % _PQ_CENT_MOD == 0,
+        k=10,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        dim=_PQ_DIM,
+    )
+
+
 _SEG_W, _SEG_DROP_PCT = 10, 50
 
 

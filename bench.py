@@ -89,6 +89,8 @@ HEADLINE = [
     "corpus_datasheet",
     "ml_pagerank_step",
     "text_bpe_merge_step",
+    "sim_ivfpq_topk",
+    "text_bpe_encode",
 ]
 
 

@@ -1742,3 +1742,36 @@ def test_bpe_encode_known_values(spark):
     }
     assert out[1] == (3, 11, 16)
     assert out[2] == (1, 0, 0)
+
+
+def test_ivfpq_topk_prunes_unprobed_cells(spark):
+    """Hand-built 2-cell index (dim=4, m=2): query lands in cell c0 with
+    nprobe=1, so the vector in cell c1 must NOT appear (cell pruning),
+    and the two cell-c0 vectors quantize to the query's own residual
+    codeword -> approximate distance exactly 0.0."""
+    from bag_parser_spark.operators.similarity import ivfpq_topk
+
+    rows = [
+        (100, [0.0, 0.0, 0.0, 0.0]),   # centroid c0
+        (1, [1.0, 0.0, 0.0, 0.0]),     # near c0, donor
+        (200, [10.0, 10.0, 10.0, 10.0]),  # centroid c1
+        (2, [11.0, 10.0, 10.0, 10.0]),    # near c1, donor
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter(F.col("vec_id") >= 100).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = ivfpq_topk(
+        df,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_vec=[1.0, 0.0, 0.0, 0.0],
+        centroids=cents,
+        donor_filter=lambda c: c < 100,
+        k=5,
+        nprobe=1,
+        m=2,
+        dim=4,
+    ).collect()
+    got = [(r["vec_id"], r["approx_l2sq"]) for r in out]
+    assert got == [(1, 0.0), (100, 0.0)]  # cell c1 (ids 2, 200) pruned
