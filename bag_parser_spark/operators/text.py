@@ -715,6 +715,113 @@ def bpe_merge_step(df, text_col: str = "text", top_k: int = 20):
     return topk.withColumn("rank", F.row_number().over(w))
 
 
+def bpe_train(
+    df,
+    text_col: str = "text",
+    num_iters: int = 4,
+):
+    """FULL BPE tokenizer TRAINING, ``num_iters`` iterations — the loop
+    ``bpe_merge_step`` is one turn of, run to completion as relational
+    algebra: each iteration counts adjacent symbol pairs over the
+    current (symbol-sequence, frequency) table, elects the argmax merge
+    (count desc, pair asc — deterministic), APPLIES it (boundary-safe
+    greedy-left literal replace over delimiter-wrapped symbols, see
+    ``bpe_merge_step``), and feeds the merged table to the next
+    iteration. The output is the trained artifact itself: the ordered
+    merge table (step, pair_a, pair_b, pair_count) that ``bpe_encode``
+    consumes. After iteration 1 the pairs are multi-character SYMBOLS,
+    not chars — the replace trick handles them unchanged because each
+    symbol keeps its own delimiters.
+
+    Scale shape: the state between iterations is the word-frequency
+    table (Zipf-bounded vocab — never the token stream), PERSISTED per
+    iteration so iteration k reads the cached k-1 table instead of
+    replaying the whole chain (O(k) total work, not O(k^2)); each
+    iteration costs one map-side-combined pair groupBy plus a 1-row
+    broadcast argmax crossJoin. Every argmax is fully tie-broken, so a
+    cache miss recomputes the identical merge. Zero UDFs; counts are
+    exact integers, bit-reproducible on any engine.
+    """
+    sep = _BPE_SEP
+    wf = _word_freqs(df, text_col).withColumn(
+        "w", F.translate("w", sep, "")
+    )
+    chars = F.when(
+        F.length("w") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wrapped = F.concat(
+        F.lit(sep), F.array_join(chars, sep + sep), F.lit(sep)
+    )
+    state = wf.select("f", wrapped.alias("s")).persist()
+    steps = []
+    for k in range(num_iters):
+        syms = state.select(
+            "f",
+            F.split(
+                F.expr("substring(s, 2, length(s) - 2)"), sep + sep
+            ).alias("__a__"),
+        )
+        pair_idx = F.when(
+            F.size("__a__") >= 2, F.sequence(F.lit(1), F.size("__a__") - 1)
+        ).otherwise(F.array())
+        pairs = syms.select(
+            "f",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at("__a__", i).alias("pair_a"),
+                        F.element_at("__a__", i + 1).alias("pair_b"),
+                    ),
+                )
+            ).alias("__p__"),
+        ).select("f", "__p__.pair_a", "__p__.pair_b")
+        top1 = (
+            pairs.groupBy("pair_a", "pair_b")
+            .agg(F.sum("f").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("pair_a"),
+                F.col("pair_b"),
+            )
+            .limit(1)
+        )
+        steps.append(
+            top1.select(
+                F.lit(k + 1).alias("step"),
+                "pair_a",
+                "pair_b",
+                "pair_count",
+            )
+        )
+        state = (
+            state.crossJoin(F.broadcast(top1))
+            .select(
+                "f",
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(sep), F.col("pair_a"), F.lit(sep + sep),
+                        F.col("pair_b"), F.lit(sep),
+                    ),
+                    F.concat(
+                        F.lit(sep), F.col("pair_a"), F.col("pair_b"),
+                        F.lit(sep),
+                    ),
+                ).alias("s"),
+            )
+            .persist()
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out
+
+
 def bpe_encode(
     df,
     id_col: str = "doc_id",

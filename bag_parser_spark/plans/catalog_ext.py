@@ -2878,6 +2878,80 @@ def q_text_bpe_encode(spark, sf_dir):
     )
 
 
+_BPE_TRAIN_ITERS = 4
+
+
+def _bpe_train_sql(iters: int) -> str:
+    """CTE chain mirroring text.bpe_train: iteration k's state s{k} is
+    the delimiter-wrapped symbol table after k merges; t{k} is its
+    argmax merge. Generated per iteration — the chain IS the loop."""
+    parts = [f"""
+    WITH wf AS (
+      SELECT replace(token, chr(31), '') AS w, COUNT(*) AS f
+      FROM (SELECT unnest({O.words_sql('lower(text)')}) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    s0 AS (
+      SELECT f,
+             chr(31) || array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> substring(w, CAST(i AS INTEGER), 1)),
+               chr(31) || chr(31)) || chr(31) AS s
+      FROM wf
+    )"""]
+    for k in range(iters):
+        parts.append(f""",
+    a{k} AS (
+      SELECT f, string_split(substring(s, 2, length(s) - 2),
+                             chr(31) || chr(31)) AS a
+      FROM s{k}
+    ),
+    p{k} AS (
+      SELECT a[CAST(i AS INTEGER)] AS pair_a,
+             a[CAST(i + 1 AS INTEGER)] AS pair_b, f
+      FROM (SELECT a, f, unnest(range(1, len(a))) AS i FROM a{k})
+    ),
+    t{k} AS (
+      SELECT pair_a, pair_b, CAST(SUM(f) AS BIGINT) AS pair_count
+      FROM p{k} GROUP BY pair_a, pair_b
+      ORDER BY pair_count DESC, pair_a, pair_b LIMIT 1
+    ),
+    s{k + 1} AS (
+      SELECT f, replace(s, chr(31) || t.pair_a || chr(31) || chr(31)
+                           || t.pair_b || chr(31),
+                        chr(31) || t.pair_a || t.pair_b || chr(31)) AS s
+      FROM s{k}, t{k} t
+    )""")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {k + 1} AS step, pair_a, pair_b, pair_count FROM t{k}"
+        for k in range(iters)
+    )
+    return "".join(parts) + "\n    " + sel
+
+
+@register(
+    "text_bpe_train",
+    _bpe_train_sql(_BPE_TRAIN_ITERS),
+    doc="FULL BPE tokenizer training, 4 iterations "
+    "(operators/text.py:bpe_train): count symbol pairs over the "
+    "word-frequency table, elect the argmax merge, APPLY it, repeat — "
+    "the output is the trained artifact itself, the ordered merge table "
+    "bpe_encode consumes. State between iterations is the Zipf-bounded "
+    "vocab (persisted per iteration so the loop is O(k), never the "
+    "token stream); each iteration is one map-side-combined pair "
+    "groupBy plus a 1-row broadcast argmax. The oracle generates the "
+    "same loop as a CTE chain — training is oracle-exact end to end, "
+    "not just one step.",
+)
+def q_text_bpe_train(spark, sf_dir):
+    return text.bpe_train(
+        _t(spark, sf_dir, "documents"),
+        text_col="text",
+        num_iters=_BPE_TRAIN_ITERS,
+    )
+
+
 @register(
     "ml_pca_power_step",
     """

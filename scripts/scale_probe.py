@@ -40,6 +40,11 @@ QUERIES = [
     "dedup_verified_pairs",
     "dedup_incremental",
     "dedup_semantic",
+    # r6 additions: IVF-PQ (cells and donors grow with the re-keyed id
+    # range, so assignment cost is n x cells — the sqrt-n-cells regime),
+    # and the zone-map audit (distinct-z histogram window)
+    "sim_ivfpq_topk",
+    "layout_file_skipping",
 ]
 
 

@@ -1775,3 +1775,27 @@ def test_ivfpq_topk_prunes_unprobed_cells(spark):
     ).collect()
     got = [(r["vec_id"], r["approx_l2sq"]) for r in out]
     assert got == [(1, 0.0), (100, 0.0)]  # cell c1 (ids 2, 200) pruned
+
+
+def test_bpe_train_multi_iteration_known_values(spark):
+    """Hand-computed 4-iteration training on {aaab x2, aab}: iteration 1
+    merges (a,a) [count 5, greedy non-overlapping]; iteration 2 is a
+    count tie (aa,a)=2 vs (a,b)=2 broken by pair_a asc -> (a,b);
+    iterations 3-4 merge MULTI-CHAR symbols (aa,ab) then (aa,b) —
+    pinning that the delimiter replace handles symbols, not just
+    chars."""
+    from bag_parser_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aab")], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["pair_a"], r["pair_b"], r["pair_count"])
+        for r in bpe_train(df, num_iters=4).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "a", "a", 5),
+        (2, "a", "b", 2),
+        (3, "aa", "ab", 2),
+        (4, "aa", "b", 1),
+    ]
