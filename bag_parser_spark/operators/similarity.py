@@ -7,7 +7,9 @@ bucket equi-join, shuffling only (bucket, id) pairs. IVF adds data-driven
 cells (and SemDeDup-style within-cell dedup with a salted giant-cell
 guard); product quantization adds the billion-vector memory story —
 encode to m small codes, search via broadcast lookup tables without ever
-reading raw vectors at query time. All arithmetic is sequential-order
+reading raw vectors at query time — and ``ivfpq_topk`` composes the two
+(residual PQ inside coarse cells, per-probed-cell lookup tables, the
+FAISS IndexIVFPQ serving layout). All arithmetic is sequential-order
 double math (left folds, or IEEE-equivalent unrolled chains for fixed
 widths) so a single-threaded oracle computes bit-identical similarities.
 """
