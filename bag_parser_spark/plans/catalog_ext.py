@@ -1355,9 +1355,7 @@ def q_sim_pq_adc_batch(spark, sf_dir):
 _IVFPQ_CENT_MOD, _IVFPQ_NPROBE, _IVFPQ_QID = 50, 3, 7
 
 
-@register(
-    "sim_ivfpq_topk",
-    f"""
+_IVFPQ_CTES = f"""
     WITH cents AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
       FROM embeddings WHERE vec_id % {_IVFPQ_CENT_MOD} = 0
@@ -1444,6 +1442,12 @@ _IVFPQ_CENT_MOD, _IVFPQ_NPROBE, _IVFPQ_QID = 50, 3, 7
                 AND l.code = c.code
       GROUP BY c.vec_id
     )
+"""
+
+
+@register(
+    "sim_ivfpq_topk",
+    _IVFPQ_CTES + """
     SELECT vec_id, round(((l0 + l1) + l2) + l3, 6) AS approx_l2sq
     FROM per
     ORDER BY ((l0 + l1) + l2) + l3 ASC, vec_id ASC
@@ -1480,6 +1484,78 @@ def q_sim_ivfpq(spark, sf_dir):
         nprobe=_IVFPQ_NPROBE,
         m=_PQ_M,
         dim=_PQ_DIM,
+    )
+
+
+@register(
+    "sim_ivfpq_recall",
+    _IVFPQ_CTES + f""",
+    adc AS (
+      SELECT vec_id FROM per
+      ORDER BY ((l0 + l1) + l2) + l3 ASC, vec_id ASC LIMIT 10
+    ),
+    exact AS (
+      SELECT e.vec_id,
+             list_transform(range(1, {_PQ_DIM + 1}),
+                            i -> CAST(e.embedding[i] AS DOUBLE) - q.qf[i])
+               AS d,
+             list_dot_product(d, d) AS dist
+      FROM embeddings e, q
+      ORDER BY dist ASC, e.vec_id ASC LIMIT 10
+    )
+    SELECT 10 AS k, COUNT(*) AS n_hits,
+           round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
+    FROM adc JOIN exact USING (vec_id)
+    """,
+    doc="Measured IVF-PQ quality: recall@10 of the composed index "
+    "(coarse cells + residual PQ, nprobe=3) against the exact "
+    "squared-L2 top-10 — the quality knob every IVF-PQ deployment "
+    "tunes (raise nprobe until recall holds; unlike plain PQ the loss "
+    "here includes whole cells the probe never opened). Exact side is "
+    "one bounded heap; the intersection is a 10-row id equi-join. "
+    "Oracle recomputes index, probe, ADC, and the exact ranking end "
+    "to end.",
+)
+def q_sim_ivfpq_recall(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % _IVFPQ_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qrow = e.filter(F.col("vec_id") == _IVFPQ_QID).head()
+    qv = [float(x) for x in qrow["embedding"]]
+    adc = similarity.ivfpq_topk(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_vec=qv,
+        centroids=cents,
+        donor_filter=lambda c: c % _PQ_CENT_MOD == 0,
+        k=10,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        dim=_PQ_DIM,
+    ).select("vec_id")
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    exact = (
+        e.select(
+            "vec_id",
+            similarity._l2sq(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                q,
+            ).alias("__d__"),
+        )
+        .orderBy(F.col("__d__").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    return (
+        adc.join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(10).alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall"),
+        )
     )
 
 
