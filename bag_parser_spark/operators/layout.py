@@ -91,6 +91,7 @@ def file_skipping_stats(
     b_lo: int,
     b_hi: int,
     num_files: int = 64,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Quantify what Z-ordering buys: simulate writing the table into
     ``num_files`` files under two layouts — ``natural`` (ordered by
@@ -123,14 +124,27 @@ def file_skipping_stats(
     Returns one row per layout: (layout, n_files, files_read, rows_read,
     rows_matching) — rows_matching is layout-invariant by construction
     and pins the predicate itself.
+
+    The keyed projection is PERSISTED: four consumers read it (the
+    max/count aggregate, both layouts' row streams, and the z
+    histogram), so without the cache the audit would scan the source
+    table four times and compute the Morton key three times.
+    ``cache_registry``: the persist handle is appended when given so a
+    scoped caller can unpersist after its action (dedup.py convention).
     """
-    keyed = df.select(
-        a.alias("__a__"),
-        b.alias("__b__"),
-        natural_order.cast("long").alias("__nat__"),
-    ).withColumn(
-        "__z__", zorder_key(F.col("__a__"), F.col("__b__")).cast("long")
+    keyed = (
+        df.select(
+            a.alias("__a__"),
+            b.alias("__b__"),
+            natural_order.cast("long").alias("__nat__"),
+        )
+        .withColumn(
+            "__z__", zorder_key(F.col("__a__"), F.col("__b__")).cast("long")
+        )
+        .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(keyed)
     tot = keyed.agg(
         F.max("__nat__").alias("__nmax__"),
         F.count(F.lit(1)).alias("__total__"),

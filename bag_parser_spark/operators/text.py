@@ -610,6 +610,68 @@ def bpe_pair_counts(
 _BPE_SEP = "\x1f"
 
 
+def _merge_replace(s: Column, x: Column, y: Column) -> Column:
+    """Boundary-safe greedy-left merge of symbol pair (x, y) -> xy inside
+    a delimiter-wrapped symbol string — literal replace is greedy-left
+    and non-overlapping in every engine, which is what makes the merge
+    bit-reproducible (see bpe_merge_step). Shared by the train step, the
+    full training loop, and the encoder so the three stay bit-identical
+    to each other and to their SQL mirrors."""
+    sep = _BPE_SEP
+    return F.replace(
+        s,
+        F.concat(F.lit(sep), x, F.lit(sep + sep), y, F.lit(sep)),
+        F.concat(F.lit(sep), x, y, F.lit(sep)),
+    )
+
+
+def _wrapped_syms(w_col: str = "w") -> Column:
+    """Delimiter-wrapped char-symbol string for a word column (empty word
+    -> a bare delimiter pair). The length guard matters: Spark's
+    sequence(1, 0) is DESCENDING, not empty."""
+    sep = _BPE_SEP
+    chars = F.when(
+        F.length(w_col) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w_col)),
+            lambda i: F.col(w_col).substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(F.lit(sep), F.array_join(chars, sep + sep), F.lit(sep))
+
+
+def _split_syms(s_col: str) -> Column:
+    """Inverse of the wrap: symbol array from a wrapped symbol string."""
+    return F.split(
+        F.expr(f"substring({s_col}, 2, length({s_col}) - 2)"),
+        _BPE_SEP + _BPE_SEP,
+    )
+
+
+def _sym_pair_counts(syms):
+    """Corpus-weighted adjacent SYMBOL-pair counts over (f, __a__) rows —
+    the multi-character-symbol sibling of _char_pair_counts, same
+    empty/1-symbol guard."""
+    sym_idx = F.when(
+        F.size("__a__") >= 2, F.sequence(F.lit(1), F.size("__a__") - 1)
+    ).otherwise(F.array())
+    pairs = syms.select(
+        "f",
+        F.explode(
+            F.transform(
+                sym_idx,
+                lambda i: F.struct(
+                    F.element_at("__a__", i).alias("pair_a"),
+                    F.element_at("__a__", i + 1).alias("pair_b"),
+                ),
+            )
+        ).alias("__p__"),
+    ).select("f", F.col("__p__.pair_a"), F.col("__p__.pair_b"))
+    return pairs.groupBy("pair_a", "pair_b").agg(
+        F.sum("f").alias("pair_count")
+    )
+
+
 def bpe_merge_step(df, text_col: str = "text", top_k: int = 20):
     """One full BPE tokenizer-training iteration, relational end to end:
     count adjacent symbol pairs (same counting as ``bpe_pair_counts``),
@@ -653,60 +715,18 @@ def bpe_merge_step(df, text_col: str = "text", top_k: int = 20):
             F.col("pair").substr(2, 1).alias("__y__"),
         )
     )
-    # empty words (a token that was ONLY separator chars) must yield an
-    # empty char array — sequence(1, 0) is descending, not empty
-    chars = F.when(
-        F.length("w") >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.length("w")),
-            lambda i: F.col("w").substr(i, F.lit(1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wrapped = F.concat(
-        F.lit(sep), F.array_join(chars, sep + sep), F.lit(sep)
-    )
     merged = (
         wf.crossJoin(F.broadcast(top1))
-        .withColumn("__s__", wrapped)
+        .withColumn("__s__", _wrapped_syms("w"))
         .select(
             "f",
-            F.replace(
-                F.col("__s__"),
-                F.concat(
-                    F.lit(sep), F.col("__x__"), F.lit(sep + sep),
-                    F.col("__y__"), F.lit(sep),
-                ),
-                F.concat(
-                    F.lit(sep), F.col("__x__"), F.col("__y__"),
-                    F.lit(sep),
-                ),
+            _merge_replace(
+                F.col("__s__"), F.col("__x__"), F.col("__y__")
             ).alias("__m__"),
         )
     )
-    syms = merged.select(
-        "f",
-        F.split(
-            F.expr("substring(__m__, 2, length(__m__) - 2)"), sep + sep
-        ).alias("__a__"),
-    )
-    sym_idx = F.when(
-        F.size("__a__") >= 2, F.sequence(F.lit(1), F.size("__a__") - 1)
-    ).otherwise(F.array())
-    pairs = syms.select(
-        "f",
-        F.explode(
-            F.transform(
-                sym_idx,
-                lambda i: F.struct(
-                    F.element_at("__a__", i).alias("pair_a"),
-                    F.element_at("__a__", i + 1).alias("pair_b"),
-                ),
-            )
-        ).alias("__p__"),
-    ).select("f", F.col("__p__.pair_a"), F.col("__p__.pair_b"))
-    pc = pairs.groupBy("pair_a", "pair_b").agg(
-        F.sum("f").alias("pair_count")
-    )
+    syms = merged.select("f", _split_syms("__m__").alias("__a__"))
+    pc = _sym_pair_counts(syms)
     order = [
         F.col("pair_count").desc(), F.col("pair_a"), F.col("pair_b"),
     ]
@@ -719,6 +739,7 @@ def bpe_train(
     df,
     text_col: str = "text",
     num_iters: int = 4,
+    cache_registry: list | None = None,
 ):
     """FULL BPE tokenizer TRAINING, ``num_iters`` iterations — the loop
     ``bpe_merge_step`` is one turn of, run to completion as relational
@@ -741,48 +762,23 @@ def bpe_train(
     broadcast argmax crossJoin. Every argmax is fully tie-broken, so a
     cache miss recomputes the identical merge. Zero UDFs; counts are
     exact integers, bit-reproducible on any engine.
+
+    ``cache_registry``: the per-iteration state persists are appended to
+    this list when given, so a scoped caller can unpersist them after
+    its action (same contract as dedup.verify_pairs_jaccard — the
+    handles are not otherwise caller-visible).
     """
-    sep = _BPE_SEP
     wf = _word_freqs(df, text_col).withColumn(
-        "w", F.translate("w", sep, "")
+        "w", F.translate("w", _BPE_SEP, "")
     )
-    chars = F.when(
-        F.length("w") >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.length("w")),
-            lambda i: F.col("w").substr(i, F.lit(1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wrapped = F.concat(
-        F.lit(sep), F.array_join(chars, sep + sep), F.lit(sep)
-    )
-    state = wf.select("f", wrapped.alias("s")).persist()
+    state = wf.select("f", _wrapped_syms("w").alias("s")).persist()
+    if cache_registry is not None:
+        cache_registry.append(state)
     steps = []
     for k in range(num_iters):
-        syms = state.select(
-            "f",
-            F.split(
-                F.expr("substring(s, 2, length(s) - 2)"), sep + sep
-            ).alias("__a__"),
-        )
-        pair_idx = F.when(
-            F.size("__a__") >= 2, F.sequence(F.lit(1), F.size("__a__") - 1)
-        ).otherwise(F.array())
-        pairs = syms.select(
-            "f",
-            F.explode(
-                F.transform(
-                    pair_idx,
-                    lambda i: F.struct(
-                        F.element_at("__a__", i).alias("pair_a"),
-                        F.element_at("__a__", i + 1).alias("pair_b"),
-                    ),
-                )
-            ).alias("__p__"),
-        ).select("f", "__p__.pair_a", "__p__.pair_b")
+        syms = state.select("f", _split_syms("s").alias("__a__"))
         top1 = (
-            pairs.groupBy("pair_a", "pair_b")
-            .agg(F.sum("f").alias("pair_count"))
+            _sym_pair_counts(syms)
             .orderBy(
                 F.col("pair_count").desc(),
                 F.col("pair_a"),
@@ -798,24 +794,19 @@ def bpe_train(
                 "pair_count",
             )
         )
-        state = (
-            state.crossJoin(F.broadcast(top1))
-            .select(
-                "f",
-                F.replace(
-                    F.col("s"),
-                    F.concat(
-                        F.lit(sep), F.col("pair_a"), F.lit(sep + sep),
-                        F.col("pair_b"), F.lit(sep),
-                    ),
-                    F.concat(
-                        F.lit(sep), F.col("pair_a"), F.col("pair_b"),
-                        F.lit(sep),
-                    ),
-                ).alias("s"),
+        if k < num_iters - 1:  # the last iteration's merge feeds nothing
+            state = (
+                state.crossJoin(F.broadcast(top1))
+                .select(
+                    "f",
+                    _merge_replace(
+                        F.col("s"), F.col("pair_a"), F.col("pair_b")
+                    ).alias("s"),
+                )
+                .persist()
             )
-            .persist()
-        )
+            if cache_registry is not None:
+                cache_registry.append(state)
     out = steps[0]
     for s in steps[1:]:
         out = out.unionAll(s)
@@ -868,36 +859,18 @@ def bpe_encode(
             )
         )
     )
-    chars = F.when(
-        F.length("w") >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.length("w")),
-            lambda i: F.col("w").substr(i, F.lit(1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wrapped = F.concat(
-        F.lit(sep), F.array_join(chars, sep + sep), F.lit(sep)
-    )
     enc = (
         wf.select("w")
         .distinct()
         .crossJoin(F.broadcast(merges))
-        .withColumn("__s__", wrapped)
+        .withColumn("__s__", _wrapped_syms("w"))
         .withColumn(
             "__m__",
             F.aggregate(
                 F.col("__merges__"),
                 F.col("__s__"),
-                lambda acc, m: F.replace(
-                    acc,
-                    F.concat(
-                        F.lit(sep),
-                        m["pair"].substr(1, 1),
-                        F.lit(sep + sep),
-                        m["pair"].substr(2, 1),
-                        F.lit(sep),
-                    ),
-                    F.concat(F.lit(sep), m["pair"], F.lit(sep)),
+                lambda acc, m: _merge_replace(
+                    acc, m["pair"].substr(1, 1), m["pair"].substr(2, 1)
                 ),
             ),
         )
@@ -905,12 +878,7 @@ def bpe_encode(
             "w",
             F.when(
                 F.length("w") >= 1,
-                F.size(
-                    F.split(
-                        F.expr("substring(__m__, 2, length(__m__) - 2)"),
-                        sep + sep,
-                    )
-                ),
+                F.size(_split_syms("__m__")),
             )
             .otherwise(F.lit(0))
             .cast("long")

@@ -1468,16 +1468,25 @@ _IVFPQ_CTES = f"""
     "end to end.",
 )
 def q_sim_ivfpq(spark, sf_dir):
+    topk, _ = _ivfpq_query(spark, sf_dir)
+    return topk
+
+
+def _ivfpq_query(spark, sf_dir):
+    """Shared index + query setup for the IVF-PQ pair: returns the top-k
+    DataFrame and the query vector. One place owns the index parameters,
+    so the recall query grades the SAME index the top-k query serves."""
     e = _t(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") % _IVFPQ_CENT_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     qrow = e.filter(F.col("vec_id") == _IVFPQ_QID).head()
-    return similarity.ivfpq_topk(
+    qv = [float(x) for x in qrow["embedding"]]
+    topk = similarity.ivfpq_topk(
         e,
         id_col="vec_id",
         vec_col="embedding",
-        query_vec=[float(x) for x in qrow["embedding"]],
+        query_vec=qv,
         centroids=cents,
         donor_filter=lambda c: c % _PQ_CENT_MOD == 0,
         k=10,
@@ -1485,6 +1494,7 @@ def q_sim_ivfpq(spark, sf_dir):
         m=_PQ_M,
         dim=_PQ_DIM,
     )
+    return topk, qv
 
 
 @register(
@@ -1518,23 +1528,8 @@ def q_sim_ivfpq(spark, sf_dir):
 )
 def q_sim_ivfpq_recall(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") % _IVFPQ_CENT_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    qrow = e.filter(F.col("vec_id") == _IVFPQ_QID).head()
-    qv = [float(x) for x in qrow["embedding"]]
-    adc = similarity.ivfpq_topk(
-        e,
-        id_col="vec_id",
-        vec_col="embedding",
-        query_vec=qv,
-        centroids=cents,
-        donor_filter=lambda c: c % _PQ_CENT_MOD == 0,
-        k=10,
-        nprobe=_IVFPQ_NPROBE,
-        m=_PQ_M,
-        dim=_PQ_DIM,
-    ).select("vec_id")
+    topk, qv = _ivfpq_query(spark, sf_dir)
+    adc = topk.select("vec_id")
     q = F.array(*[F.lit(float(x)) for x in qv])
     exact = (
         e.select(
