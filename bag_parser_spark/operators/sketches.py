@@ -1,5 +1,6 @@
 """Bounded-memory summary operators: distributed Misra-Gries heavy
-hitters with exact verification.
+hitters with exact verification, Bloom-filter membership prefilters,
+and count-min frequency sketches.
 
 Extension surface — the reference has no sketches; its closest shape is
 the running-counter battery (reference bag_parser.py counters, SURVEY
@@ -36,9 +37,11 @@ sequential state).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from bag_parser_spark.operators.sampling import md5_mod
 
 
 def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
@@ -87,4 +90,143 @@ def heavy_hitters(
         .crossJoin(F.broadcast(total))
         .where(F.col("freq") * phi_den >= F.col("__n__") * phi_num)
         .select(key_col, "freq")
+    )
+
+
+def bloom_hash_positions(c: Column, k: int, m: int, seed: str = "bloom") -> Column:
+    """The ``k`` Bloom bit positions of a value: independent md5 hashes
+    (seed ``{seed}{i}``) folded to ``[0, m)``. Engine-portable — any system
+    with md5 computes the identical positions, so a Bloom filter built
+    here can be probed by DuckDB (and vice versa)."""
+    return F.array(*[md5_mod(c, f"{seed}{i}", m) for i in range(k)])
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, k: int, m: int, seed: str = "bloom"
+) -> DataFrame:
+    """Build a Bloom filter over the distinct keys of ``df`` as a relation:
+    one row per SET bit position (column ``pos``, <= m rows).
+
+    The position-set relation is the engine-portable, mergeable form of
+    the bitset: union = merging two filters, and a broadcast hash join
+    against it is exactly the bitset probe (the driver-side variant would
+    collect the <= m positions into a real bitset and broadcast that; the
+    relational form keeps the whole flow declarative and oracle-checkable
+    with identical semantics)."""
+    return (
+        df.select(
+            F.explode(
+                bloom_hash_positions(F.col(key_col), k, m, seed)
+            ).alias("pos")
+        )
+        .dropDuplicates(["pos"])
+    )
+
+
+def bloom_candidates(
+    probe: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    k: int,
+    m: int,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Distinct probe keys that the Bloom filter reports as members (all
+    ``k`` bit positions set). A superset of the true members — no false
+    negatives ever, false-positive rate ~(1-e^{-kn/m})^k — so callers
+    follow with an exact verify restricted to the candidates.
+
+    Scale shape: the probe side explodes to k integer positions per
+    distinct key (map-only), broadcast-joins the <= m-row position set,
+    and keeps keys where all k matched. The 100 TB corpus never shuffles;
+    only candidate keys move on to verification."""
+    keys = probe.select(key_col).dropDuplicates([key_col])
+    exploded = keys.select(
+        key_col,
+        F.explode(bloom_hash_positions(F.col(key_col), k, m, seed)).alias(
+            "pos"
+        ),
+    )
+    return (
+        exploded.join(F.broadcast(bloom), "pos")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__hits__"))
+        .where(F.col("__hits__") == k)
+        .select(key_col)
+    )
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    group_cols: list[str] | None = None,
+    seed: str = "cm",
+) -> DataFrame:
+    """Count-min sketch over ``key_col`` occurrences as a relation: one row
+    per (row, pos) cell with its count (<= depth*width rows per group).
+
+    Mergeable by construction: summing cell counts across two sketch
+    tables IS the sketch of the concatenated data (counts are linear), so
+    per-partition/per-day sketches roll up without touching raw rows —
+    the property that makes frequency queries pre-aggregable at 100 TB.
+    Pass ``group_cols`` to build one sketch per group and merge later
+    with ``count_min_merge``."""
+    gcols = list(group_cols or [])
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    md5_mod(F.col(key_col), f"{seed}{i}", width).alias("pos"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("__c__")
+    return (
+        df.select(*gcols, cells)
+        .groupBy(*gcols, "__c__.row", "__c__.pos")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+
+def count_min_merge(sketches: DataFrame) -> DataFrame:
+    """Merge per-group count-min sketches into one by summing cells."""
+    return sketches.groupBy("row", "pos").agg(F.sum("cell").alias("cell"))
+
+
+def count_min_estimate(
+    probes: DataFrame,
+    key_col: str,
+    sketch: DataFrame,
+    depth: int,
+    width: int,
+    seed: str = "cm",
+) -> DataFrame:
+    """Point-query the sketch for each probe key: est = min over the depth
+    rows of the key's cell. Guaranteed est >= true count (cells only ever
+    over-count under collisions) — the caller can assert the bound
+    against an exact count when one is available."""
+    exploded = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        md5_mod(F.col(key_col), f"{seed}{i}", width).alias(
+                            "pos"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("__c__"),
+    ).select(key_col, "__c__.row", "__c__.pos")
+    return (
+        exploded.join(F.broadcast(sketch), ["row", "pos"])
+        .groupBy(key_col)
+        .agg(F.min("cell").alias("est"))
     )

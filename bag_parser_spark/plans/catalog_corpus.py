@@ -784,6 +784,92 @@ def q_hll_mergeable(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# a27_countmin — mergeable count-min frequency sketch + exact bound check
+# ---------------------------------------------------------------------------
+
+_CM_D = 3
+_CM_W = 256
+
+
+def _cm_pos_rows_sql(src: str, key: str, extra: str = "") -> str:
+    """UNION ALL of the depth rows (r, pos) for every row of ``src`` —
+    mirrors sketches.count_min_build/estimate cell addressing."""
+    return " UNION ALL ".join(
+        f"SELECT {extra}{i} AS r, {O.md5_mod_sql(key, f'cm{i}', _CM_W)} AS pos "
+        f"FROM {src}"
+        for i in range(_CM_D)
+    )
+
+
+@register(
+    "a27_countmin",
+    f"""
+    WITH sk AS (
+      SELECT r, pos, COUNT(*) AS cell
+      FROM ({_cm_pos_rows_sql('events', 'user_id')})
+      GROUP BY r, pos
+    ),
+    ex AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1),
+    probes AS (
+      SELECT user_id, exact_count FROM ex
+      ORDER BY exact_count DESC, user_id ASC LIMIT 20
+    ),
+    est AS (
+      SELECT p.user_id, MIN(s.cell) AS est_count
+      FROM ({_cm_pos_rows_sql('probes', 'user_id', 'user_id, ')}) p
+      JOIN sk s USING (r, pos)
+      GROUP BY p.user_id
+    )
+    SELECT p.user_id, p.exact_count, e.est_count,
+           e.est_count >= p.exact_count AS overestimate_ok,
+           e.est_count - p.exact_count AS overcount
+    FROM probes p JOIN est e USING (user_id)
+    """,
+    doc="Count-min frequency sketch (d=3 rows x w=256 cells, md5-hashed "
+    "positions) with an exact-bound audit: one sketch per event_type is "
+    "built first (sketches.count_min_build, group_cols) and MERGED by "
+    "summing cells (count_min_merge) — counts are linear, so the merged "
+    "sketch is bit-identical to a single-pass global sketch, which is "
+    "the property that makes frequency queries pre-aggregable at 100 TB "
+    "(store a d*w-cell sketch per day/partition, answer any cross-"
+    "partition frequency question by summing sketches, never re-scan "
+    "raw events; same materialize-then-merge form as a19's HLL). The "
+    "top-20 keys by exact count (deterministic tiebreak) are then "
+    "point-queried: est = min over the d rows of the key's cell, "
+    "guaranteed >= the true count because cells only ever over-count "
+    "under collisions — asserted per key as overestimate_ok, with the "
+    "collision-induced overcount reported honestly (w=256 vs 150-1500 "
+    "distinct users forces real collisions). The oracle builds the "
+    "global sketch directly — exactly what merge linearity promises.",
+)
+def q_countmin(spark, sf_dir):
+    from bag_parser_spark.operators import sketches
+
+    e = _t(spark, sf_dir, "events")
+    per_type = sketches.count_min_build(
+        e, "user_id", depth=_CM_D, width=_CM_W, group_cols=["event_type"]
+    )
+    sk = sketches.count_min_merge(per_type)
+    ex = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = ex.orderBy(
+        F.col("exact_count").desc(), F.col("user_id").asc()
+    ).limit(20)
+    est = sketches.count_min_estimate(
+        probes, "user_id", sk, depth=_CM_D, width=_CM_W
+    )
+    return (
+        probes.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_count",
+            F.col("est").alias("est_count"),
+            (F.col("est") >= F.col("exact_count")).alias("overestimate_ok"),
+            (F.col("est") - F.col("exact_count")).alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # j14_fuzzy_blocked_join — edit-distance record linkage with blocking
 # ---------------------------------------------------------------------------
 

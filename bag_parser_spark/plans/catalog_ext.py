@@ -1653,6 +1653,114 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+_BLOOM_M = 65536
+_BLOOM_K = 3
+
+
+@register(
+    "decontaminate_bloom",
+    f"""
+    WITH labeled AS (
+      SELECT doc_id, text, {_split_case_sql()} AS split FROM documents
+    ),
+    te AS (
+      SELECT DISTINCT unnest({O.shingles_sql('text', 8)}) AS shingle
+      FROM labeled WHERE split = 'test'
+    ),
+    bloom AS (
+      SELECT DISTINCT u.pos
+      FROM te, UNNEST({O.bloom_positions_sql('shingle', _BLOOM_K, _BLOOM_M)})
+           AS u(pos)
+    ),
+    trs AS (
+      SELECT DISTINCT doc_id, unnest({O.shingles_sql('text', 8)}) AS shingle
+      FROM labeled WHERE split = 'train'
+    ),
+    keys AS (SELECT DISTINCT shingle FROM trs),
+    cand AS (
+      SELECT shingle FROM (
+        SELECT k.shingle, u.pos
+        FROM keys k,
+             UNNEST({O.bloom_positions_sql('k.shingle', _BLOOM_K, _BLOOM_M)})
+             AS u(pos)
+      ) kp JOIN bloom b USING (pos)
+      GROUP BY kp.shingle
+      HAVING COUNT(*) = {_BLOOM_K}
+    ),
+    conf AS (SELECT c.shingle FROM cand c JOIN te USING (shingle))
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(c.shingle) AS n_bloom_hits,
+           COUNT(f.shingle) AS n_confirmed,
+           COUNT(c.shingle) - COUNT(f.shingle) AS n_false_positives,
+           COUNT(f.shingle) = 0 AS clean
+    FROM trs t
+    LEFT JOIN cand c USING (shingle)
+    LEFT JOIN conf f USING (shingle)
+    GROUP BY t.doc_id
+    """,
+    doc="Bloom-prefiltered decontamination, the 100 TB-direction variant "
+    "of decontaminate_check: the SMALL side (the eval/test split's "
+    "distinct 8-gram shingles) builds a Bloom filter (m=65536 bits, k=3 "
+    "md5 hashes, sketches.bloom_build — stored relationally as the "
+    "<= m-row set-bit table, the engine-portable/mergeable form of the "
+    "bitset), and the LARGE side (the train corpus) probes it map-side: "
+    "each train shingle explodes to 3 integer positions, broadcast-joins "
+    "the bit table, and survives only if all 3 bits are set. Only the "
+    "surviving candidates (true hits + ~(1-e^{-kn/m})^k false positives) "
+    "reach the exact verify join against the real test-shingle set, so "
+    "the corpus-sized shuffle of decontaminate_check's shingle join "
+    "disappears — at 100 TB the bit table collects to a literal 8 KB "
+    "bitset broadcast with zero shuffle. Output is the per-TRAIN-doc "
+    "audit: shingles, Bloom hits, confirmed hits, false positives "
+    "(honest measure of the m/k tradeoff), and the clean flag. No false "
+    "negatives by construction, so n_confirmed is bit-identical to what "
+    "the exact join computes — which is exactly what the oracle checks.",
+)
+def q_decontaminate_bloom(spark, sf_dir):
+    from bag_parser_spark.operators import sampling, sketches
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = sampling.hash_split(
+        d, id_col="doc_id", splits=_SPLITS, seed=_SPLIT_SEED
+    )
+    te_sh = (
+        dedup.word_shingle_rows(
+            labeled.filter(F.col("split") == "test"), "doc_id", "text", 8
+        )
+        .select("shingle")
+        .dropDuplicates(["shingle"])
+    )
+    bloom = sketches.bloom_build(te_sh, "shingle", _BLOOM_K, _BLOOM_M)
+    trs = dedup.word_shingle_rows(
+        labeled.filter(F.col("split") == "train"), "doc_id", "text", 8
+    ).dropDuplicates(["__id__", "shingle"])
+    cand = sketches.bloom_candidates(trs, "shingle", bloom, _BLOOM_K, _BLOOM_M)
+    conf = cand.join(te_sh, "shingle", "left_semi").withColumn(
+        "__conf__", F.lit(1)
+    )
+    return (
+        trs.join(cand.withColumn("__cand__", F.lit(1)), "shingle", "left")
+        .join(conf, "shingle", "left")
+        .groupBy("__id__")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__cand__").alias("n_bloom_hits"),
+            F.count("__conf__").alias("n_confirmed"),
+        )
+        .select(
+            F.col("__id__").alias("doc_id"),
+            "n_shingles",
+            "n_bloom_hits",
+            "n_confirmed",
+            (F.col("n_bloom_hits") - F.col("n_confirmed")).alias(
+                "n_false_positives"
+            ),
+            (F.col("n_confirmed") == 0).alias("clean"),
+        )
+    )
+
+
 @register(
     "sample_weighted_sources",
     f"""

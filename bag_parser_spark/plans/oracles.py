@@ -135,6 +135,12 @@ def fingerprint_sql(text: str, ngram: int = 5) -> str:
     ).replace("__W__", f"({w})")
 
 
+def bloom_positions_sql(expr: str, k: int, m: int, seed: str = "bloom") -> str:
+    """Mirrors sketches.bloom_hash_positions: list of the k Bloom bit
+    positions of ``expr`` (md5_mod with seeds ``{seed}0..{seed}{k-1}``)."""
+    return "[" + ", ".join(md5_mod_sql(expr, f"{seed}{i}", m) for i in range(k)) + "]"
+
+
 def md5_mod_sql(expr: str, seed, mod: int = 10_000) -> str:
     """Mirrors sampling.md5_mod: first 8 md5 hex chars of 'seed:value'
     folded to an integer by nibble arithmetic (exact in doubles)."""
