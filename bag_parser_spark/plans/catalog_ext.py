@@ -787,6 +787,89 @@ def q_ml_auc(spark, sf_dir):
     )
 
 
+@register(
+    "ml_eval_confusion",
+    f"""
+    WITH flat AS (
+      SELECT doc_id, unnest({O.words_sql('lower(text)')}) AS token
+      FROM documents
+    ),
+    weighted AS (
+      SELECT doc_id,
+             {O.md5_mod_sql(O.md5_mod_sql('token', _CLF_SEED + ':b', _CLF_BUCKETS), _CLF_SEED + ':w', _CLF_WMOD)}
+               - {_CLF_WMOD // 2} AS w
+      FROM flat
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_milli
+      FROM weighted GROUP BY doc_id
+    ),
+    labeled AS (
+      SELECT CASE WHEN p.score_milli > 0 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM per_doc p JOIN documents d USING (doc_id)
+    ),
+    cm AS (
+      SELECT CAST(SUM(pred * pos) AS BIGINT) AS tp,
+             CAST(SUM(pred * (1 - pos)) AS BIGINT) AS fp,
+             CAST(SUM((1 - pred) * pos) AS BIGINT) AS fn,
+             CAST(SUM((1 - pred) * (1 - pos)) AS BIGINT) AS tn
+      FROM labeled
+    )
+    SELECT tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_,
+           round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+             AS accuracy
+    FROM cm
+    """,
+    doc="Classifier evaluation at a fixed threshold (score_milli > 0): "
+    "the confusion matrix and the derived precision/recall/F1/accuracy "
+    "— the operating-point companion to ml_auc_ranked's "
+    "threshold-free AUC, over the same hashed-linear scores and "
+    "lang='en' labels. Counts are one full-corpus aggregate of 0/1 "
+    "products (map-side combined, integer-exact, order-independent); "
+    "each ratio is a single double division of integers, so parity "
+    "needs no float rules beyond round-6. F1 uses the 2tp/(2tp+fp+fn) "
+    "form — one division instead of the harmonic-mean chain, fewer "
+    "rounding boundaries.",
+)
+def q_ml_eval_confusion(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scores = text.hash_classifier_scores(
+        d, id_col="doc_id", text_col="text",
+        n_buckets=_CLF_BUCKETS, seed=_CLF_SEED, w_mod=_CLF_WMOD,
+    ).select("doc_id", "score_milli")
+    labeled = scores.join(
+        d.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("long").alias("pos"),
+        ),
+        "doc_id",
+    ).select(
+        (F.col("score_milli") > 0).cast("long").alias("pred"), "pos"
+    )
+    cm = labeled.agg(
+        F.sum(F.col("pred") * F.col("pos")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("pos"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("pos")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("pos"))).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_"),
+        F.round(tp.cast("double") / (tp + fn), 6).alias("recall_"),
+        F.round(
+            (2 * tp).cast("double") / (2 * tp + fp + fn), 6
+        ).alias("f1"),
+        F.round(
+            (tp + tn).cast("double") / (tp + fp + fn + tn), 6
+        ).alias("accuracy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dataset splitting / sequence packing
 # ---------------------------------------------------------------------------
