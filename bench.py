@@ -91,6 +91,9 @@ HEADLINE = [
     "text_bpe_merge_step",
     "sim_ivfpq_topk",
     "text_bpe_encode",
+    "decontaminate_bloom",
+    "a27_countmin",
+    "ml_eval_confusion",
 ]
 
 

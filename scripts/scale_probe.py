@@ -45,6 +45,12 @@ QUERIES = [
     # and the zone-map audit (distinct-z histogram window)
     "sim_ivfpq_topk",
     "layout_file_skipping",
+    # r6 sketches: the Bloom prefilter's false-positive rate grows with
+    # the test-shingle count (fixed m=65536) — the probe measures how
+    # gracefully a saturating filter degrades (verify cost rises, output
+    # stays exact); count-min stays d*w cells no matter the input
+    "decontaminate_bloom",
+    "a27_countmin",
 ]
 
 

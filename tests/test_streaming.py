@@ -76,6 +76,58 @@ def test_sessionize_stream_matches_batch(spark):
         assert abs(s_total - total) < 1e-9
 
 
+def test_countmin_stream_partials_match_batch_and_survive_replay(
+    spark, tmp_path
+):
+    """Streaming count-min maintenance: per-micro-batch partial sketches
+    merged on read must equal a single batch build over the full history
+    (linearity), a newly arrived file adds exactly its own partial, and a
+    REPLAYED micro-batch (same batch_id) overwrites its previous partial
+    instead of double-counting — the exactly-once contract of the
+    batch_id-partitioned sink."""
+    import shutil
+
+    from bag_parser_spark.operators.sketches import count_min_build
+    from bag_parser_spark.sources.parquet import load_table
+    from bag_parser_spark.streaming.sketches import (
+        countmin_partials_writer,
+        read_merged_sketch,
+        run_countmin_stream,
+    )
+
+    src = tmp_path / "evsrc"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "c1.parquet")
+    out, ck = str(tmp_path / "cm"), str(tmp_path / "ck")
+
+    def merged():
+        return {
+            (r["row"], r["pos"]): r["cell"]
+            for r in read_merged_sketch(spark, out).collect()
+        }
+
+    run_countmin_stream(spark, str(src), out, ck)
+    ev = load_table(spark, SF, "events")
+    direct = {
+        (r["row"], r["pos"]): r["cell"]
+        for r in count_min_build(ev, "user_id", depth=3, width=256).collect()
+    }
+    assert merged() == direct and len(direct) > 100
+
+    # a new file arrives -> the next micro-batch appends its OWN partial;
+    # the merged sketch is the sum (here: every cell doubles)
+    shutil.copy(f"{SF}/events.parquet", src / "c2.parquet")
+    run_countmin_stream(spark, str(src), out, ck)
+    assert merged() == {k: 2 * v for k, v in direct.items()}
+
+    # replayed micro-batch: foreachBatch re-delivers the same batch_id
+    # after a crash; the dynamic partition overwrite makes it a no-op
+    w = countmin_partials_writer(out, "user_id", 3, 256)
+    w(ev.select("user_id"), 0)
+    w(ev.select("user_id"), 0)
+    assert merged() == {k: 2 * v for k, v in direct.items()}
+
+
 def test_dedup_stream_matches_batch(spark):
     """Streaming dropDuplicatesWithinWatermark over a duplicated input
     equals batch exact dedup on the same data."""
