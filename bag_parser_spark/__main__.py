@@ -236,6 +236,12 @@ def cmd_prepare(args) -> int:
         near_dedup=not args.no_near_dedup,
         near_dup_threshold=args.near_dup_threshold,
         max_segment_dup_pct=args.max_segment_dup_pct,
+        decontaminate_docs=(
+            spark.read.parquet(args.decontaminate)
+            if args.decontaminate
+            else None
+        ),
+        max_contamination_pct=args.max_contamination_pct,
     )
     _log(f"prepared {summary['n_out']} docs -> {summary['out']}")
     print(json.dumps(summary, sort_keys=True))
@@ -339,6 +345,17 @@ def build_parser() -> argparse.ArgumentParser:
                       "boilerplate gate; off by default; the rule is "
                       "strict-less, so 0 is rejected — it would drop "
                       "every document)")
+    prep.add_argument("--decontaminate", default=None, metavar="PARQUET",
+                      help="parquet of eval/benchmark docs (same text "
+                      "column); survivors whose word 8-grams overlap it "
+                      "beyond --max-contamination-pct are dropped "
+                      "(Bloom-prefiltered, exact-verified — no false "
+                      "drops)")
+    prep.add_argument("--max-contamination-pct", type=int, default=0,
+                      help="allowed percent of a doc's 8-grams found in "
+                      "the eval set before it is dropped (default 0: any "
+                      "confirmed overlap drops the doc; strict-greater "
+                      "rule)")
     _add_spark_args(prep)
     prep.set_defaults(fn=cmd_prepare)
 

@@ -1,6 +1,8 @@
 """End-to-end training-corpus preparation pipeline (CLI `prepare`):
 quality/language filter → exact dedup → near-dup canonicalization →
-deterministic hash split → split-partitioned parquet artifact.
+optional sub-document boilerplate gate → optional Bloom-prefiltered
+eval-set decontamination → deterministic hash split → split-partitioned
+parquet artifact.
 
 One lineage, one write pass: the cheap map-side filters run at the scan,
 every dedup stage shuffles keys/hashes rather than document text wherever
@@ -40,6 +42,9 @@ def prepare_corpus(
     near_dedup: bool = True,
     near_dup_threshold: float = 0.5,
     max_segment_dup_pct: int | None = None,
+    decontaminate_docs: DataFrame | None = None,
+    max_contamination_pct: int = 0,
+    decontaminate_shingle_n: int = 8,
 ) -> dict:
     """Run the curation pipeline and write ``out_dir`` partitioned by
     ``split``. Returns a summary dict (input/kept/emitted counts and the
@@ -112,6 +117,57 @@ def prepare_corpus(
         )
         unique = unique.join(seg_drop, id_col, "left_anti")
 
+    if decontaminate_docs is not None:
+        # Eval-set decontamination (the release gate every benchmark
+        # number depends on): drop survivors whose word n-grams overlap
+        # the eval set beyond max_contamination_pct (0 = any confirmed
+        # n-gram drops the doc; integer rule, same contract as the
+        # segment gate). Scale shape: the SMALL eval side becomes a
+        # Bloom filter (sketches.bloom_build) the corpus probes
+        # map-side; only Bloom candidates reach the exact verify join,
+        # so no corpus-sized shingle shuffle and no false drops — the
+        # filter admits false positives, the verify join removes them,
+        # and false negatives are impossible by construction.
+        from bag_parser_spark.operators import sketches
+
+        bloom_k, bloom_m = 3, 1 << 20
+        ev_sh = (
+            dedup.word_shingle_rows(
+                decontaminate_docs.select(
+                    F.monotonically_increasing_id().alias("__eid__"),
+                    F.col(text_col),
+                ),
+                "__eid__",
+                text_col,
+                decontaminate_shingle_n,
+            )
+            .select("shingle")
+            .dropDuplicates(["shingle"])
+        )
+        bloom = sketches.bloom_build(ev_sh, "shingle", bloom_k, bloom_m)
+        corpus_sh = dedup.word_shingle_rows(
+            unique, id_col, text_col, decontaminate_shingle_n
+        ).dropDuplicates(["__id__", "shingle"])
+        cand = sketches.bloom_candidates(
+            corpus_sh, "shingle", bloom, bloom_k, bloom_m
+        )
+        confirmed = cand.join(ev_sh, "shingle", "left_semi").withColumn(
+            "__hit__", F.lit(1)
+        )
+        contaminated = (
+            corpus_sh.join(confirmed, "shingle", "left")
+            .groupBy("__id__")
+            .agg(
+                F.count("*").alias("__n__"),
+                F.count("__hit__").alias("__c__"),
+            )
+            .filter(
+                F.col("__c__") * 100 > F.col("__n__") * max_contamination_pct
+            )
+            .select(F.col("__id__").alias(id_col))
+        )
+        unique = unique.join(contaminated, id_col, "left_anti")
+
     split_df = sampling.hash_split(
         unique, id_col=id_col, splits=splits or DEFAULT_SPLITS, seed=seed
     ).drop("__content__", "lang_pred")
@@ -137,6 +193,10 @@ def prepare_corpus(
         "near_dedup": near_dedup,
         "near_dup_threshold": near_dup_threshold,
         "max_segment_dup_pct": max_segment_dup_pct,
+        "decontaminated": decontaminate_docs is not None,
+        "max_contamination_pct": (
+            max_contamination_pct if decontaminate_docs is not None else None
+        ),
         "min_quality": min_quality,
         "lang": lang,
         "seed": seed,

@@ -1595,6 +1595,53 @@ def test_prepare_corpus_segment_dup_gate(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == {1, 2, 3}
 
 
+def test_prepare_corpus_decontamination_gate(spark, tmp_path):
+    """prepare_corpus --decontaminate: a doc that is mostly eval text is
+    dropped at any threshold; a doc sharing ONE 8-gram of many is dropped
+    only at pct=0 (the strict default); a clean doc always survives —
+    and the Bloom prefilter must never cause a false drop (exact verify
+    follows it)."""
+    from bag_parser_spark.plans.corpus_prep import prepare_corpus
+
+    ev = " ".join(f"e{i}" for i in range(20))  # 13 8-gram shingles
+    docs = spark.createDataFrame(
+        [
+            (1, ev + " x1 x2"),  # 13/15 shingles contaminated (86%)
+            (2, " ".join(f"b{i}" for i in range(30))),  # clean
+            # 1/41 shingles contaminated (~2.4%)
+            (3, " ".join(f"e{i}" for i in range(8)) + " "
+                + " ".join(f"c{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame([(ev,)], "text string")
+
+    out = str(tmp_path / "strict")
+    summary = prepare_corpus(
+        spark, docs, out,
+        min_quality=0.0, lang=None, near_dedup=False,
+        decontaminate_docs=eval_docs, max_contamination_pct=0,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {2}
+    assert summary["decontaminated"] and summary["max_contamination_pct"] == 0
+
+    out2 = str(tmp_path / "loose")
+    prepare_corpus(
+        spark, docs, out2,
+        min_quality=0.0, lang=None, near_dedup=False,
+        decontaminate_docs=eval_docs, max_contamination_pct=50,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == {2, 3}
+
+    out3 = str(tmp_path / "off")
+    summary3 = prepare_corpus(
+        spark, docs, out3, min_quality=0.0, lang=None, near_dedup=False,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(out3).collect()} == {1, 2, 3}
+    assert not summary3["decontaminated"]
+    assert summary3["max_contamination_pct"] is None
+
+
 def test_bpe_merge_step_known_values(spark):
     """Hand-computed BPE iteration on {aaa, abab, banana x2, band}: the
     argmax first merge is (a,n) with corpus count 5; post-merge counts
