@@ -973,6 +973,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_temperature", "layout_file_skipping", "text_bpe_encode",
     "sim_ivfpq_topk", "text_bpe_train", "sim_ivfpq_recall",
     "decontaminate_bloom", "a27_countmin", "ml_eval_confusion",
+    "ts_asof_tolerance", "a28_grouping_sets",
     # — family round-robin re-verification fills the window from here —
     "j1_chained_left_join", "a1_grouped_stats", "w1_last_write_wins",
     "f6_rd_to_wgs84", "p3_temporal_filter", "j4_explode_join_lastwins",

@@ -838,3 +838,50 @@ def q_cube(spark, sf_dir):
             "sum_chars",
         )
     )
+
+
+@register(
+    "a28_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    doc="Arbitrary GROUPING SETS — the lattice shape neither ROLLUP "
+    "(hierarchy) nor CUBE (full 2^k) expresses: the two MARGINALS "
+    "((status), (priority)) and nothing else, in ONE Expand + one "
+    "hash aggregate instead of two scans unioned. The report-building "
+    "primitive for dashboards that want per-dimension totals without "
+    "paying for every cross cell; grouping_id disambiguates which "
+    "marginal a row belongs to, sums go through exact decimals.",
+)
+def q_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            F.col("gid").cast("long").alias("gid"),
+            "n_orders",
+            "total_price",
+        )
+    )

@@ -82,6 +82,74 @@ def q_asof(spark, sf_dir):
 
 
 @register(
+    "ts_asof_tolerance",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'error'
+    ),
+    r AS (
+      SELECT user_id, ts,
+             max_by(value, event_id) AS r_value,
+             MAX(event_id) AS r_event_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    j AS (
+      SELECT l.event_id, l.user_id, l.ts, l.value,
+             r.ts AS m_ts, r.r_value AS m_value, r.r_event_id AS m_event_id
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN m_ts >= ts - INTERVAL 6 HOUR THEN m_ts END
+             AS matched_ts,
+           CASE WHEN m_ts >= ts - INTERVAL 6 HOUR THEN m_value END
+             AS matched_value,
+           CASE WHEN m_ts >= ts - INTERVAL 6 HOUR THEN m_event_id END
+             AS matched_event_id
+    FROM j
+    """,
+    doc="As-of join with a staleness tolerance (pandas merge_asof "
+    "`tolerance`, kdb wj window bound): the backward match only counts "
+    "if the matched row is at most 6 hours old — older state is treated "
+    "as missing, which is the correct semantics for joining slowly-"
+    "arriving reference data (a quote matched to a trade from last week "
+    "is worse than no match). Same single-shuffle union + ordered-"
+    "window carry-forward as ts_asof_join with a pure-projection "
+    "timestamp-interval guard on top (NULL propagates through the "
+    "comparison, so never-matched rows stay NULL) — tolerance costs "
+    "nothing extra at any scale.",
+)
+def q_asof_tolerance(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("r_value"),
+            F.max("event_id").alias("r_event_id"),
+        )
+    )
+    out = timeseries.asof_join(
+        l, r, on="user_id", right_payload=["r_value", "r_event_id"]
+    )
+    fresh = F.col("matched_ts") >= F.col("ts") - F.expr("INTERVAL 6 HOUR")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(fresh, F.col("matched_ts")).alias("matched_ts"),
+        F.when(fresh, F.col("matched_r_value")).alias("matched_value"),
+        F.when(fresh, F.col("matched_r_event_id")).alias("matched_event_id"),
+    )
+
+
+@register(
     "ts_window_battery",
     """
     SELECT user_id, ts, event_id, value,
