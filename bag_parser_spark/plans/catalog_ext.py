@@ -1122,13 +1122,24 @@ def q_dedup_semantic(spark, sf_dir):
 
 _PQ_M, _PQ_DIM, _PQ_CENT_MOD = 4, 64, 25
 _PQ_W = _PQ_DIM // _PQ_M
+# Real PQ indexes FIX the per-subspace codebook size (FAISS default
+# k=256); a donor rule of "every 25th vector" alone grows the codebook
+# with the corpus and turns index build into O(n^2/25) — measured by the
+# r6 scale probe as 8.15x time at 4x vectors. Bounding the donor id
+# range restores the fixed-codebook contract (<= 256 codes/subspace).
+# No-op at the test SFs (max vec_id 1999 < cap), bites only at probe
+# scale and beyond.
+_PQ_DONOR_CAP = _PQ_CENT_MOD * 256
 
 
 def _pq_codebooks(e):
     """(subspace, code, cv): every _PQ_CENT_MOD-th vector's subvectors —
     the deterministic stand-in for k-means-trained codebooks."""
     return (
-        e.filter(F.col("vec_id") % _PQ_CENT_MOD == 0)
+        e.filter(
+            (F.col("vec_id") % _PQ_CENT_MOD == 0)
+            & (F.col("vec_id") < _PQ_DONOR_CAP)
+        )
         .select(
             F.explode(
                 F.sequence(
@@ -1159,7 +1170,7 @@ def _pq_codebooks(e):
                [CAST(mm.m * {_PQ_W} + 1 AS INTEGER)
                 : CAST(mm.m * {_PQ_W} + {_PQ_W} AS INTEGER)] AS cv
       FROM embeddings e, UNNEST(range(0, {_PQ_M})) AS mm(m)
-      WHERE e.vec_id % {_PQ_CENT_MOD} = 0
+      WHERE e.vec_id % {_PQ_CENT_MOD} = 0 AND e.vec_id < {_PQ_DONOR_CAP}
     ),
     sv AS (
       SELECT e.vec_id, CAST(mm.m AS BIGINT) AS subspace,
@@ -1207,7 +1218,7 @@ _PQ_CODES_CTES = f"""
                [CAST(mm.m * {_PQ_W} + 1 AS INTEGER)
                 : CAST(mm.m * {_PQ_W} + {_PQ_W} AS INTEGER)] AS cv
       FROM embeddings e, UNNEST(range(0, {_PQ_M})) AS mm(m)
-      WHERE e.vec_id % {_PQ_CENT_MOD} = 0
+      WHERE e.vec_id % {_PQ_CENT_MOD} = 0 AND e.vec_id < {_PQ_DONOR_CAP}
     ),
     sv AS (
       SELECT e.vec_id, CAST(mm.m AS BIGINT) AS subspace,
@@ -1436,12 +1447,18 @@ def q_sim_pq_adc_batch(spark, sf_dir):
 
 
 _IVFPQ_CENT_MOD, _IVFPQ_NPROBE, _IVFPQ_QID = 50, 3, 7
+# Coarse cells capped for the same reason as _PQ_DONOR_CAP: unbounded
+# "every 50th vector" centroids make assignment O(n^2/50). FAISS sizes
+# nlist ~ sqrt(n); a fixed cap keeps the deterministic rule and the
+# linear build. No-op at test SFs.
+_IVFPQ_CELL_CAP = _IVFPQ_CENT_MOD * 64
 
 
 _IVFPQ_CTES = f"""
     WITH cents AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings WHERE vec_id % {_IVFPQ_CENT_MOD} = 0
+      FROM embeddings
+      WHERE vec_id % {_IVFPQ_CENT_MOD} = 0 AND vec_id < {_IVFPQ_CELL_CAP}
     ),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     ad AS (
@@ -1467,7 +1484,7 @@ _IVFPQ_CTES = f"""
              d.r[CAST(mm.m * {_PQ_W} + 1 AS INTEGER)
                  : CAST(mm.m * {_PQ_W} + {_PQ_W} AS INTEGER)] AS cv
       FROM resid d, UNNEST(range(0, {_PQ_M})) AS mm(m)
-      WHERE d.vec_id % {_PQ_CENT_MOD} = 0
+      WHERE d.vec_id % {_PQ_CENT_MOD} = 0 AND d.vec_id < {_PQ_DONOR_CAP}
     ),
     sv AS (
       SELECT d.vec_id, d.cid, CAST(mm.m AS BIGINT) AS subspace,
@@ -1560,9 +1577,10 @@ def _ivfpq_query(spark, sf_dir):
     DataFrame and the query vector. One place owns the index parameters,
     so the recall query grades the SAME index the top-k query serves."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") % _IVFPQ_CENT_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    cents = e.filter(
+        (F.col("vec_id") % _IVFPQ_CENT_MOD == 0)
+        & (F.col("vec_id") < _IVFPQ_CELL_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     qrow = e.filter(F.col("vec_id") == _IVFPQ_QID).head()
     qv = [float(x) for x in qrow["embedding"]]
     topk = similarity.ivfpq_topk(
@@ -1571,7 +1589,7 @@ def _ivfpq_query(spark, sf_dir):
         vec_col="embedding",
         query_vec=qv,
         centroids=cents,
-        donor_filter=lambda c: c % _PQ_CENT_MOD == 0,
+        donor_filter=lambda c: (c % _PQ_CENT_MOD == 0) & (c < _PQ_DONOR_CAP),
         k=10,
         nprobe=_IVFPQ_NPROBE,
         m=_PQ_M,
