@@ -2512,7 +2512,8 @@ def _ivf_oracle_sql() -> str:
     rcos = O.cosine_sql("a.embedding", _COS_Q)
     return f"""
     WITH cents AS (SELECT vec_id AS cid, embedding AS cv
-                   FROM embeddings WHERE vec_id % 50 = 0),
+                   FROM embeddings
+                   WHERE vec_id % 50 = 0 AND vec_id < {_IVFPQ_CELL_CAP}),
     assign AS (
       SELECT vec_id, embedding, cid FROM (
         SELECT e.vec_id, e.embedding, c.cid,
@@ -2547,9 +2548,9 @@ def _ivf_oracle_sql() -> str:
 )
 def q_ivf_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    cents = e.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _IVFPQ_CELL_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     return similarity.ivf_topk(
         e,
         id_col="vec_id",

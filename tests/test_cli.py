@@ -202,6 +202,50 @@ def test_cli_prepare_writes_split_corpus(tmp_path):
     assert qmin >= 0.7
 
 
+def test_cli_prepare_decontaminate_flag(tmp_path):
+    """`prepare --decontaminate eval.parquet` drops the doc that contains
+    an eval 8-gram and keeps the clean one — the CLI wiring for the
+    Bloom-prefiltered decontamination stage."""
+    import json
+
+    import duckdb
+
+    ev = " ".join(f"e{i}" for i in range(20))
+    docs_path = str(tmp_path / "docs.parquet")
+    eval_path = str(tmp_path / "eval.parquet")
+    con = duckdb.connect()
+    clean = " ".join(f"b{i}" for i in range(30))
+    contaminated = ev + " x1 x2"
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES (1, '{contaminated}'),
+            (2, '{clean}')) t(doc_id, text))
+            TO '{docs_path}' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"COPY (SELECT '{ev}' AS text) TO '{eval_path}' (FORMAT PARQUET)"
+    )
+    con.close()
+    out_dir = str(tmp_path / "corpus")
+    proc = _run_cli(
+        "prepare", "--docs", docs_path, "--out", out_dir,
+        "--min-quality", "0", "--any-lang", "--no-near-dedup",
+        "--decontaminate", eval_path,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["decontaminated"] and summary["n_out"] == 1
+    con = duckdb.connect()
+    kept = [
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM read_parquet(?, hive_partitioning=1)",
+            [f"{out_dir}/*/*.parquet"],
+        ).fetchall()
+    ]
+    con.close()
+    assert kept == [2]
+
+
 def test_cli_ingest_incremental_dedup(spark, tmp_path):
     """`ingest` drains new files through the streaming dedup pipeline;
     rerunning with the same checkpoint after a second delivery only
