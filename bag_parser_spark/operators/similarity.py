@@ -857,6 +857,7 @@ def embedding_neardup_pairs(
     threshold: float,
     num_planes: int = 6,
     dim: int = 64,
+    within_salt: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-family member the
     MinHash/SimHash variants can't cover: semantic near-dups).
@@ -864,53 +865,70 @@ def embedding_neardup_pairs(
     All-pairs cosine is O(n²); instead vectors are bucketed by their
     random-hyperplane sign signature and paired ONLY within buckets
     (~n/2^planes candidates per bucket), then exact cosine verifies each
-    candidate. The pair expansion is a bucket EQUI-JOIN over the
-    signature projection persisted once: the round-1 shape collected
-    each bucket's members into a single array cell, whose width grows
-    linearly with corpus size at fixed plane count — a 1B-doc corpus
-    would put ~16M structs in one row. The equi-join keeps every row
-    bounded (one member pair), shuffles only (bucket, id, vec, norm),
-    and persist() kills the usual self-join objection (lineage would
-    otherwise execute the signature computation twice) while — unlike
-    localCheckpoint, whose executor-local storage makes executor loss
-    fatal — staying recomputable: _pseudo_random_plane is deterministic,
-    so a lost cache partition just recomputes. ``a_id < b_id`` on the
-    join condition halves the product and fixes pair orientation. Norms
-    are computed once per VECTOR before pairing, not once per pair.
-    Approximate by construction (a near-dup pair straddling a hyperplane
-    is missed — standard LSH recall/planes trade-off). Comparison
-    happens on the ROUNDED similarity so the threshold cut is
-    reproducible across engines.
+    candidate. The equi-join keeps every row bounded (one member pair),
+    shuffles only (bucket, id, vec, norm), and persist() kills the usual
+    self-join objection while — unlike localCheckpoint, whose
+    executor-local storage makes executor loss fatal — staying
+    recomputable (_pseudo_random_plane is deterministic). Approximate by
+    construction (a pair straddling a hyperplane is missed — standard
+    LSH recall/planes trade-off); comparison happens on the ROUNDED
+    similarity so the threshold cut is reproducible across engines.
+
+    Identity collapse (the r5 mm_image_neardup lesson applied here, r6):
+    exact-duplicate vectors all share every bucket, so a corpus with big
+    exact-dup classes made the bucket self-join expand each class's
+    quadratic pair set inside single tasks AND paid one Arrow cosine per
+    member pair. The search now runs over DISTINCT vectors only
+    (canonical rep = min id per identical-vector class): cross-class
+    pairs verify ONE cosine per rep pair and re-expand through two
+    member equi-joins (distributing by rep key, least/greatest
+    orientation); within-class pairs need no verification beyond one
+    self-cosine per class (identical vectors — also covers the zero-
+    vector NaN case exactly as the pairwise form did) and expand through
+    a ``within_salt``-way salted self-join so a giant class spreads its
+    output over many reducers. Output is row-identical to the pairwise
+    form — pinned by the forced-duplicate-classes unit test.
     """
     planes = [_pseudo_random_plane(p, dim) for p in range(num_planes)]
-    b = df.select(
-        F.col(id_col).alias("__mid__"),
-        F.col(vec_col).alias("__mvec__"),
-        norm(F.col(vec_col)).alias("__mnorm__"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket__"),
-    ).persist()
-    a = b.select(
+    m = df.select(
+        F.col(id_col).alias("__mid__"), F.col(vec_col).alias("__mvec__")
+    )
+    reps = (
+        m.groupBy("__mvec__")
+        .agg(F.min("__mid__").alias("__rid__"))
+        .select(
+            "__rid__",
+            "__mvec__",
+            norm(F.col("__mvec__")).alias("__rnorm__"),
+            lsh_bucket_expr(F.col("__mvec__"), planes).alias("__bucket__"),
+        )
+        .persist()
+    )
+    mem = m.join(
+        reps.select("__mvec__", "__rid__"), "__mvec__"
+    ).select("__rid__", "__mid__").persist()
+    a = reps.select(
         F.col("__bucket__"),
-        F.col("__mid__").alias("a_id"),
+        F.col("__rid__").alias("__ra__"),
         F.col("__mvec__").alias("__avec__"),
-        F.col("__mnorm__").alias("__anorm__"),
+        F.col("__rnorm__").alias("__anorm__"),
     )
-    c = b.select(
+    c = reps.select(
         F.col("__bucket__").alias("__bucket2__"),
-        F.col("__mid__").alias("b_id"),
+        F.col("__rid__").alias("__rb__"),
         F.col("__mvec__").alias("__bvec__"),
-        F.col("__mnorm__").alias("__bnorm__"),
-    )
-    pairs = a.join(
-        c,
-        (F.col("__bucket__") == F.col("__bucket2__"))
-        & (F.col("a_id") < F.col("b_id")),
+        F.col("__rnorm__").alias("__bnorm__"),
     )
     pair_cos = _arrow_pair_cosine()
-    return (
-        pairs.select(
-            "a_id",
-            "b_id",
+    rep_pairs = (
+        a.join(
+            c,
+            (F.col("__bucket__") == F.col("__bucket2__"))
+            & (F.col("__ra__") < F.col("__rb__")),
+        )
+        .select(
+            "__ra__",
+            "__rb__",
             F.round(
                 pair_cos(
                     F.col("__avec__"),
@@ -923,6 +941,51 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+    ma = mem.select(F.col("__rid__").alias("__ra__"), F.col("__mid__").alias("__ida__"))
+    mb = mem.select(F.col("__rid__").alias("__rb__"), F.col("__mid__").alias("__idb__"))
+    cross = (
+        rep_pairs.join(ma, "__ra__")
+        .join(mb, "__rb__")
+        .select(
+            F.least("__ida__", "__idb__").alias("a_id"),
+            F.greatest("__ida__", "__idb__").alias("b_id"),
+            "cosine_sim",
+        )
+    )
+    self_cos = (
+        reps.select(
+            "__rid__",
+            F.round(
+                pair_cos(
+                    F.col("__mvec__"),
+                    F.col("__mvec__"),
+                    F.col("__rnorm__"),
+                    F.col("__rnorm__"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    left = mem.select(
+        "__rid__",
+        F.col("__mid__").alias("a_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(within_salt - 1))).alias(
+            "__salt__"
+        ),
+    )
+    right = mem.select(
+        F.col("__rid__").alias("__rid2__"),
+        F.col("__mid__").alias("b_id"),
+        F.pmod(F.xxhash64("__mid__"), F.lit(within_salt)).alias("__salt2__"),
+    )
+    within = left.join(
+        right,
+        (F.col("__rid__") == F.col("__rid2__"))
+        & (F.col("__salt__") == F.col("__salt2__"))
+        & (F.col("a_id") < F.col("b_id")),
+    ).join(self_cos, "__rid__").select("a_id", "b_id", "cosine_sim")
+    return cross.unionAll(within)
 
 
 def knn_join_brute(

@@ -82,6 +82,71 @@ def test_neardup_pairs_subset_of_bruteforce(spark):
         assert r["cosine_sim"] == brute[key]
 
 
+def test_neardup_pairs_identity_collapse_equals_pairwise(spark):
+    """The r6 distinct-vector collapse must be row-identical to the plain
+    bucketed pairwise form on a corpus with big exact-duplicate classes
+    (8 copies of each base vector) plus near-but-not-identical vectors —
+    covering cross-class expansion, within-class salted expansion, and
+    orientation."""
+    import math
+
+    base = [
+        [math.sin(0.7 * i + j) for j in range(8)] for i in range(6)
+    ]
+    rows = []
+    vid = 0
+    for i, v in enumerate(base):
+        for _ in range(8):  # exact-duplicate class of 8
+            rows.append((vid, v))
+            vid += 1
+        # a near (not identical) neighbor of each base vector
+        rows.append((vid, [x + 0.01 for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["a_id"], r["b_id"]): r["cosine_sim"]
+        for r in similarity.embedding_neardup_pairs(
+            df, id_col="vec_id", vec_col="embedding",
+            threshold=0.35, num_planes=4, dim=8,
+        ).collect()
+    }
+    # reference: the plain pairwise bucket join (pre-collapse shape)
+    planes = [similarity._pseudo_random_plane(p, 8) for p in range(4)]
+    b = df.select(
+        "vec_id",
+        "embedding",
+        similarity.lsh_bucket_expr(F.col("embedding"), planes).alias("bk"),
+    )
+    l = b.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("av"),
+        F.col("bk"),
+    )
+    r = b.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("bv"),
+        F.col("bk").alias("bk2"),
+    )
+    ref = {
+        (x["a_id"], x["b_id"]): x["cs"]
+        for x in l.join(
+            r,
+            (F.col("bk") == F.col("bk2")) & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                similarity.cosine(F.col("av"), F.col("bv")), 6
+            ).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.35)
+        .collect()
+    }
+    assert len(ref) > 200  # classes of 8 -> at least 6*28 within pairs
+    assert got == ref
+
+
 def test_ivf_topk_scores_match_exact(spark):
     e = load_table(spark, SF_CORRECT, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
