@@ -974,6 +974,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ivfpq_topk", "text_bpe_train", "sim_ivfpq_recall",
     "decontaminate_bloom", "a27_countmin", "ml_eval_confusion",
     "ts_asof_tolerance", "a28_grouping_sets",
+    # rewritten r6 (identity collapse / population caps) — need fresh rows
+    "dedup_embedding_cosine", "sim_ivf_topk",
     # — family round-robin re-verification fills the window from here —
     "j1_chained_left_join", "a1_grouped_stats", "w1_last_write_wins",
     "f6_rd_to_wgs84", "p3_temporal_filter", "j4_explode_join_lastwins",
@@ -1005,6 +1007,9 @@ _REWRITTEN_SINCE_DRIVER_ROW: tuple[str, ...] = (
     "events_pattern_match",  # r5: positional-triple rewrite
     "mm_image_neardup",    # r5: distinct-hash + salted within-class join
     "sample_mixture",      # r6: integer-div cutoff (ADVICE r5)
+    "dedup_embedding_cosine",  # r6: distinct-vector identity collapse
+    "sim_ivf_topk",        # r6: fixed-nlist centroid cap
+    "sim_ivfpq_topk",      # r6: donor/cell caps (also never-validated)
 )
 
 
