@@ -988,7 +988,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_hopping_agg",
     "dedup_exact_docs", "dedup_minhash_lsh", "dedup_verified_pairs",
     "dedup_incremental", "dedup_clusters",
-    "sim_cosine_topk", "sim_ivf_topk", "sim_ann_recall",
+    "sim_cosine_topk", "sim_ann_recall",
     "mm_image_ahash", "mm_audio_features",
     "text_quality_metrics", "text_bm25_topk", "tfidf_vectors",
     "lm_doc_score",
