@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bag_parser_spark.operators.sketches import (
+    bloom_build,
     count_min_build,
     count_min_merge,
 )
@@ -90,3 +91,32 @@ def read_merged_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
     return count_min_merge(
         spark.read.parquet(out_dir).select("row", "pos", "cell")
     )
+
+
+def bloom_partials_writer(
+    out_dir: str, key_col: str, k: int, m: int
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for the Bloom twin: the micro-batch reduces
+    to its set-bit position rows (<= m per batch) under ``batch_id=N``.
+    Merge is DISTINCT union (idempotent, not just linear), so the
+    merged filter equals a batch build over the full history and a
+    replayed batch is doubly harmless — overwritten by partition AND a
+    set-union no-op."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            bloom_build(batch_df, key_col, k=k, m=m)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return write_batch
+
+
+def read_merged_bloom(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The queryable Bloom filter: distinct set-bit positions across all
+    partials — probe it with operators.sketches.bloom_candidates."""
+    return spark.read.parquet(out_dir).select("pos").dropDuplicates(["pos"])

@@ -87,6 +87,8 @@ def test_countmin_stream_partials_match_batch_and_survive_replay(
     batch_id-partitioned sink."""
     import shutil
 
+    from pyspark.sql import functions as F
+
     from bag_parser_spark.operators.sketches import count_min_build
     from bag_parser_spark.sources.parquet import load_table
     from bag_parser_spark.streaming.sketches import (
@@ -126,6 +128,27 @@ def test_countmin_stream_partials_match_batch_and_survive_replay(
     w(ev.select("user_id"), 0)
     w(ev.select("user_id"), 0)
     assert merged() == {k: 2 * v for k, v in direct.items()}
+
+    # Bloom twin: per-batch set-bit partials, distinct-union merge —
+    # the merged filter equals a batch build, and a replayed batch is a
+    # set-union no-op even across DIFFERENT batch compositions
+    from bag_parser_spark.operators.sketches import bloom_build
+    from bag_parser_spark.streaming.sketches import (
+        bloom_partials_writer,
+        read_merged_bloom,
+    )
+
+    bout = str(tmp_path / "bloom")
+    bw = bloom_partials_writer(bout, "event_type", 3, 4096)
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    bw(half, 0)
+    bw(ev, 1)  # second batch overlaps the first — union must dedupe
+    bw(ev, 1)  # replay
+    got_bits = {r["pos"] for r in read_merged_bloom(spark, bout).collect()}
+    want_bits = {
+        r["pos"] for r in bloom_build(ev, "event_type", 3, 4096).collect()
+    }
+    assert got_bits == want_bits and len(want_bits) > 0
 
 
 def test_dedup_stream_matches_batch(spark):
