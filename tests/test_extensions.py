@@ -103,6 +103,7 @@ def test_neardup_pairs_identity_collapse_equals_pairwise(spark):
         rows.append((vid, [x + 0.01 for x in v]))
         vid += 1
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # adaptive path picks the collapse on this dup-heavy corpus
     got = {
         (r["a_id"], r["b_id"]): r["cosine_sim"]
         for r in similarity.embedding_neardup_pairs(
@@ -110,6 +111,16 @@ def test_neardup_pairs_identity_collapse_equals_pairwise(spark):
             threshold=0.35, num_planes=4, dim=8,
         ).collect()
     }
+    # the two explicit paths must agree with each other (and with `got`)
+    for forced in (True, False):
+        forced_rows = {
+            (r["a_id"], r["b_id"]): r["cosine_sim"]
+            for r in similarity.embedding_neardup_pairs(
+                df, id_col="vec_id", vec_col="embedding",
+                threshold=0.35, num_planes=4, dim=8, collapse=forced,
+            ).collect()
+        }
+        assert forced_rows == got
     # reference: the plain pairwise bucket join (pre-collapse shape)
     planes = [similarity._pseudo_random_plane(p, 8) for p in range(4)]
     b = df.select(
