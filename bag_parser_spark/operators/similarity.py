@@ -901,8 +901,13 @@ def embedding_neardup_pairs(
     """
     from pyspark.sql import Window
 
+    if within_salt < 1:
+        raise ValueError(f"within_salt must be >= 1, got {within_salt}")
     planes = [_pseudo_random_plane(p, dim) for p in range(num_planes)]
     if collapse is None:
+        # NOTE: the adaptive probe makes construction EAGER — one
+        # map-side aggregate job runs here, before any plan exists.
+        # Pass collapse explicitly for plan-only contexts.
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.approx_count_distinct(F.xxhash64(F.col(vec_col))).alias("d"),
@@ -953,13 +958,16 @@ def embedding_neardup_pairs(
     # one shuffle assigns every instance its class rep (min id over the
     # identical-vector class) — a groupBy + join-back would shuffle the
     # vectors twice for the same information
-    mem_full = df.select(
-        F.col(id_col).alias("__mid__"), F.col(vec_col).alias("__mvec__")
-    ).withColumn(
-        "__rid__",
-        F.min("__mid__").over(Window.partitionBy("__mvec__")),
-    ).persist()
-    mem = mem_full.select("__rid__", "__mid__")
+    w = Window.partitionBy("__mvec__")
+    mem_full = (
+        df.select(
+            F.col(id_col).alias("__mid__"), F.col(vec_col).alias("__mvec__")
+        )
+        .withColumn("__rid__", F.min("__mid__").over(w))
+        .withColumn("__csz__", F.count(F.lit(1)).over(w))
+        .persist()
+    )
+    mem = mem_full.select("__rid__", "__mid__", "__csz__")
     reps = (
         mem_full.filter(F.col("__mid__") == F.col("__rid__"))
         .select(
@@ -1030,14 +1038,19 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
-    left = mem.select(
+    # only members of real duplicate classes (>= 2) enter the salted
+    # expansion — singleton classes (the vast majority of a mostly-unique
+    # corpus) can never emit a pair, so exploding them within_salt-ways
+    # would inflate the shuffle by that factor for nothing
+    dup_mem = mem.filter(F.col("__csz__") >= 2)
+    left = dup_mem.select(
         "__rid__",
         F.col("__mid__").alias("a_id"),
         F.explode(F.sequence(F.lit(0), F.lit(within_salt - 1))).alias(
             "__salt__"
         ),
     )
-    right = mem.select(
+    right = dup_mem.select(
         F.col("__rid__").alias("__rid2__"),
         F.col("__mid__").alias("b_id"),
         F.pmod(F.xxhash64("__mid__"), F.lit(within_salt)).alias("__salt2__"),

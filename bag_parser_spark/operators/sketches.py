@@ -156,6 +156,66 @@ def bloom_candidates(
     )
 
 
+def _cm_cells(c: Column, depth: int, width: int, seed: str) -> Column:
+    """The (row, pos) cell addresses of a value, as an explodable struct
+    array — ONE definition shared by build and estimate, so the two can
+    never drift apart on seeds/width (drift would silently break the
+    est >= exact guarantee)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    md5_mod(c, f"{seed}{i}", width).alias("pos"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+
+
+def bloom_confirmed_counts(
+    probe_rows: DataFrame,
+    id_col: str,
+    key_col: str,
+    member_keys: DataFrame,
+    k: int,
+    m: int,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Per-probe-id membership counts via Bloom prefilter + exact verify —
+    the shared core of eval-set decontamination (catalog
+    ``decontaminate_bloom`` and the ``prepare`` pipeline stage both call
+    this): build the filter over ``member_keys``' distinct keys, probe
+    ``probe_rows`` (one row per (id, key), caller-deduplicated)
+    map-side, exact-verify only the candidates, and return per id
+
+        (id_col, n_keys, n_candidates, n_confirmed)
+
+    where n_candidates counts Bloom hits (true + false positives) and
+    n_confirmed the exactly-verified subset. No false negatives by
+    construction, so n_confirmed equals what a direct (corpus-shuffling)
+    semi-join would compute."""
+    keys = member_keys.select(key_col).dropDuplicates([key_col])
+    bloom = bloom_build(keys, key_col, k, m, seed)
+    cand = bloom_candidates(probe_rows, key_col, bloom, k, m, seed)
+    conf = cand.join(keys, key_col, "left_semi").withColumn(
+        "__conf__", F.lit(1)
+    )
+    return (
+        probe_rows.join(
+            cand.withColumn("__cand__", F.lit(1)), key_col, "left"
+        )
+        .join(conf, key_col, "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.count("__cand__").alias("n_candidates"),
+            F.count("__conf__").alias("n_confirmed"),
+        )
+    )
+
+
 def count_min_build(
     df: DataFrame,
     key_col: str,
@@ -174,17 +234,7 @@ def count_min_build(
     Pass ``group_cols`` to build one sketch per group and merge later
     with ``count_min_merge``."""
     gcols = list(group_cols or [])
-    cells = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    md5_mod(F.col(key_col), f"{seed}{i}", width).alias("pos"),
-                )
-                for i in range(depth)
-            ]
-        )
-    ).alias("__c__")
+    cells = _cm_cells(F.col(key_col), depth, width, seed).alias("__c__")
     return (
         df.select(*gcols, cells)
         .groupBy(*gcols, "__c__.row", "__c__.pos")
@@ -208,25 +258,19 @@ def count_min_estimate(
     """Point-query the sketch for each probe key: est = min over the depth
     rows of the key's cell. Guaranteed est >= true count (cells only ever
     over-count under collisions) — the caller can assert the bound
-    against an exact count when one is available."""
+    against an exact count when one is available. A cell with no entry
+    in the sketch counts as 0 (left join + coalesce), so a never-seen
+    probe key answers est=0 instead of silently vanishing — the true
+    count-min contract."""
     exploded = probes.select(
-        key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        md5_mod(F.col(key_col), f"{seed}{i}", width).alias(
-                            "pos"
-                        ),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("__c__"),
+        key_col, _cm_cells(F.col(key_col), depth, width, seed).alias("__c__")
     ).select(key_col, "__c__.row", "__c__.pos")
     return (
-        exploded.join(F.broadcast(sketch), ["row", "pos"])
+        exploded.join(F.broadcast(sketch), ["row", "pos"], "left")
         .groupBy(key_col)
-        .agg(F.min("cell").alias("est"))
+        .agg(
+            F.min(
+                F.coalesce(F.col("cell"), F.lit(0).cast("long"))
+            ).alias("est")
+        )
     )

@@ -1825,40 +1825,24 @@ def q_decontaminate_bloom(spark, sf_dir):
     labeled = sampling.hash_split(
         d, id_col="doc_id", splits=_SPLITS, seed=_SPLIT_SEED
     )
-    te_sh = (
-        dedup.word_shingle_rows(
-            labeled.filter(F.col("split") == "test"), "doc_id", "text", 8
-        )
-        .select("shingle")
-        .dropDuplicates(["shingle"])
-    )
-    bloom = sketches.bloom_build(te_sh, "shingle", _BLOOM_K, _BLOOM_M)
+    te_sh = dedup.word_shingle_rows(
+        labeled.filter(F.col("split") == "test"), "doc_id", "text", 8
+    ).select("shingle")
     trs = dedup.word_shingle_rows(
         labeled.filter(F.col("split") == "train"), "doc_id", "text", 8
     ).dropDuplicates(["__id__", "shingle"])
-    cand = sketches.bloom_candidates(trs, "shingle", bloom, _BLOOM_K, _BLOOM_M)
-    conf = cand.join(te_sh, "shingle", "left_semi").withColumn(
-        "__conf__", F.lit(1)
+    counts = sketches.bloom_confirmed_counts(
+        trs, "__id__", "shingle", te_sh, _BLOOM_K, _BLOOM_M
     )
-    return (
-        trs.join(cand.withColumn("__cand__", F.lit(1)), "shingle", "left")
-        .join(conf, "shingle", "left")
-        .groupBy("__id__")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.count("__cand__").alias("n_bloom_hits"),
-            F.count("__conf__").alias("n_confirmed"),
-        )
-        .select(
-            F.col("__id__").alias("doc_id"),
-            "n_shingles",
-            "n_bloom_hits",
-            "n_confirmed",
-            (F.col("n_bloom_hits") - F.col("n_confirmed")).alias(
-                "n_false_positives"
-            ),
-            (F.col("n_confirmed") == 0).alias("clean"),
-        )
+    return counts.select(
+        F.col("__id__").alias("doc_id"),
+        F.col("n_keys").alias("n_shingles"),
+        F.col("n_candidates").alias("n_bloom_hits"),
+        "n_confirmed",
+        (F.col("n_candidates") - F.col("n_confirmed")).alias(
+            "n_false_positives"
+        ),
+        (F.col("n_confirmed") == 0).alias("clean"),
     )
 
 

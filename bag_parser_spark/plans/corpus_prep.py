@@ -130,39 +130,32 @@ def prepare_corpus(
         # and false negatives are impossible by construction.
         from bag_parser_spark.operators import sketches
 
-        bloom_k, bloom_m = 3, 1 << 20
-        ev_sh = (
-            dedup.word_shingle_rows(
-                decontaminate_docs.select(
-                    F.monotonically_increasing_id().alias("__eid__"),
-                    F.col(text_col),
-                ),
-                "__eid__",
-                text_col,
-                decontaminate_shingle_n,
+        if not 0 <= max_contamination_pct < 100:
+            raise ValueError(
+                "max_contamination_pct must be in [0, 100): "
+                f"{max_contamination_pct} (negative values would drop "
+                "every document, 100+ would drop none)"
             )
-            .select("shingle")
-            .dropDuplicates(["shingle"])
-        )
-        bloom = sketches.bloom_build(ev_sh, "shingle", bloom_k, bloom_m)
+        bloom_k, bloom_m = 3, 1 << 20
+        ev_sh = dedup.word_shingle_rows(
+            decontaminate_docs.select(
+                F.monotonically_increasing_id().alias("__eid__"),
+                F.col(text_col),
+            ),
+            "__eid__",
+            text_col,
+            decontaminate_shingle_n,
+        ).select("shingle")
         corpus_sh = dedup.word_shingle_rows(
             unique, id_col, text_col, decontaminate_shingle_n
         ).dropDuplicates(["__id__", "shingle"])
-        cand = sketches.bloom_candidates(
-            corpus_sh, "shingle", bloom, bloom_k, bloom_m
-        )
-        confirmed = cand.join(ev_sh, "shingle", "left_semi").withColumn(
-            "__hit__", F.lit(1)
-        )
         contaminated = (
-            corpus_sh.join(confirmed, "shingle", "left")
-            .groupBy("__id__")
-            .agg(
-                F.count("*").alias("__n__"),
-                F.count("__hit__").alias("__c__"),
+            sketches.bloom_confirmed_counts(
+                corpus_sh, "__id__", "shingle", ev_sh, bloom_k, bloom_m
             )
             .filter(
-                F.col("__c__") * 100 > F.col("__n__") * max_contamination_pct
+                F.col("n_confirmed") * 100
+                > F.col("n_keys") * max_contamination_pct
             )
             .select(F.col("__id__").alias(id_col))
         )

@@ -111,6 +111,13 @@ def test_neardup_pairs_identity_collapse_equals_pairwise(spark):
             threshold=0.35, num_planes=4, dim=8,
         ).collect()
     }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="within_salt"):
+        similarity.embedding_neardup_pairs(
+            df, id_col="vec_id", vec_col="embedding",
+            threshold=0.35, num_planes=4, dim=8, within_salt=0,
+        )
     # the two explicit paths must agree with each other (and with `got`)
     for forced in (True, False):
         forced_rows = {
@@ -1716,6 +1723,18 @@ def test_prepare_corpus_decontamination_gate(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(out3).collect()} == {1, 2, 3}
     assert not summary3["decontaminated"]
     assert summary3["max_contamination_pct"] is None
+
+    # out-of-domain thresholds are rejected loudly (-1 would silently
+    # drop every document; 100 would silently drop none)
+    import pytest as _pytest
+
+    for bad in (-1, 100):
+        with _pytest.raises(ValueError, match="max_contamination_pct"):
+            prepare_corpus(
+                spark, docs, str(tmp_path / "bad"),
+                min_quality=0.0, lang=None, near_dedup=False,
+                decontaminate_docs=eval_docs, max_contamination_pct=bad,
+            )
 
 
 def test_bpe_merge_step_known_values(spark):

@@ -110,6 +110,18 @@ def test_countmin_never_undercounts_and_merge_linearity(spark):
     assert merged == direct
 
 
+def test_countmin_unseen_probe_key_answers_zero(spark):
+    """A probe key never inserted into the sketch must answer est=0 (the
+    count-min contract: absent cell = count 0), not vanish from the
+    output."""
+    df = spark.createDataFrame([(i % 5,) for i in range(100)], "k bigint")
+    sk = count_min_build(df, "k", depth=3, width=1024)
+    probes = spark.createDataFrame([(0,), (999,)], "k bigint")
+    est = {r["k"]: r["est"] for r in count_min_estimate(probes, "k", sk, 3, 1024).collect()}
+    assert est[0] == 20
+    assert est[999] == 0  # never seen, all cells empty at width 1024
+
+
 def test_bloom_and_countmin_plans_broadcast_only(spark):
     from bag_parser_spark.sources.parquet import load_table
 
