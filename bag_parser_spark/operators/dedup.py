@@ -635,6 +635,155 @@ def segment_dup_stats(
     )
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_words: int = 5,
+    drop_threshold_pct: int = 50,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Exact duplicate-SUBSTRING span statistics — the EXACTSUBSTR step of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed relationally: any ``ngram_words``-token window
+    that occurs more than once ANYWHERE in the corpus (including twice in
+    the same document — verbatim self-repetition is exactly what the
+    paper targets) marks its token span as duplicated; overlapping marked
+    spans merge into maximal duplicated regions. This differs from
+    segment_dup_stats in both sensitivity and unit: sliding windows catch
+    duplicated passages at ANY token offset (fixed segments miss a copy
+    shifted by one word), and the merged-span output measures contiguous
+    duplicated REGIONS, the unit a span-removal rewrite would operate on.
+
+    Returns (id, n_tokens, n_spans, dup_tokens, dup_fraction, keep), one
+    row per input document (zero-span docs included): ``n_spans`` maximal
+    merged regions, ``dup_tokens`` tokens covered by them, and the
+    integer-exact drop rule ``dup_tokens*100 < n_tokens*threshold`` (no
+    float boundary can flip a doc between engines). Docs shorter than
+    ``ngram_words`` tokens have no windows and count as clean.
+
+    Scale shape: Lee et al. build a corpus-wide suffix array — a global
+    sort no Spark cluster wants. The relational equivalent: window
+    extraction is a map-only explode (one (md5, id, start) posting row
+    per token — 32-char hashes, never text, in the shuffle); repeat
+    detection is one groupBy on the hash with map-side combine, occurrence
+    COUNTING so a boilerplate window in k docs costs k posting rows, never
+    k² pairs; span merging is a per-document window function over (id,
+    start, end) int triples — classic gaps-and-islands (running max(end)
+    over preceding rows → break flag → running sum), shuffling ids and
+    ints only, one task per doc bounded by that doc's own length. The
+    posting table persists once: both the per-hash occurrence counts and
+    the join-back probe read it, and without the persist the dominant
+    tokenize+slice+md5 scan would run twice (``cache_registry`` follows
+    verify_pairs_jaccard's scoped-caller contract).
+
+    Window starts come from ``sequence(1, n-ngram+1)`` guarded by a
+    ``n >= ngram`` filter — unguarded, Spark's sequence(1, 0) yields a
+    DESCENDING [1, 0], not an empty array, and short docs would emit
+    phantom windows.
+    """
+    if not 1 <= drop_threshold_pct <= 100:
+        raise ValueError(
+            f"drop_threshold_pct must be in 1..100, got "
+            f"{drop_threshold_pct} (the keep rule is strict-less, so 0 "
+            "would drop every document)"
+        )
+    if ngram_words < 2:
+        raise ValueError(
+            f"ngram_words must be >= 2, got {ngram_words} (a 1-token "
+            "window marks every repeated word as a duplicated span)"
+        )
+    n = ngram_words
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), toks.alias("__toks__"), F.size(toks).alias("__n__")
+    )
+    grams = (
+        base.filter(F.col("__n__") >= n)
+        .select(
+            id_col,
+            "__toks__",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    (F.col("__n__") - (n - 1)).cast("long"),
+                )
+            ).alias("__s__"),
+        )
+        .select(
+            id_col,
+            "__s__",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("__toks__"), F.col("__s__").cast("int"), n),
+                    " ",
+                )
+            ).alias("__h__"),
+        )
+        .persist()
+    )
+    if cache_registry is not None:
+        cache_registry.append(grams)
+    dup_hashes = (
+        grams.groupBy("__h__")
+        .agg(F.count(F.lit(1)).alias("__occ__"))
+        .filter(F.col("__occ__") > 1)
+        .select("__h__")
+    )
+    spans = grams.join(dup_hashes, "__h__").select(
+        id_col, "__s__", (F.col("__s__") + (n - 1)).alias("__e__")
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("__s__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("__s__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        spans.withColumn(
+            "__brk__",
+            F.when(
+                F.col("__s__")
+                > F.coalesce(
+                    F.max("__e__").over(w_prev), F.lit(-1).cast("long")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__isl__", F.sum("__brk__").over(w_run))
+        .groupBy(id_col, "__isl__")
+        .agg(
+            F.min("__s__").alias("__ms__"), F.max("__e__").alias("__me__")
+        )
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__spans__"),
+        F.sum(F.col("__me__") - F.col("__ms__") + 1).alias("__dup__"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        base.select(id_col, F.col("__n__").cast("long").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("__spans__", zero).alias("n_spans"),
+            F.coalesce("__dup__", zero).alias("dup_tokens"),
+            F.round(
+                F.coalesce("__dup__", zero) / F.col("n_tokens"), 6
+            ).alias("dup_fraction"),
+            (
+                F.coalesce("__dup__", zero) * 100
+                < F.col("n_tokens") * drop_threshold_pct
+            ).alias("keep"),
+        )
+    )
+
+
 def contamination_check(
     train: DataFrame,
     test: DataFrame,

@@ -427,6 +427,149 @@ def semantic_dedup_pairs(
     return small.unionAll(big)
 
 
+def hard_negatives_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    centroids: DataFrame,
+    k: int,
+    big_cell_cutoff: int = 100_000,
+    salt: int = 32,
+) -> DataFrame:
+    """ANN-neighborhood hard-negative mining (the ANCE/DPR training-data
+    step: for every labeled query vector, the top-``k`` most-similar
+    vectors carrying a DIFFERENT label — "hard" because they look like
+    the query but aren't its class). Mining runs inside coarse
+    nearest-centroid cells only — the ANCE insight that useful negatives
+    come from the query's ANN neighborhood, which also bounds pair cost
+    by cell size instead of corpus size.
+
+    Returns (query_id, neg_id, cell, cosine_sim, neg_rank) — exactly
+    ``k`` rows per query when its cell holds enough different-label
+    candidates, fewer otherwise; rank ties break on (rounded cosine
+    DESC, neg_id ASC), fully deterministic.
+
+    Scale shape mirrors ``semantic_dedup_pairs`` (same broadcast-argmax
+    assignment — one row per vector ever shuffles; same guarded big-cell
+    routing — cells above ``big_cell_cutoff`` mine through a salted
+    left-replicated join so a degenerate giant cell spreads over
+    ``salt`` tasks). On top, top-k selection is TWO-stage everywhere:
+    a partial row_number per (query, candidate-salt) keeps ≤k rows per
+    sub-bucket, then the global per-query rank runs over ≤ salt·k
+    survivors — so no window task ever holds a whole giant cell's
+    candidate list (a single-stage per-query window would re-concentrate
+    exactly what the salted join just spread out). Both stages order
+    identically, so the composition is exact, not approximate. A
+    same-label near-twin in another cell is never considered —
+    intended: it wouldn't be a negative; a DIFFERENT-label neighbor in
+    another cell is missed, the standard ANN-mining recall tradeoff.
+    """
+    from pyspark.sql import Window
+
+    pair_cos = _arrow_pair_cosine()
+    c = centroids.select("cid", "cv")
+    best = F.min(
+        F.struct(
+            (-F.col("__sim__")).alias("__negsim__"),
+            F.col("cid").alias("c"),
+            F.col("__vec__").alias("v"),
+            F.col("__vnorm__").alias("n"),
+            F.col("__lab__").alias("l"),
+        )
+    ).alias("__best__")
+    assigned = (
+        df.select(
+            F.col(id_col).alias("__vid__"),
+            F.col(vec_col).alias("__vec__"),
+            F.col(label_col).alias("__lab__"),
+            norm(F.col(vec_col)).alias("__vnorm__"),
+        )
+        .crossJoin(F.broadcast(c.withColumn("__cnorm__", norm(F.col("cv")))))
+        .withColumn(
+            "__sim__",
+            pair_cos(
+                F.col("__vec__"), F.col("cv"),
+                F.col("__vnorm__"), F.col("__cnorm__"),
+            ),
+        )
+        .groupBy("__vid__")
+        .agg(best)
+        .select(
+            "__vid__",
+            F.col("__best__.c").alias("cell"),
+            F.col("__best__.v").alias("__vec__"),
+            F.col("__best__.n").alias("__vnorm__"),
+            F.col("__best__.l").alias("__lab__"),
+        )
+        .persist()
+    )
+    cand = assigned.select(
+        F.col("cell").alias("__cell2__"),
+        F.col("__vid__").alias("neg_id"),
+        F.col("__lab__").alias("__nlab__"),
+        F.col("__vec__").alias("__nvec__"),
+        F.col("__vnorm__").alias("__nnorm__"),
+        F.pmod(F.xxhash64("neg_id"), F.lit(salt)).alias("__salt2__"),
+    )
+
+    def mine(left: DataFrame, extra_cond=None) -> DataFrame:
+        cond = (F.col("cell") == F.col("__cell2__")) & (
+            F.col("__qlab__") != F.col("__nlab__")
+        )
+        if extra_cond is not None:
+            cond = cond & extra_cond
+        return left.join(cand, cond).select(
+            "query_id",
+            "neg_id",
+            "cell",
+            F.round(
+                pair_cos(
+                    F.col("__qvec__"), F.col("__nvec__"),
+                    F.col("__qnorm__"), F.col("__nnorm__"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+            "__salt2__",
+        )
+
+    q = assigned.select(
+        "cell",
+        F.col("__vid__").alias("query_id"),
+        F.col("__vec__").alias("__qvec__"),
+        F.col("__vnorm__").alias("__qnorm__"),
+        F.col("__lab__").alias("__qlab__"),
+    )
+    big_cells = [
+        r["cell"]
+        for r in assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") > big_cell_cutoff)
+        .collect()
+    ]
+    if not big_cells:
+        scored = mine(q)
+    else:
+        small = mine(q.filter(~F.col("cell").isin(big_cells)))
+        q_salted = q.filter(F.col("cell").isin(big_cells)).withColumn(
+            "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        big = mine(
+            q_salted, extra_cond=(F.col("__salt__") == F.col("__salt2__"))
+        )
+        scored = small.unionAll(big)
+    order = (F.col("cosine_sim").desc(), F.col("neg_id").asc())
+    w_partial = Window.partitionBy("query_id", "__salt2__").orderBy(*order)
+    w_final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("__pr__", F.row_number().over(w_partial))
+        .filter(F.col("__pr__") <= k)
+        .withColumn("neg_rank", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("neg_rank") <= k)
+        .select("query_id", "neg_id", "cell", "cosine_sim", "neg_rank")
+    )
+
+
 def _l2sq(a: Column, b: Column, w: int | None = None) -> Column:
     """Squared-L2 distance as a sequential-order double sum over the
     squared differences — same engine-reproducibility contract as

@@ -898,3 +898,91 @@ def bpe_encode(
             F.sum(F.length("w")).cast("long").alias("n_chars"),
         )
     )
+
+
+def ngram_novelty(df, id_col: str, text_col: str, ngram_words: int = 5):
+    """Per-document n-gram NOVELTY against everything that came before it
+    in corpus order (doc id ascending = ingestion order): the fraction of
+    a doc's distinct ``ngram_words``-token windows whose corpus-wide
+    FIRST occurrence is this doc. The data-curation redundancy signal:
+    as a crawl grows, per-doc novelty decays, and a batch whose novelty
+    mass approaches zero is adding bytes, not content — the curve that
+    tells you when more of the same source stops paying for its storage
+    (complements docs_vocab_growth, which tracks corpus-LEVEL vocabulary
+    over single tokens; this is a per-DOC filterable column over
+    passages).
+
+    Returns (id, n_grams, n_novel, novelty), one row per document:
+    ``n_grams`` distinct windows in the doc, ``n_novel`` of them first
+    seen here (min doc id over all holders equals this doc — ties across
+    docs resolve to the EARLIEST, so a gram repeated later is never
+    novel twice), ``novelty`` the rounded ratio (NULL for docs shorter
+    than the window — no grams, nothing to judge).
+
+    Scale shape: window extraction is the map-only explode of
+    duplicate_span_stats (md5 postings, never text, in any shuffle);
+    per-doc DISTINCT is one shuffle on (id, hash) with map-side
+    combine; first-holder is a groupBy min over the hash (second
+    shuffle, #distinct-gram sized); the join back re-uses the distinct
+    posting table, persisted once for its two consumers. No pairs, no
+    windows-over-corpus: a gram held by k docs costs k posting rows.
+    """
+    if ngram_words < 2:
+        raise ValueError(
+            f"ngram_words must be >= 2, got {ngram_words} (single tokens "
+            "are vocabulary, not passages — use docs_vocab_growth)"
+        )
+    n = ngram_words
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), toks.alias("__toks__"), F.size(toks).alias("__n__")
+    )
+    grams = (
+        base.filter(F.col("__n__") >= n)
+        .select(
+            id_col,
+            "__toks__",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    (F.col("__n__") - (n - 1)).cast("long"),
+                )
+            ).alias("__s__"),
+        )
+        .select(
+            id_col,
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("__toks__"), F.col("__s__").cast("int"), n),
+                    " ",
+                )
+            ).alias("__h__"),
+        )
+        .distinct()
+        .persist()
+    )
+    first = grams.groupBy("__h__").agg(F.min(F.col(id_col)).alias("__first__"))
+    per_doc = (
+        grams.join(first, "__h__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first__") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", zero).alias("n_grams"),
+            F.coalesce("n_novel", zero).alias("n_novel"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(F.col("n_novel") / F.col("n_grams"), 6),
+            ).alias("novelty"),
+        )
+    )

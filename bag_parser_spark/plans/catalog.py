@@ -973,7 +973,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_temperature", "layout_file_skipping", "text_bpe_encode",
     "sim_ivfpq_topk", "text_bpe_train", "sim_ivfpq_recall",
     "decontaminate_bloom", "a27_countmin", "ml_eval_confusion",
-    "ts_asof_tolerance", "a28_grouping_sets",
+    "ts_asof_tolerance", "a28_grouping_sets", "dedup_span_stats",
+    "sim_hard_negatives", "text_ngram_novelty",
     # rewritten r6 (identity collapse / population caps) — need fresh rows
     "dedup_embedding_cosine", "sim_ivf_topk",
     # — family round-robin re-verification fills the window from here —

@@ -1120,6 +1120,61 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+_HARDNEG_K = 5
+
+
+def _hard_negatives_oracle_sql(k: int) -> str:
+    acos = O.cosine_sql("e.embedding", "c.cv")
+    pcos = O.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                   FROM embeddings WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, label, embedding, cid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {acos} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neg_id, a.cid AS cell,
+             round({pcos}, 6) AS cosine_sim
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.label <> b.label
+    )
+    SELECT query_id, neg_id, cell, cosine_sim, neg_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neg_id ASC) AS neg_rank
+      FROM pairs
+    ) WHERE neg_rank <= {k}
+    """
+
+
+@register(
+    "sim_hard_negatives",
+    _hard_negatives_oracle_sql(_HARDNEG_K),
+    doc="ANN-neighborhood hard-negative mining (ANCE/DPR contrastive-"
+    "training step): per labeled query vector, the top-5 most-cosine-"
+    "similar DIFFERENT-label vectors from the query's own coarse cell. "
+    "Same broadcast-argmax assignment and guarded big-cell salting as "
+    "dedup_semantic; top-k is two-stage (partial rank per candidate-salt "
+    "bucket, then global rank over <= salt*k survivors) so no window "
+    "task ever holds a giant cell's full candidate list. Deterministic "
+    "ties on (rounded cosine DESC, neg_id ASC).",
+)
+def q_sim_hard_negatives(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return similarity.hard_negatives_blocked(
+        e, id_col="vec_id", vec_col="embedding", label_col="label",
+        centroids=cents, k=_HARDNEG_K,
+    )
+
+
 _PQ_M, _PQ_DIM, _PQ_CENT_MOD = 4, 64, 25
 _PQ_W = _PQ_DIM // _PQ_M
 # Real PQ indexes FIX the per-subspace codebook size (FAISS default
@@ -1708,6 +1763,133 @@ def q_dedup_segment_fraction(spark, sf_dir):
         text_col="text",
         segment_words=_SEG_W,
         drop_threshold_pct=_SEG_DROP_PCT,
+    )
+
+
+_SPAN_N, _SPAN_DROP_PCT = 5, 50
+
+
+@register(
+    "dedup_span_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    d AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    grams AS (
+      SELECT doc_id, i AS s,
+             md5(array_to_string(
+               toks[CAST(i AS INTEGER)
+                    : CAST(i + {_SPAN_N - 1} AS INTEGER)], ' ')) AS h
+      FROM d, UNNEST(range(1, n - {_SPAN_N} + 2)) AS u(i)
+      WHERE n >= {_SPAN_N}
+    ),
+    hf AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1),
+    spans AS (
+      SELECT doc_id, s, s + {_SPAN_N - 1} AS e
+      FROM grams WHERE h IN (SELECT h FROM hf)
+    ),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS brk
+      FROM spans
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM marked
+    ),
+    merged AS (
+      SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY doc_id, isl
+    ),
+    pd AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens
+      FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(n AS BIGINT) AS n_tokens,
+           COALESCE(pd.n_spans, 0) AS n_spans,
+           COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+           round(CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) / n, 6)
+             AS dup_fraction,
+           COALESCE(pd.dup_tokens, 0) * 100 < n * {_SPAN_DROP_PCT} AS keep
+    FROM d LEFT JOIN pd USING (doc_id)
+    """,
+    doc="Exact duplicate-substring span statistics (Lee et al. 2021 "
+    "EXACTSUBSTR, relational form): every sliding 5-token window that "
+    "occurs more than once anywhere in the corpus — cross-doc OR "
+    "within-doc — marks its span duplicated; overlapping spans merge "
+    "into maximal regions (gaps-and-islands window) and an integer-"
+    "exact keep rule drops docs that are mostly duplicated passage. "
+    "Catches copies at any token offset that fixed segments miss. "
+    "Shuffles carry (md5, id, start) postings and int triples — never "
+    "text, never pairs: the suffix-array global sort of the paper "
+    "becomes one hash groupBy with map-side combine.",
+)
+def q_dedup_span_stats(spark, sf_dir):
+    return dedup.duplicate_span_stats(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        ngram_words=_SPAN_N,
+        drop_threshold_pct=_SPAN_DROP_PCT,
+    )
+
+
+_NOVELTY_N = 5
+
+
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    d AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(
+               toks[CAST(i AS INTEGER)
+                    : CAST(i + {_NOVELTY_N - 1} AS INTEGER)], ' ')) AS h
+      FROM d, UNNEST(range(1, n - {_NOVELTY_N} + 2)) AS u(i)
+      WHERE n >= {_NOVELTY_N}
+    ),
+    f AS (SELECT h, MIN(doc_id) AS fid FROM grams GROUP BY h),
+    pd AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN fid = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM grams JOIN f USING (h) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(pd.n_grams, 0) AS n_grams,
+           COALESCE(pd.n_novel, 0) AS n_novel,
+           CASE WHEN pd.n_grams IS NOT NULL
+                THEN round(CAST(pd.n_novel AS DOUBLE) / pd.n_grams, 6)
+           END AS novelty
+    FROM d LEFT JOIN pd USING (doc_id)
+    """,
+    doc="Per-document n-gram novelty in corpus order: the fraction of a "
+    "doc's distinct 5-token windows whose corpus-wide first holder (min "
+    "doc id) is the doc itself — the redundancy-decay curve data "
+    "curation uses to decide when more of a source stops adding "
+    "content. Per-doc filterable column over passages (docs_vocab_"
+    "growth is the corpus-level single-token curve). Shuffles carry "
+    "(md5, id) postings with map-side combine — a gram held by k docs "
+    "costs k rows, never pairs.",
+)
+def q_text_ngram_novelty(spark, sf_dir):
+    return text.ngram_novelty(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id", text_col="text", ngram_words=_NOVELTY_N,
     )
 
 

@@ -51,6 +51,13 @@ QUERIES = [
     # stays exact); count-min stays d*w cells no matter the input
     "decontaminate_bloom",
     "a27_countmin",
+    # r6 late additions: sliding-window posting explodes (span dedup /
+    # novelty — gram volume grows linearly with docs) and cell-blocked
+    # hard-negative mining (replicated centroids multiply CELLS, not
+    # cell size, so pair cost should stay ~linear in vectors)
+    "dedup_span_stats",
+    "text_ngram_novelty",
+    "sim_hard_negatives",
 ]
 
 

@@ -1499,6 +1499,152 @@ def test_segment_dup_stats_known_values(spark):
     assert rows[3]["keep"] is True
 
 
+def test_duplicate_span_stats_known_values(spark):
+    """EXACTSUBSTR hand-computed cases (3-token windows): overlapping
+    spans merge into one region (d1/d2 share a 4-token passage), a
+    WITHIN-doc verbatim repeat counts (d4), adjacent-but-not-overlapping
+    duplicated regions stay separate islands (d8), short docs (< n
+    tokens) and unique docs are clean."""
+    from bag_parser_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),         # shares "a b c d" with d2
+            (2, "x a b c d y"),
+            (3, "p q r"),               # unique
+            (4, "m n o z1 z2 m n o"),   # within-doc repeat of "m n o"
+            (5, "s t"),                 # shorter than the window
+            (6, "g1 g2 g3 u1 u2"),      # plants "g1 g2 g3"
+            (7, "v1 v2 g4 g5 g6"),      # plants "g4 g5 g6"
+            (8, "g1 g2 g3 g4 g5 g6"),   # two ADJACENT duplicated regions
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_span_stats(
+            df, id_col="doc_id", text_col="text",
+            ngram_words=3, drop_threshold_pct=50,
+        ).collect()
+    }
+    assert len(rows) == 8  # zero-span docs included
+    # d1: dup windows [1,3] and [2,4] merge into ONE region [1,4]
+    assert (rows[1]["n_spans"], rows[1]["dup_tokens"]) == (1, 4)
+    assert rows[1]["dup_fraction"] == round(4 / 6, 6)
+    assert rows[1]["keep"] is False  # 400 < 300 fails
+    assert (rows[2]["n_spans"], rows[2]["dup_tokens"]) == (1, 4)
+    # d3 unique, d5 too short: clean
+    for d in (3, 5):
+        assert (rows[d]["n_spans"], rows[d]["dup_tokens"]) == (0, 0)
+        assert rows[d]["dup_fraction"] == 0.0
+        assert rows[d]["keep"] is True
+    # d4: "m n o" repeats WITHIN the doc -> spans [1,3] and [6,8],
+    # non-overlapping -> two islands
+    assert (rows[4]["n_spans"], rows[4]["dup_tokens"]) == (2, 6)
+    assert rows[4]["n_tokens"] == 8
+    assert rows[4]["keep"] is False
+    # d8: spans [1,3] and [4,6] touch but do not overlap -> 2 islands
+    assert (rows[8]["n_spans"], rows[8]["dup_tokens"]) == (2, 6)
+    assert rows[8]["dup_fraction"] == 1.0
+
+
+def test_ngram_novelty_known_values(spark):
+    """First-holder novelty, hand-computed (3-token windows): a doc's
+    repeats of its own window count ONCE (distinct per doc), an exact
+    later copy scores 0.0, a partial overlap scores the unseen fraction,
+    and short docs get NULL novelty."""
+    from bag_parser_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),              # both grams first here -> 1.0
+            (2, "a b c x y"),            # 1 of 3 grams seen in d1
+            (3, "a b c d"),              # exact copy, later id -> 0.0
+            (4, "z z"),                  # shorter than the window
+            (5, "k l m k l m k l m"),    # self-repeat: 3 DISTINCT grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in T.ngram_novelty(
+            df, id_col="doc_id", text_col="text", ngram_words=3
+        ).collect()
+    }
+    assert (rows[1]["n_grams"], rows[1]["n_novel"]) == (2, 2)
+    assert rows[1]["novelty"] == 1.0
+    assert (rows[2]["n_grams"], rows[2]["n_novel"]) == (3, 2)
+    assert rows[2]["novelty"] == round(2 / 3, 6)
+    assert (rows[3]["n_grams"], rows[3]["n_novel"]) == (2, 0)
+    assert rows[3]["novelty"] == 0.0
+    assert (rows[4]["n_grams"], rows[4]["n_novel"]) == (0, 0)
+    assert rows[4]["novelty"] is None
+    assert (rows[5]["n_grams"], rows[5]["n_novel"]) == (3, 3)
+    assert rows[5]["novelty"] == 1.0
+
+
+def test_hard_negatives_blocked_salted_path_identity(spark):
+    """Hard-negative mining contracts: (a) every mined negative carries a
+    DIFFERENT label than its query, (b) ranks are 1..k dense per query,
+    (c) forcing every cell through the big-cell SALTED route
+    (big_cell_cutoff=1) yields the exact same rows as the plain path —
+    the salt split is layout-only."""
+    from bag_parser_spark.operators import similarity
+
+    # two well-separated cells on axis 0/1; labels alternate within each
+    rows = []
+    for i in range(12):
+        base = [10.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 10.0, 0.0]
+        vec = [base[0] + 0.01 * i, base[1] + 0.02 * i, 0.1 * (i % 3)]
+        rows.append((i, vec, i % 4))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cid long, cv array<float>",
+    )
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", label_col="label",
+        centroids=cents, k=3,
+    )
+    plain = similarity.hard_negatives_blocked(df, **kw).collect()
+    labels = {i: i % 4 for i in range(12)}
+    assert plain, "expected some negatives"
+    per_q: dict[int, list[int]] = {}
+    for r in plain:
+        assert labels[r["query_id"]] != labels[r["neg_id"]]
+        per_q.setdefault(r["query_id"], []).append(r["neg_rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    salted = similarity.hard_negatives_blocked(
+        df, **kw, big_cell_cutoff=1, salt=4
+    ).collect()
+    key = lambda t: (t[0], t[4])  # (query_id, neg_rank)  # noqa: E731
+    assert sorted(map(tuple, salted), key=key) == sorted(
+        map(tuple, plain), key=key
+    )
+
+
+def test_duplicate_span_stats_rejects_bad_params(spark):
+    """pct=0 would drop everything under the strict-less rule; a 1-token
+    window marks every repeated WORD as a span — both rejected loudly."""
+    import pytest
+
+    from bag_parser_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="drop_threshold_pct"):
+        dedup.duplicate_span_stats(
+            df, id_col="doc_id", text_col="text", drop_threshold_pct=0
+        )
+    with pytest.raises(ValueError, match="ngram_words"):
+        dedup.duplicate_span_stats(
+            df, id_col="doc_id", text_col="text", ngram_words=1
+        )
+
+
 def test_incremental_lsh_bucketed_signature_store_exchange_free(spark):
     """The recurring-ingest storage layout the docstrings promise: the
     corpus's BANDED signature projection materialized bucketed by
