@@ -635,65 +635,27 @@ def segment_dup_stats(
     )
 
 
-def duplicate_span_stats(
+def _merged_dup_spans(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    ngram_words: int = 5,
-    drop_threshold_pct: int = 50,
-    cache_registry: list[DataFrame] | None = None,
-) -> DataFrame:
-    """Exact duplicate-SUBSTRING span statistics — the EXACTSUBSTR step of
-    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
-    Better") re-expressed relationally: any ``ngram_words``-token window
-    that occurs more than once ANYWHERE in the corpus (including twice in
-    the same document — verbatim self-repetition is exactly what the
-    paper targets) marks its token span as duplicated; overlapping marked
-    spans merge into maximal duplicated regions. This differs from
-    segment_dup_stats in both sensitivity and unit: sliding windows catch
-    duplicated passages at ANY token offset (fixed segments miss a copy
-    shifted by one word), and the merged-span output measures contiguous
-    duplicated REGIONS, the unit a span-removal rewrite would operate on.
-
-    Returns (id, n_tokens, n_spans, dup_tokens, dup_fraction, keep), one
-    row per input document (zero-span docs included): ``n_spans`` maximal
-    merged regions, ``dup_tokens`` tokens covered by them, and the
-    integer-exact drop rule ``dup_tokens*100 < n_tokens*threshold`` (no
-    float boundary can flip a doc between engines). Docs shorter than
-    ``ngram_words`` tokens have no windows and count as clean.
-
-    Scale shape: Lee et al. build a corpus-wide suffix array — a global
-    sort no Spark cluster wants. The relational equivalent: window
-    extraction is a map-only explode (one (md5, id, start) posting row
-    per token — 32-char hashes, never text, in the shuffle); repeat
-    detection is one groupBy on the hash with map-side combine, occurrence
-    COUNTING so a boilerplate window in k docs costs k posting rows, never
-    k² pairs; span merging is a per-document window function over (id,
-    start, end) int triples — classic gaps-and-islands (running max(end)
-    over preceding rows → break flag → running sum), shuffling ids and
-    ints only, one task per doc bounded by that doc's own length. The
-    posting table persists once: both the per-hash occurrence counts and
-    the join-back probe read it, and without the persist the dominant
-    tokenize+slice+md5 scan would run twice (``cache_registry`` follows
-    verify_pairs_jaccard's scoped-caller contract).
+    n: int,
+    cache_registry: list[DataFrame] | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared EXACTSUBSTR core for duplicate_span_stats and
+    remove_duplicate_spans: returns ``(base, merged)`` where ``base`` is
+    (id, __toks__, __n__) for every input doc and ``merged`` holds the
+    maximal merged duplicated regions (id, __isl__, __ms__, __me__),
+    1-based inclusive token positions. See duplicate_span_stats for the
+    full scale-shape discussion — postings (md5, id, start) are the only
+    text-derived thing any shuffle carries, and the posting table
+    persists once for its two consumers (occurrence count + join-back).
 
     Window starts come from ``sequence(1, n-ngram+1)`` guarded by a
     ``n >= ngram`` filter — unguarded, Spark's sequence(1, 0) yields a
     DESCENDING [1, 0], not an empty array, and short docs would emit
     phantom windows.
     """
-    if not 1 <= drop_threshold_pct <= 100:
-        raise ValueError(
-            f"drop_threshold_pct must be in 1..100, got "
-            f"{drop_threshold_pct} (the keep rule is strict-less, so 0 "
-            "would drop every document)"
-        )
-    if ngram_words < 2:
-        raise ValueError(
-            f"ngram_words must be >= 2, got {ngram_words} (a 1-token "
-            "window marks every repeated word as a duplicated span)"
-        )
-    n = ngram_words
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(
         F.col(id_col), toks.alias("__toks__"), F.size(toks).alias("__n__")
@@ -760,6 +722,70 @@ def duplicate_span_stats(
             F.min("__s__").alias("__ms__"), F.max("__e__").alias("__me__")
         )
     )
+    return base, merged
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_words: int = 5,
+    drop_threshold_pct: int = 50,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Exact duplicate-SUBSTRING span statistics — the EXACTSUBSTR step of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed relationally: any ``ngram_words``-token window
+    that occurs more than once ANYWHERE in the corpus (including twice in
+    the same document — verbatim self-repetition is exactly what the
+    paper targets) marks its token span as duplicated; overlapping marked
+    spans merge into maximal duplicated regions. This differs from
+    segment_dup_stats in both sensitivity and unit: sliding windows catch
+    duplicated passages at ANY token offset (fixed segments miss a copy
+    shifted by one word), and the merged-span output measures contiguous
+    duplicated REGIONS, the unit a span-removal rewrite would operate on.
+
+    Returns (id, n_tokens, n_spans, dup_tokens, dup_fraction, keep), one
+    row per input document (zero-span docs included): ``n_spans`` maximal
+    merged regions, ``dup_tokens`` tokens covered by them, and the
+    integer-exact drop rule ``dup_tokens*100 < n_tokens*threshold`` (no
+    float boundary can flip a doc between engines). Docs shorter than
+    ``ngram_words`` tokens have no windows and count as clean.
+
+    Scale shape: Lee et al. build a corpus-wide suffix array — a global
+    sort no Spark cluster wants. The relational equivalent: window
+    extraction is a map-only explode (one (md5, id, start) posting row
+    per token — 32-char hashes, never text, in the shuffle); repeat
+    detection is one groupBy on the hash with map-side combine, occurrence
+    COUNTING so a boilerplate window in k docs costs k posting rows, never
+    k² pairs; span merging is a per-document window function over (id,
+    start, end) int triples — classic gaps-and-islands (running max(end)
+    over preceding rows → break flag → running sum), shuffling ids and
+    ints only, one task per doc bounded by that doc's own length. The
+    posting table persists once: both the per-hash occurrence counts and
+    the join-back probe read it, and without the persist the dominant
+    tokenize+slice+md5 scan would run twice (``cache_registry`` follows
+    verify_pairs_jaccard's scoped-caller contract).
+
+    Window starts come from ``sequence(1, n-ngram+1)`` guarded by a
+    ``n >= ngram`` filter — unguarded, Spark's sequence(1, 0) yields a
+    DESCENDING [1, 0], not an empty array, and short docs would emit
+    phantom windows.
+    """
+    if not 1 <= drop_threshold_pct <= 100:
+        raise ValueError(
+            f"drop_threshold_pct must be in 1..100, got "
+            f"{drop_threshold_pct} (the keep rule is strict-less, so 0 "
+            "would drop every document)"
+        )
+    if ngram_words < 2:
+        raise ValueError(
+            f"ngram_words must be >= 2, got {ngram_words} (a 1-token "
+            "window marks every repeated word as a duplicated span)"
+        )
+    base, merged = _merged_dup_spans(
+        df, id_col, text_col, ngram_words, cache_registry
+    )
     per_doc = merged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__spans__"),
         F.sum(F.col("__me__") - F.col("__ms__") + 1).alias("__dup__"),
@@ -780,6 +806,80 @@ def duplicate_span_stats(
                 F.coalesce("__dup__", zero) * 100
                 < F.col("n_tokens") * drop_threshold_pct
             ).alias("keep"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_words: int = 5,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """The REWRITE half of Lee et al. 2021 EXACTSUBSTR: physically remove
+    every merged duplicated region found by ``duplicate_span_stats``
+    (same core, shared via ``_merged_dup_spans``) and emit the cleaned
+    text. The paper's headline intervention is exactly this — not
+    dropping whole documents but excising the repeated passages so the
+    unique prose around boilerplate survives into training.
+
+    Returns (id, n_tokens, clean_tokens, removed_tokens, clean_text),
+    one row per input document: documents with no duplicated span pass
+    through verbatim-tokenized (``clean_text`` is the single-space
+    rejoin of their tokens), fully-duplicated documents come out with
+    ``clean_text = ''`` — the caller decides whether an empty survivor
+    is worth keeping.
+
+    Scale shape: span detection is the posting pipeline of
+    duplicate_span_stats (md5+ints in every shuffle). The rewrite adds
+    ONE id-keyed equi-join of the corpus against the per-doc span
+    arrays — a rewrite must touch every byte once, so that join (and
+    the write behind it) is the floor, not overhead; AQE broadcasts the
+    span side when few docs carry spans. Token excision itself is a
+    JVM higher-order ``filter`` with a nested ``exists`` over the
+    doc's own merged spans (≤ tokens × regions comparisons per row,
+    no UDF, no token-level explode — positions never enter a shuffle).
+    """
+    if ngram_words < 2:
+        raise ValueError(
+            f"ngram_words must be >= 2, got {ngram_words} (a 1-token "
+            "window would excise every repeated word)"
+        )
+    base, merged = _merged_dup_spans(
+        df, id_col, text_col, ngram_words, cache_registry
+    )
+    spans_per_doc = merged.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("__ms__").alias("ms"), F.col("__me__").alias("me")
+                )
+            )
+        ).alias("__spans__")
+    )
+    empty_spans = F.array().cast("array<struct<ms:long,me:long>>")
+    # F.filter's index is 0-based while span positions are 1-based —
+    # compare on i+1 (the DuckDB oracle's lambda index is 1-based, so
+    # it compares on i directly).
+    kept = F.filter(
+        F.col("__toks__"),
+        lambda x, i: ~F.exists(
+            F.coalesce(F.col("__spans__"), empty_spans),
+            lambda s: (i + 1 >= s["ms"]) & (i + 1 <= s["me"]),
+        ),
+    )
+    return (
+        base.join(spans_per_doc, id_col, "left")
+        .withColumn("__kept__", kept)
+        .select(
+            id_col,
+            F.col("__n__").cast("long").alias("n_tokens"),
+            F.size("__kept__").cast("long").alias("clean_tokens"),
+            (F.col("__n__") - F.size("__kept__"))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.array_join("__kept__", " ").alias("clean_text"),
         )
     )
 

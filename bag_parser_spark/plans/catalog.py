@@ -974,7 +974,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ivfpq_topk", "text_bpe_train", "sim_ivfpq_recall",
     "decontaminate_bloom", "a27_countmin", "ml_eval_confusion",
     "ts_asof_tolerance", "a28_grouping_sets", "dedup_span_stats",
-    "sim_hard_negatives", "text_ngram_novelty",
+    "sim_hard_negatives", "text_ngram_novelty", "dedup_span_rewrite",
     # rewritten r6 (identity collapse / population caps) — need fresh rows
     "dedup_embedding_cosine", "sim_ivf_topk",
     # — family round-robin re-verification fills the window from here —

@@ -94,6 +94,10 @@ HEADLINE = [
     "decontaminate_bloom",
     "a27_countmin",
     "ml_eval_confusion",
+    "dedup_span_stats",
+    "dedup_span_rewrite",
+    "sim_hard_negatives",
+    "text_ngram_novelty",
 ]
 
 

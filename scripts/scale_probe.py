@@ -58,6 +58,9 @@ QUERIES = [
     "dedup_span_stats",
     "text_ngram_novelty",
     "sim_hard_negatives",
+    # the rewrite adds one id-keyed corpus join on top of the span
+    # pipeline — probe that the join (not pair blowup) is the only cost
+    "dedup_span_rewrite",
 ]
 
 

@@ -1627,6 +1627,53 @@ def test_hard_negatives_blocked_salted_path_identity(spark):
     )
 
 
+def test_remove_duplicate_spans_known_values(spark):
+    """The EXACTSUBSTR rewrite on the same fixture as the stats test:
+    merged regions are excised (d1 keeps 'e f'), a fully-duplicated doc
+    empties out (d8), clean docs pass through as their single-space
+    token rejoin, and a within-doc repeat loses BOTH copies (d4)."""
+    from bag_parser_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x a b c d y"),
+            (3, "p q r"),
+            (4, "m n o z1 z2 m n o"),
+            (5, "s t"),
+            (6, "g1 g2 g3 u1 u2"),
+            (7, "v1 v2 g4 g5 g6"),
+            (8, "g1 g2 g3 g4 g5 g6"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(
+            df, id_col="doc_id", text_col="text", ngram_words=3
+        ).collect()
+    }
+    assert len(rows) == 8
+    assert rows[1]["clean_text"] == "e f"
+    assert (rows[1]["clean_tokens"], rows[1]["removed_tokens"]) == (2, 4)
+    assert rows[2]["clean_text"] == "x y"
+    assert rows[3]["clean_text"] == "p q r"
+    assert rows[3]["removed_tokens"] == 0
+    assert rows[4]["clean_text"] == "z1 z2"
+    assert rows[5]["clean_text"] == "s t"
+    assert rows[8]["clean_text"] == ""
+    assert (rows[8]["clean_tokens"], rows[8]["removed_tokens"]) == (0, 6)
+    # stats/rewrite coherence: removed_tokens == dup_tokens per doc
+    stats = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dedup.duplicate_span_stats(
+            df, id_col="doc_id", text_col="text", ngram_words=3
+        ).collect()
+    }
+    for d, r in rows.items():
+        assert r["removed_tokens"] == stats[d]
+
+
 def test_duplicate_span_stats_rejects_bad_params(spark):
     """pct=0 would drop everything under the strict-less rule; a 1-token
     window marks every repeated WORD as a span — both rejected loudly."""
