@@ -297,6 +297,7 @@ def semantic_dedup_pairs(
     threshold: float,
     big_cell_cutoff: int = 100_000,
     salt: int = 32,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -331,6 +332,14 @@ def semantic_dedup_pairs(
     Approximate by construction: a near-dup pair straddling a cell
     boundary is missed (SemDeDup accepts this; raise |cells| recall via
     multi-probe assignment if needed).
+
+    NOTE — construction is EAGER: the big-cell guard runs one Spark job
+    (per-cell counts over the cached assignment) at call time, before
+    the returned plan executes. Plan-only tooling should expect that
+    scan. The assignment persist() is appended to ``cache_registry``
+    when given, so scoped callers (per-micro-batch loops, long-lived
+    sessions) can unpersist it; without a registry the cached blocks
+    live until the session evicts them.
     """
     pair_cos = _arrow_pair_cosine()
     c = centroids.select("cid", "cv")
@@ -366,6 +375,9 @@ def semantic_dedup_pairs(
         )
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(assigned)
+
     def pair_join(left: DataFrame, extra_cond=None) -> DataFrame:
         b = assigned.select(
             F.col("cell").alias("__cell2__"),
@@ -436,6 +448,7 @@ def hard_negatives_blocked(
     k: int,
     big_cell_cutoff: int = 100_000,
     salt: int = 32,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """ANN-neighborhood hard-negative mining (the ANCE/DPR training-data
     step: for every labeled query vector, the top-``k`` most-similar
@@ -464,6 +477,12 @@ def hard_negatives_blocked(
     same-label near-twin in another cell is never considered —
     intended: it wouldn't be a negative; a DIFFERENT-label neighbor in
     another cell is missed, the standard ANN-mining recall tradeoff.
+
+    NOTE — construction is EAGER: the big-cell guard runs one Spark job
+    (per-cell counts over the cached assignment) at call time. The
+    assignment persist() is appended to ``cache_registry`` when given so
+    scoped callers can free it (same contract as the dedup/text
+    helpers).
     """
     from pyspark.sql import Window
 
@@ -504,6 +523,8 @@ def hard_negatives_blocked(
         )
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(assigned)
     cand = assigned.select(
         F.col("cell").alias("__cell2__"),
         F.col("__vid__").alias("neg_id"),
@@ -1002,6 +1023,7 @@ def embedding_neardup_pairs(
     dim: int = 64,
     within_salt: int = 32,
     collapse: bool | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-family member the
     MinHash/SimHash variants can't cover: semantic near-dups).
@@ -1040,7 +1062,11 @@ def embedding_neardup_pairs(
     a near-duplicate-free corpus keeps the plain single-shuffle
     pairwise shape with zero overhead; >5% exact duplication switches
     to the collapsed shape. The same driver-side-stats-pick-the-plan
-    move AQE makes for join strategies.
+    move AQE makes for join strategies. NOTE — with ``collapse=None``
+    construction is EAGER (that probe job runs at call time); pass
+    ``collapse`` explicitly for plan-only/lazy contexts. All persist()
+    handles are appended to ``cache_registry`` when given so scoped
+    callers can free them.
     """
     from pyspark.sql import Window
 
@@ -1064,6 +1090,8 @@ def embedding_neardup_pairs(
             norm(F.col(vec_col)).alias("__mnorm__"),
             lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket__"),
         ).persist()
+        if cache_registry is not None:
+            cache_registry.append(b)
         a = b.select(
             F.col("__bucket__"),
             F.col("__mid__").alias("a_id"),
@@ -1110,6 +1138,8 @@ def embedding_neardup_pairs(
         .withColumn("__csz__", F.count(F.lit(1)).over(w))
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(mem_full)
     mem = mem_full.select("__rid__", "__mid__", "__csz__")
     reps = (
         mem_full.filter(F.col("__mid__") == F.col("__rid__"))
@@ -1121,6 +1151,8 @@ def embedding_neardup_pairs(
         )
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(reps)
     a = reps.select(
         F.col("__bucket__"),
         F.col("__rid__").alias("__ra__"),

@@ -113,10 +113,12 @@ def import_bag(
             spark, xml_root, gemeenten_csv, out_dir, cfg, extract_dir
         )
     except BaseException:
-        # a crashed import must not leave the extraction behind: a rerun
-        # would extract the (possibly updated) delivery NEXT TO the stale
-        # files and the entity globs would read both
-        if extract_dir and out_dir:
+        # a crashed import must not leave the extraction behind: under
+        # out_dir a rerun would extract the (possibly updated) delivery
+        # NEXT TO the stale files and the entity globs would read both;
+        # the mkdtemp case (out_dir None) leaks a full extracted XML copy
+        # per crash otherwise — no live plan references it once we raise
+        if extract_dir:
             import shutil
 
             shutil.rmtree(extract_dir, ignore_errors=True)

@@ -72,7 +72,16 @@ def ingest_batch(
     """Run one ingest round (steps 1-5 above) and append survivors to
     the state tables. Returns the number of newly accepted docs.
     Callable directly for backfills/tests; the stream wires it through
-    foreachBatch."""
+    foreachBatch.
+
+    Single-writer assumption: the finally block frees every persistent
+    RDD whose id is NEW since batch start (that is how the eager
+    localCheckpoint blocks, which bypass the CacheManager, are found).
+    The id diff cannot tell this batch's blocks from caches another
+    query creates CONCURRENTLY on the same SparkSession mid-batch — a
+    concurrent caller could silently lose its cache. Fine for the
+    intended single-threaded foreachBatch stream; do not share the
+    session with concurrent cache-creating work during a batch."""
     acc_path, sig_path = _paths(state_dir)
     have_state = os.path.isdir(acc_path)
     # Scoped cache accounting (ADVICE r5): the dedup helpers persist
