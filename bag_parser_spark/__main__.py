@@ -242,6 +242,25 @@ def cmd_prepare(args) -> int:
             else None
         ),
         max_contamination_pct=args.max_contamination_pct,
+        gopher=args.gopher,
+        url_col=args.url_col,
+        max_per_domain=args.max_per_domain,
+        domain_blocklist=(
+            spark.createDataFrame(
+                [(d.strip(),) for d in args.block_domains.split(",")],
+                "domain string",
+            )
+            if args.block_domains
+            else None
+        ),
+        domain_allowlist=(
+            spark.createDataFrame(
+                [(d.strip(),) for d in args.allow_domains.split(",")],
+                "domain string",
+            )
+            if args.allow_domains
+            else None
+        ),
     )
     _log(f"prepared {summary['n_out']} docs -> {summary['out']}")
     print(json.dumps(summary, sort_keys=True))
@@ -356,6 +375,23 @@ def build_parser() -> argparse.ArgumentParser:
                       "the eval set before it is dropped (default 0: any "
                       "confirmed overlap drops the doc; strict-greater "
                       "rule)")
+    prep.add_argument("--gopher", action="store_true",
+                      help="gate documents through the Gopher/MassiveText "
+                      "quality-rule battery (8 rules; per-rule rejection "
+                      "counts land in the summary JSON as gopher_counts)")
+    prep.add_argument("--url-col", default=None,
+                      help="column holding each doc's URL; enables the "
+                      "domain stage (canonical host -> registered "
+                      "domain, kept as registered_domain in the output)")
+    prep.add_argument("--max-per-domain", type=int, default=None,
+                      help="cap docs per registered domain (deterministic "
+                      "md5-seeded fair draw; requires --url-col)")
+    prep.add_argument("--block-domains", default=None,
+                      help="comma-separated registered domains to drop "
+                      "before any other stage (requires --url-col)")
+    prep.add_argument("--allow-domains", default=None,
+                      help="comma-separated registered domains that "
+                      "override --block-domains")
     _add_spark_args(prep)
     prep.set_defaults(fn=cmd_prepare)
 

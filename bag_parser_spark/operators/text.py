@@ -329,6 +329,122 @@ def repetition_metrics(
     )
 
 
+def gopher_rules(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+):
+    """Gopher/MassiveText-style quality-rule battery (Rae et al. 2021,
+    Appendix A1.1) as ONE gated operator: per-document boolean flags for
+    each rejection rule plus the composed ``keep``. The individual
+    signals existed across quality_metrics / repetition_metrics; this is
+    the single documented filter a curation user actually applies
+    (VERDICT r6 "next" #5).
+
+    Rules (a TRUE flag means the rule REJECTS the doc):
+      r_too_short      word count < min_words
+      r_too_long       word count > max_words
+      r_word_len       mean word length outside [min, max]
+      r_symbol         '#'/'...' symbols > 10% of words
+      r_alpha          words containing a letter <= 80% of words
+      r_stopword       fewer than 2 distinct stopwords present
+      r_top_word       most frequent word > 20% of words
+      r_dup_words      duplicate-word fraction > 50%
+
+    Every threshold compares INTEGER cross-products (char_sum < 3·n
+    instead of char_sum/n < 3), so no float boundary can flip a flag
+    between engines — the same exactness contract as mixture_sample.
+
+    Scale shape: one explode → groupBy(doc, word) → groupBy(doc) chain
+    (two shuffles on the doc key, map-side combine, robust to
+    arbitrarily long docs) joined to a map-only doc-level symbol count;
+    the flags themselves are plain codegen arithmetic.
+    """
+    t = F.col(text_col)
+    toks = df.select(
+        F.col(id_col).alias("__id__"),
+        # generators can't nest inside expressions: lower the array
+        # elements, then explode
+        F.explode(F.transform(tokens(t), F.lower)).alias("w"),
+    )
+    wc = toks.groupBy("__id__", "w").agg(F.count("*").alias("c"))
+    stats = wc.groupBy("__id__").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+        F.sum(F.length("w") * F.col("c")).alias("char_sum"),
+        F.sum(
+            F.when(F.col("w").rlike("[a-z]"), F.col("c")).otherwise(0)
+        ).alias("alpha_words"),
+        F.count(F.when(F.col("w").isin(EN_STOPWORDS), 1)).alias(
+            "stop_distinct"
+        ),
+    )
+    doc_level = df.select(
+        F.col(id_col).alias("__id__"),
+        F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0)).alias(
+            "n_symbols"
+        ),
+    )
+    j = stats.join(doc_level, "__id__")
+    n = F.col("n_words")
+    flags = {
+        "r_too_short": n < min_words,
+        "r_too_long": n > max_words,
+        "r_word_len": (F.col("char_sum") < min_mean_word_len * n)
+        | (F.col("char_sum") > max_mean_word_len * n),
+        "r_symbol": F.col("n_symbols") * 10 > n,
+        "r_alpha": F.col("alpha_words") * 5 < n * 4,
+        "r_stopword": F.col("stop_distinct") < 2,
+        "r_top_word": F.col("top_c") * 5 > n,
+        "r_dup_words": F.col("n_distinct") * 2 < n,
+    }
+    keep = None
+    for cond in flags.values():
+        keep = ~cond if keep is None else keep & ~cond
+    return j.select(
+        F.col("__id__").alias(id_col),
+        n.cast("long").alias("n_words"),
+        *[cond.alias(name) for name, cond in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+GOPHER_RULE_NAMES = (
+    "r_too_short", "r_too_long", "r_word_len", "r_symbol",
+    "r_alpha", "r_stopword", "r_top_word", "r_dup_words",
+)
+
+
+def gopher_summary(flags_df):
+    """Per-rule rejection counts over a ``gopher_rules`` output — the
+    curation report row a pipeline run archives: one row per rule
+    (n_flagged; rules overlap, so these don't sum to rejected) plus
+    'kept' and 'total'. One tiny aggregate, then a literal unpivot."""
+    agg = flags_df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+        *[
+            F.sum(F.when(F.col(r), 1).otherwise(0)).alias(r)
+            for r in GOPHER_RULE_NAMES
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(name).cast("long").alias("n_docs"),
+            )
+            for name in (*GOPHER_RULE_NAMES, "kept", "total")
+        ]
+    )
+    return agg.select(F.explode(rows).alias("x")).select("x.rule", "x.n_docs")
+
+
 def tfidf_vectors(
     df,
     id_col: str = "doc_id",

@@ -944,58 +944,42 @@ def q_f8(spark, sf_dir):
 
 # Driver-verification priority. The correctness driver samples the catalog in
 # dict order with a bounded budget (every round so far recorded exactly the
-# first 50 keys), so the order is re-rotated each round. r6 rotation
-# (VERDICT r5 #1): the 50-slot window leads with the 12 queries whose
-# driver evidence is missing or stale — 5 r5 additions with no driver row
-# at all, 2 carrying pre-oracle `no_oracle` FAIL rows (mm_resize /
-# mm_frame_sample, last driver verdict r2 although value-level oracles now
-# exist and pass under pytest), 3 rewritten since their last green row,
-# plus the r6 additions — then fills the remainder with a family
-# round-robin of already-green queries so re-verification keeps spanning
-# the whole surface under the cap. Queries not listed follow in
-# registration order — nothing is ever dropped. If this rotation lands,
-# the cross-round driver union reaches 161/161 with zero stale fails.
+# first 50 keys), so the order is re-rotated each round. r7 rotation
+# (VERDICT r6 #1/#3): the cross-round union is complete (184/184 green
+# after r6), so the window now re-verifies the queries whose latest green
+# row is OLDEST (the r2 pair, then the r3 cohort), with r4-green family
+# fillers so all 10 family predicates in the ordering-contract test keep a
+# member in-window, and every NEW r7 query inserted at the very front.
+# Queries not listed follow in registration order — nothing is dropped.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-validated (added r5)
-    "sample_mixture", "dedup_semantic", "ts_autocorr",
-    "dq_column_profile", "ml_auc_ranked",
-    # stale FAIL rows from pre-oracle rounds — erase the only two FAILs
-    # left in any CORRECTNESS file
-    "mm_resize", "mm_frame_sample",
-    # rewritten since their last green driver row (also listed in
-    # _REWRITTEN_SINCE_DRIVER_ROW, which the ordering-contract test pins
-    # inside the window)
-    "ts_ohlc_bars", "events_pattern_match", "mm_image_neardup",
-    # r6 additions (no driver row can exist yet)
-    "dedup_segment_fraction", "sim_pq_encode", "sim_pq_adc_topk",
-    "sim_pq_recall", "corpus_datasheet", "ml_pagerank_step",
-    "sim_pq_adc_batch", "text_bpe_merge_step",
-    "sample_temperature", "layout_file_skipping", "text_bpe_encode",
-    "sim_ivfpq_topk", "text_bpe_train", "sim_ivfpq_recall",
-    "decontaminate_bloom", "a27_countmin", "ml_eval_confusion",
-    "ts_asof_tolerance", "a28_grouping_sets", "dedup_span_stats",
-    "sim_hard_negatives", "text_ngram_novelty", "dedup_span_rewrite",
-    # rewritten r6 (identity collapse / population caps) — need fresh rows
-    "dedup_embedding_cosine", "sim_ivf_topk",
-    # — family round-robin re-verification fills the window from here —
-    "j1_chained_left_join", "a1_grouped_stats", "w1_last_write_wins",
-    "f6_rd_to_wgs84", "p3_temporal_filter", "j4_explode_join_lastwins",
-    "f1_scalar_pack",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit", "tpch_q21_waiting_suppliers",
-    "tpch_q17_small_qty_revenue",
-    "ts_asof_join", "ts_gapfill", "ts_interval_join", "ts_window_battery",
-    "events_windowed_agg", "events_session_window", "events_funnel",
-    "events_hopping_agg",
-    "dedup_exact_docs", "dedup_minhash_lsh", "dedup_verified_pairs",
-    "dedup_incremental", "dedup_clusters",
-    "sim_cosine_topk", "sim_ann_recall",
-    "mm_image_ahash", "mm_audio_features",
-    "text_quality_metrics", "text_bm25_topk", "tfidf_vectors",
-    "lm_doc_score",
-    "sample_global_shuffle", "split_leakage_safe",
-    "a15_heavy_hitters", "a19_hll_mergeable",
-    "j10_salted_skew_join", "f14_null_semantics",
+    # — r7 additions lead the window (no driver row can exist yet);
+    #   insert each new catalog query name HERE when registering it —
+    "url_canonicalize", "url_domain_stats", "url_domain_cap",
+    "url_blocklist_filter", "text_gopher_rules",
+    # — oldest greens next: the only two queries whose latest row is r2 —
+    "tfidf_vectors", "sim_knn_join",
+    # — family fillers (latest row r4) so every family predicate in the
+    #   ordering-contract test keeps a member inside the 50-slot window:
+    #   timeseries / events / multimodal / tpch / scalar_packs —
+    "ts_window_battery", "events_windowed_agg", "mm_image_features",
+    "tpch_q7_volume_shipping", "f14_null_semantics",
+    # — the r3 cohort (oldest bulk greens), re-verified round-robin;
+    #   covers similarity (via sim_knn_join above), text, agg_ext,
+    #   join_ext, corpus (tfidf_vectors above) —
+    "dedup_exact_docs", "dedup_minhash_lsh", "dedup_clusters",
+    "text_quality_metrics", "j2_update_join", "j6_coalesce_override",
+    "j7_anti_join", "j8_semi_join", "a2_count_battery", "a3_latest_date",
+    "a4_distinct", "a5_dedup_scan", "p6_conditional_name",
+    "p11_clean_dummies", "p12_orphan_delete", "f7_wgs84_to_rd",
+    "j5_explode_self_join", "j3_plaats_overlay", "f5_bag_date_parse",
+    "p7_geometry_roundtrip", "f8_geometry_rings", "a9_rollup",
+    "a10_pivot", "w3_rank_battery", "a11_exact_moments",
+    "ev_json_extract", "text_pii_redact", "emb_quantize_int8",
+    "ml_kmeans_step", "a12_zscore", "text_bigram_lm",
+    "a13_above_cust_avg", "layout_zorder_key", "j11_merge_apply",
+    "a14_profile", "dedup_ngram_jaccard", "dedup_simhash",
+    "split_train_test", "pack_sequences", "curate_corpus",
+    "sample_per_source", "decontaminate_check", "sample_weighted_sources",
 )
 
 # Queries REWRITTEN since their last green driver CORRECTNESS row: a stale
@@ -1004,13 +988,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # Maintained by hand: add a name here when materially changing its query or
 # operator; remove it once a NEWER driver round records a green row.
 _REWRITTEN_SINCE_DRIVER_ROW: tuple[str, ...] = (
-    "ts_ohlc_bars",        # r5: exact-decimal volume sums
-    "events_pattern_match",  # r5: positional-triple rewrite
-    "mm_image_neardup",    # r5: distinct-hash + salted within-class join
-    "sample_mixture",      # r6: integer-div cutoff (ADVICE r5)
-    "dedup_embedding_cosine",  # r6: distinct-vector identity collapse
-    "sim_ivf_topk",        # r6: fixed-nlist centroid cap
-    "sim_ivfpq_topk",      # r6: donor/cell caps (also never-validated)
+    # (empty after r6: every previously-listed rewrite got a fresh green
+    # driver row in CORRECTNESS_r06 — add names here when materially
+    # rewriting a query, remove once a newer green driver row lands)
 )
 
 
@@ -1043,4 +1023,5 @@ def _load_extensions() -> None:
         catalog_scale,
         catalog_tpch,
         catalog_ts,
+        catalog_web,
     )

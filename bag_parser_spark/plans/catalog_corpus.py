@@ -2204,3 +2204,77 @@ def q_ml_pagerank_step(spark, sf_dir):
             f" + ({_PR_D_PCT} * __s__) div 100"
         ).alias("rank_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_gopher_rules — the Gopher quality-rule battery as ONE gated operator
+# ---------------------------------------------------------------------------
+
+_GOPHER_SYM_RE = r"#|\.\.\."
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             lower(unnest(string_split_regex(trim(text), '\\s+'))) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    stats AS (
+      SELECT doc_id,
+             SUM(c) AS n_words,
+             COUNT(*) AS n_distinct,
+             MAX(c) AS top_c,
+             SUM(length(w) * c) AS char_sum,
+             SUM(CASE WHEN regexp_matches(w, '[a-z]') THEN c ELSE 0 END)
+               AS alpha_words,
+             COUNT(CASE WHEN list_contains({O.STOPWORD_LIST_SQL}, w)
+                        THEN 1 END) AS stop_distinct
+      FROM wc GROUP BY doc_id
+    ),
+    sym AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_GOPHER_SYM_RE}')) AS n_symbols
+      FROM documents
+    )
+    SELECT s.doc_id AS doc_id,
+           CAST(s.n_words AS BIGINT) AS n_words,
+           s.n_words < 50 AS r_too_short,
+           s.n_words > 100000 AS r_too_long,
+           (s.char_sum < 3 * s.n_words OR s.char_sum > 10 * s.n_words)
+             AS r_word_len,
+           y.n_symbols * 10 > s.n_words AS r_symbol,
+           s.alpha_words * 5 < s.n_words * 4 AS r_alpha,
+           s.stop_distinct < 2 AS r_stopword,
+           s.top_c * 5 > s.n_words AS r_top_word,
+           s.n_distinct * 2 < s.n_words AS r_dup_words,
+           (NOT (s.n_words < 50) AND NOT (s.n_words > 100000)
+            AND NOT (s.char_sum < 3 * s.n_words
+                     OR s.char_sum > 10 * s.n_words)
+            AND NOT (y.n_symbols * 10 > s.n_words)
+            AND NOT (s.alpha_words * 5 < s.n_words * 4)
+            AND NOT (s.stop_distinct < 2)
+            AND NOT (s.top_c * 5 > s.n_words)
+            AND NOT (s.n_distinct * 2 < s.n_words)) AS keep
+    FROM stats s JOIN sym y ON s.doc_id = y.doc_id
+    """,
+    doc="Gopher/MassiveText quality-rule battery (Rae et al. 2021, App. "
+    "A1.1) as one gated operator: per-document boolean flags for each "
+    "of the 8 rejection rules (word-count bounds, mean-word-length "
+    "band, symbol ratio, alpha-word ratio, distinct-stopword floor, "
+    "top-word dominance, duplicate-word fraction) plus the composed "
+    "keep. Every threshold compares INTEGER cross-products (char_sum "
+    "< 3*n, never char_sum/n < 3.0) so no float boundary can flip a "
+    "flag between engines. Scale shape: explode -> groupBy(doc, word) "
+    "-> groupBy(doc) with map-side combine (robust to arbitrarily "
+    "long docs — no per-doc array materialization), joined to a "
+    "map-only doc-level symbol count; flags are plain codegen "
+    "arithmetic. The same operator gates prepare_corpus --gopher with "
+    "per-rule rejection counts observed on the write job.",
+)
+def q_text_gopher_rules(spark, sf_dir):
+    return text.gopher_rules(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )

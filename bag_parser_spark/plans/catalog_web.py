@@ -1,0 +1,288 @@
+"""Catalog extension: URL / domain-level web-curation queries — the
+stage real web-corpus pipelines (C4, RefinedWeb, Dolma) run BEFORE any
+content filtering (VERDICT r6 "next" #4): URL canonicalization,
+registered-domain extraction against a public-suffix list, per-domain
+document caps, and domain allow/block-list filtering.
+
+The testdata has no URL column, so every query derives a deterministic
+messy URL per document from (doc_id) arithmetic — mixed-case schemes and
+hosts, www/blog subdomains, default and explicit ports, tracking
+parameters, fragments — via ONE SQL expression string evaluated by BOTH
+engines (Spark ``F.expr`` and the DuckDB oracle CTE), so the input side
+is construction-parity by definition and the oracle verifies only the
+operator logic. The operators themselves live in ``operators/urls.py``
+and are expression-only (whole-stage codegen; no UDFs); the only
+corpus shuffle in the family is the per-domain cap's window, keyed by
+registered domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bag_parser_spark.operators import urls
+from bag_parser_spark.plans.catalog import register
+from bag_parser_spark.sources.parquet import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# One messy-URL expression, valid in BOTH Spark SQL and DuckDB (shared
+# subset: CASE / % / || / CAST AS STRING). Varies scheme case, www/blog
+# subdomains, site number, TLD (incl. multi-label suffixes), default
+# (:443) and explicit (:8080) ports, empty and non-empty paths,
+# tracking-heavy / mixed / tracking-only / absent query strings, and a
+# fragment — every branch of the canonicalizer gets real volume.
+URL_EXPR = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'https' WHEN doc_id % 3 = 1 THEN 'HTTP' "
+    "ELSE 'Https' END || '://' || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'WWW.' WHEN doc_id % 5 = 1 THEN 'blog.' "
+    "ELSE '' END || "
+    "'Site' || CAST(doc_id % 37 AS STRING) || '.' || "
+    "CASE WHEN doc_id % 7 = 0 THEN 'co.uk' "
+    "WHEN doc_id % 7 = 1 THEN 'github.io' "
+    "WHEN doc_id % 7 = 2 THEN 'org' "
+    "WHEN doc_id % 7 = 3 THEN 'blogspot.com' "
+    "WHEN doc_id % 7 = 4 THEN 'io' ELSE 'com' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN ':443' "
+    "WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '' "
+    "ELSE '/p/' || CAST(doc_id % 100 AS STRING) END || "
+    "CASE WHEN doc_id % 8 = 0 THEN "
+    "'?utm_source=feed&id=' || CAST(doc_id % 50 AS STRING) || '&gclid=xyz' "
+    "WHEN doc_id % 8 = 1 THEN "
+    "'?id=' || CAST(doc_id % 50 AS STRING) || '&utm_campaign=q&ref=home' "
+    "WHEN doc_id % 8 = 2 THEN '?utm_medium=email' ELSE '' END || "
+    "CASE WHEN doc_id % 9 = 0 THEN '#section-2' ELSE '' END"
+)
+
+_TRACK_IN = ", ".join(f"'{t}'" for t in urls.TRACKING_EXACT)
+
+# DuckDB CTE chain mirroring operators/urls.py::canonicalize_url — the
+# same regexes, the same lower/www/default-port/path/query steps.
+_CANON_CTES = f"""
+    urls AS (SELECT doc_id, n_chars, {URL_EXPR} AS url FROM documents),
+    defrag AS (
+      SELECT doc_id, n_chars, url,
+             regexp_replace(url, '#.*', '') AS d
+      FROM urls
+    ),
+    parts AS (
+      SELECT doc_id, n_chars, url,
+             lower(regexp_extract(d, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_extract(d, '^[^:/?]+://([^/?]*)', 1) AS hostport,
+             regexp_extract(d, '^[^:/?]+://[^/?]*([^?]*)', 1) AS path,
+             regexp_extract(d, '\\?(.*)$', 1) AS query
+      FROM defrag
+    ),
+    hostd AS (
+      SELECT *, regexp_replace(lower(hostport), '^www\\.', '') AS h
+      FROM parts
+    ),
+    hostp AS (
+      SELECT doc_id, n_chars, url, scheme, path, query,
+             CASE WHEN scheme = 'http' AND h LIKE '%:80'
+                    THEN substr(h, 1, length(h) - 3)
+                  WHEN scheme = 'https' AND h LIKE '%:443'
+                    THEN substr(h, 1, length(h) - 4)
+                  ELSE h END AS host
+      FROM hostd
+    ),
+    canon AS (
+      SELECT doc_id, n_chars, url, host,
+             string_split(host, ':')[1] AS hostname,
+             scheme || '://' || host
+               || CASE WHEN path = '' THEN '/' ELSE path END
+               || CASE WHEN q = '' THEN '' ELSE '?' || q END
+               AS canonical_url
+      FROM (
+        SELECT *,
+               -- coalesce: DuckDB array_to_string([]) is NULL where
+               -- Spark array_join([]) is ''
+               coalesce(array_to_string(list_filter(string_split(query, '&'),
+                 p -> NOT (string_split(p, '=')[1] IN ({_TRACK_IN})
+                           OR string_split(p, '=')[1] LIKE 'utm_%')
+                      AND p <> ''), '&'), '') AS q
+        FROM hostp
+      )
+    )
+"""
+
+# registered-domain CASE over label depths, generated from the SAME
+# suffix list the Spark operator compiles in (deepest match first: a
+# SQL CASE takes the first hit, the Spark when-chain lets deeper
+# overwrite — both resolve to the longest suffix)
+_BY_DEPTH: dict[int, list[str]] = {}
+for _s in urls.PUBLIC_SUFFIXES:
+    _BY_DEPTH.setdefault(_s.count(".") + 1, []).append(_s)
+
+
+def _rd_case() -> str:
+    branches = []
+    for depth in sorted(_BY_DEPTH, reverse=True):
+        sufs = ", ".join(f"'{s}'" for s in _BY_DEPTH[depth])
+        branches.append(
+            f"WHEN len(labels) > {depth} AND array_to_string("
+            f"labels[len(labels)-{depth - 1}:len(labels)], '.') IN ({sufs}) "
+            f"THEN array_to_string("
+            f"labels[len(labels)-{depth}:len(labels)], '.')"
+        )
+    return "CASE " + " ".join(branches) + " ELSE hostname END"
+
+
+_RD_CTE = f"""
+    rd AS (
+      SELECT doc_id, n_chars, url, host, canonical_url,
+             {_rd_case()} AS registered_domain
+      FROM (SELECT *, string_split(hostname, '.') AS labels FROM canon)
+    )
+"""
+
+
+def _with_urls(spark, sf_dir):
+    """documents + derived url + canonical columns + registered domain
+    (the Spark half of the shared construction)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(URL_EXPR).alias("url")
+    )
+    u = F.col("url")
+    scheme, hostport, _, _ = urls.split_parts(u)
+    host = urls.canonical_host(hostport, F.lower(scheme))
+    d = d.select(
+        "doc_id",
+        "n_chars",
+        "url",
+        host.alias("host"),
+        F.split(host, ":", 2).getItem(0).alias("hostname"),
+        urls.canonicalize_url(u).alias("canonical_url"),
+    )
+    return urls.with_registered_domain(d, "hostname", spark)
+
+
+@register(
+    "url_canonicalize",
+    f"""
+    WITH {_CANON_CTES}
+    SELECT doc_id, url, host, canonical_url FROM canon
+    """,
+    doc="URL canonicalization (C4-style): lowercase scheme+host, strip "
+    "'www.', drop the scheme's default port (:80/:443) but keep "
+    "explicit ones, normalize the empty path to '/', drop the "
+    "fragment, and strip tracking params (utm_*, gclid, fbclid, ...) "
+    "while preserving surviving-param order. Pure string/array "
+    "expressions — whole-stage codegen, pushes through the scan, zero "
+    "shuffles; at 100 TB this is free map work riding the first read.",
+)
+def q_url_canonicalize(spark, sf_dir):
+    return _with_urls(spark, sf_dir).select(
+        "doc_id", "url", "host", "canonical_url"
+    )
+
+
+@register(
+    "url_domain_stats",
+    f"""
+    WITH {_CANON_CTES}, {_RD_CTE}
+    SELECT registered_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM rd GROUP BY registered_domain
+    """,
+    doc="Registered-domain extraction + per-domain corpus profile. The "
+    "public-suffix longest-match ('a.b.co.uk' -> 'b.co.uk', not "
+    "'co.uk') compiles to per-label-depth set membership over the "
+    "host's label array — map-side expressions, no join; the only "
+    "shuffle is the final groupBy on registered_domain. The per-domain "
+    "doc/host/char profile is what curation dashboards rank to find "
+    "over-represented domains before capping.",
+)
+def q_url_domain_stats(spark, sf_dir):
+    return (
+        _with_urls(spark, sf_dir)
+        .groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_CAP_K = 5
+_CAP_SEED = "domcap"
+
+
+@register(
+    "url_domain_cap",
+    f"""
+    WITH {_CANON_CTES}, {_RD_CTE}
+    SELECT doc_id, registered_domain, sample_rank FROM (
+      SELECT doc_id, registered_domain,
+             ROW_NUMBER() OVER (
+               PARTITION BY registered_domain
+               ORDER BY md5('{_CAP_SEED}:' || CAST(doc_id AS STRING)) ASC,
+                        doc_id ASC) AS sample_rank
+      FROM rd
+    ) WHERE sample_rank <= {_CAP_K}
+    """,
+    doc="Per-domain document cap (<=5 docs per registered domain) — the "
+    "anti-over-representation step every web pipeline applies; reuses "
+    "sample_per_group's deterministic md5(seed:id) fair draw so the "
+    "kept subset is engine- and rerun-stable, not arrival-order bias. "
+    "One window shuffle keyed by registered_domain; a viral domain is "
+    "the classic skew key, and the operator's documented escape hatch "
+    "(pre-count + salted top-k) is the same two-stage shape "
+    "sim_hard_negatives already uses.",
+)
+def q_url_domain_cap(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    return sampling.sample_per_group(
+        _with_urls(spark, sf_dir),
+        keys=["registered_domain"],
+        id_col="doc_id",
+        k=_CAP_K,
+        seed=_CAP_SEED,
+    ).select("doc_id", "registered_domain", "sample_rank")
+
+
+_BLOCKED = ("site0.co.uk", "site5.com", "site12.org", "badsite.net")
+_ALLOWED = ("site5.com",)
+
+
+@register(
+    "url_blocklist_filter",
+    f"""
+    WITH {_CANON_CTES}, {_RD_CTE}
+    SELECT doc_id, registered_domain FROM rd
+    WHERE registered_domain NOT IN (
+      SELECT d FROM (VALUES {", ".join(f"('{d}')" for d in _BLOCKED)}) b(d)
+      WHERE d NOT IN (
+        SELECT d FROM (VALUES {", ".join(f"('{d}')" for d in _ALLOWED)}) a(d)
+      )
+    )
+    """,
+    doc="Domain allow/block-list filtering: drop documents whose "
+    "registered domain is blocklisted, with the allowlist overriding "
+    "(an explicitly allowed domain survives even when also blocked — "
+    "the standard curation precedence). Both lists are curation "
+    "artifacts (thousands of rows at most) so both joins BROADCAST; "
+    "the corpus never shuffles, the anti-join runs map-side.",
+)
+def q_url_blocklist_filter(spark, sf_dir):
+    blocked = spark.createDataFrame(
+        [(d,) for d in _BLOCKED], "domain string"
+    )
+    allowed = spark.createDataFrame(
+        [(d,) for d in _ALLOWED], "domain string"
+    )
+    return urls.apply_domain_blocklist(
+        _with_urls(spark, sf_dir),
+        "registered_domain",
+        blocked,
+        allowed=allowed,
+    ).select("doc_id", "registered_domain")

@@ -45,6 +45,11 @@ def prepare_corpus(
     decontaminate_docs: DataFrame | None = None,
     max_contamination_pct: int = 0,
     decontaminate_shingle_n: int = 8,
+    url_col: str | None = None,
+    max_per_domain: int | None = None,
+    domain_blocklist: DataFrame | None = None,
+    domain_allowlist: DataFrame | None = None,
+    gopher: bool = False,
 ) -> dict:
     """Run the curation pipeline and write ``out_dir`` partitioned by
     ``split``. Returns a summary dict (input/kept/emitted counts and the
@@ -52,14 +57,57 @@ def prepare_corpus(
     expressions, both dedup representatives are min-id, and the split is
     the layout-stable md5-bucket assignment — rerunning on the same input
     reproduces the artifact bit-for-bit.
+
+    When ``url_col`` is set, the URL/domain stage runs FIRST (the order
+    real web pipelines use — domain rules are the cheapest signal, so
+    they gate before any text is scored): canonical host → registered
+    domain (``operators/urls.py``), broadcast block/allow-list
+    anti-join, then a deterministic ``max_per_domain`` cap
+    (md5-seeded fair draw via ``sample_per_group``). The registered
+    domain rides along into the artifact as ``registered_domain``.
     """
-    from bag_parser_spark.operators import dedup, sampling
+    from bag_parser_spark.operators import dedup, sampling, urls
     from bag_parser_spark.operators.text import language_id, quality_score
+
+    if (max_per_domain is not None or domain_blocklist is not None) and (
+        url_col is None
+    ):
+        raise ValueError(
+            "max_per_domain / domain_blocklist need url_col to derive "
+            "the registered domain from"
+        )
+    domain_cols: list = []
+    if url_col is not None:
+        u = F.col(url_col)
+        scheme, hostport, _, _ = urls.split_parts(u)
+        host = F.split(
+            urls.canonical_host(hostport, F.lower(scheme)), ":", 2
+        ).getItem(0)
+        docs = urls.with_registered_domain(
+            docs.withColumn("__hostname__", host), "__hostname__", spark
+        ).drop("__hostname__")
+        if domain_blocklist is not None:
+            docs = urls.apply_domain_blocklist(
+                docs,
+                "registered_domain",
+                domain_blocklist,
+                allowed=domain_allowlist,
+            )
+        if max_per_domain is not None:
+            docs = sampling.sample_per_group(
+                docs,
+                keys=["registered_domain"],
+                id_col=id_col,
+                k=max_per_domain,
+                seed=seed,
+            ).drop("sample_rank")
+        domain_cols = [F.col("registered_domain")]
 
     scored = docs.select(
         F.col(id_col),
         F.col(text_col),
         *([F.col("source")] if "source" in docs.columns else []),
+        *domain_cols,
         quality_score(F.col(text_col)).alias("quality"),
         language_id(F.col(text_col)).alias("lang_pred"),
     )
@@ -67,6 +115,33 @@ def prepare_corpus(
     if lang is not None:
         keep = keep & (F.col("lang_pred") == lang)
     kept = scored.filter(keep).withColumn("__content__", F.md5(text_col))
+
+    gopher_obs = None
+    if gopher:
+        # Gopher/MassiveText rule battery (text.gopher_rules) as a gate
+        # on the quality-filter survivors, with per-rule rejection
+        # counts OBSERVED on the flags subplan — the counters ride the
+        # semi-join that the write job executes anyway, no extra scan.
+        # Rules overlap, so the per-rule counts need not sum to
+        # (total - kept).
+        from bag_parser_spark.operators.text import (
+            GOPHER_RULE_NAMES,
+            gopher_rules,
+        )
+
+        gopher_obs = Observation("gopher")
+        flags = gopher_rules(kept, id_col=id_col, text_col=text_col).observe(
+            gopher_obs,
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+            *[
+                F.sum(F.when(F.col(r), 1).otherwise(0)).alias(r)
+                for r in GOPHER_RULE_NAMES
+            ],
+        )
+        kept = kept.join(
+            flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+        )
     unique = dedup.dedup_exact(kept, on=["__content__"], id_col=id_col)
 
     if near_dedup:
@@ -193,4 +268,12 @@ def prepare_corpus(
         "min_quality": min_quality,
         "lang": lang,
         "seed": seed,
+        "max_per_domain": max_per_domain if url_col is not None else None,
+        "domain_blocklist": domain_blocklist is not None,
+        "gopher": gopher,
+        "gopher_counts": (
+            {k: int(v) for k, v in gopher_obs.get.items()}
+            if gopher_obs is not None
+            else None
+        ),
     }

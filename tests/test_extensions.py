@@ -2134,3 +2134,83 @@ def test_bpe_train_multi_iteration_known_values(spark):
         (3, "aa", "ab", 2),
         (4, "aa", "b", 1),
     ]
+
+
+def test_gopher_rules_flags_and_summary(spark):
+    """Each Gopher rule fires on its designed violator and nowhere else;
+    the summary unpivot reports per-rule rejection counts + kept/total."""
+    from bag_parser_spark.operators import text as T
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "off to the river where this good animal rests for a while as "
+        "birds sing songs about summer evenings by that old stone bridge "
+        "near a quiet village with warm lights glowing in windows there "
+        "and people walk home slowly talking about their long pleasant day"
+    )
+    docs = [
+        (1, good),                                   # passes every rule
+        (2, "too few words"),                        # r_too_short
+        (3, " ".join("spam" for _ in range(60))),    # r_top_word+r_dup_words
+        (4, good + " " + " ".join("#" for _ in range(40))),  # r_symbol
+        (5, " ".join(str(i) for i in range(1000, 1060))),  # r_alpha+r_stopword
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    flags = T.gopher_rules(df)
+    out = {r["doc_id"]: r.asDict() for r in flags.collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["r_too_short"] and not out[2]["keep"]
+    assert out[3]["r_top_word"] and out[3]["r_dup_words"] and not out[3]["keep"]
+    assert out[4]["r_symbol"] and not out[4]["keep"]
+    assert out[5]["r_alpha"] and out[5]["r_stopword"] and not out[5]["keep"]
+    # no cross-firing against doc 1
+    assert not any(out[1][r] for r in T.GOPHER_RULE_NAMES)
+
+    summary = {
+        r["rule"]: r["n_docs"] for r in T.gopher_summary(flags).collect()
+    }
+    assert summary["total"] == 5 and summary["kept"] == 1
+    assert summary["r_too_short"] == 1
+    assert summary["r_symbol"] == 1
+    # rules overlap: top-word dominance also trips the 3-word doc (1/3 >
+    # 20%) and the '#'-padded doc (40 copies), not just the spam doc
+    assert summary["r_top_word"] == 3
+    assert summary["r_stopword"] >= 2  # docs 3 and 5 lack 2 distinct stops
+
+
+def test_prepare_corpus_gopher_gate(spark, tmp_path):
+    """prepare_corpus --gopher: rule-violating docs are dropped, the
+    summary carries per-rule rejection counts observed on the write job
+    (rules overlap, so counts need not sum to total-kept)."""
+    from bag_parser_spark.plans.corpus_prep import prepare_corpus
+
+    good_base = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "off to the river where this good animal rests for a while as "
+        "birds sing songs about summer evenings by that old stone bridge "
+        "near a quiet village with warm lights glowing in windows there "
+        "and people walk home slowly talking about their long pleasant day "
+    )
+    rows = [(i, good_base + f"extra word number w{i} u{i}") for i in range(8)]
+    rows += [(100, "short junk"), (101, " ".join("spam" for _ in range(80)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "corpus")
+    summary = prepare_corpus(
+        spark, docs, out, min_quality=0.0, lang=None,
+        near_dedup=False, gopher=True,
+    )
+    kept_ids = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert 100 not in kept_ids and 101 not in kept_ids
+    assert kept_ids == set(range(8))
+    gc = summary["gopher_counts"]
+    assert gc["total"] == 10 and gc["kept"] == 8
+    # overlap: the 2-word doc also trips top-word dominance (1/2 > 20%)
+    assert gc["r_too_short"] == 1 and gc["r_top_word"] == 2
+    # off by default
+    out2 = str(tmp_path / "corpus2")
+    s2 = prepare_corpus(
+        spark, docs, out2, min_quality=0.0, lang=None, near_dedup=False
+    )
+    assert s2["gopher_counts"] is None and s2["gopher"] is False

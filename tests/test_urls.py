@@ -1,0 +1,125 @@
+"""URL/domain curation operators: canonicalization edge cases, public-
+suffix longest-match, allow/block-list precedence, and the prepare-
+pipeline domain stage (VERDICT r6 "next" #4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bag_parser_spark.operators import urls
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(
+        urls.canonicalize_url(F.col("url")).alias("c")
+    ).head()["c"]
+
+
+def test_canonicalize_edge_cases(spark):
+    cases = {
+        # default port stripped only when it matches the scheme
+        "HTTPS://WWW.Ex.COM:443/a": "https://ex.com/a",
+        "http://ex.com:80/a": "http://ex.com/a",
+        "http://ex.com:443/a": "http://ex.com:443/a",
+        "https://ex.com:8080/a": "https://ex.com:8080/a",
+        # empty path normalizes to '/', fragment dropped
+        "https://ex.com#frag": "https://ex.com/",
+        "https://ex.com/a/b#frag": "https://ex.com/a/b",
+        # tracking params stripped, survivor order preserved,
+        # tracking-only query loses its '?'
+        "https://ex.com/a?utm_source=x&id=1&gclid=z&b=2":
+            "https://ex.com/a?id=1&b=2",
+        "https://ex.com/a?utm_medium=email": "https://ex.com/a",
+        # 'www.' stripped, deeper subdomains kept
+        "https://www.blog.ex.com/": "https://blog.ex.com/",
+        # value-less and '='-bearing params keep their shape
+        "https://ex.com/a?flag&ref=home&x=a=b":
+            "https://ex.com/a?flag&x=a=b",
+    }
+    for raw, want in cases.items():
+        assert _canon(spark, raw) == want, raw
+
+
+def test_registered_domain_longest_match(spark):
+    rows = [
+        ("a.b.co.uk", "b.co.uk"),     # multi-label beats 'uk'
+        ("x.com", "x.com"),
+        ("deep.sub.x.com", "x.com"),
+        ("user.github.io", "user.github.io"),
+        ("b.user.github.io", "user.github.io"),
+        ("intranet.local", "intranet.local"),  # no suffix: whole host
+        ("com", "com"),               # bare suffix: no label before it
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "hostname string")
+    got = {
+        r["hostname"]: r["registered_domain"]
+        for r in urls.with_registered_domain(df, "hostname", spark).collect()
+    }
+    for host, want in rows:
+        assert got[host] == want, host
+
+
+def test_blocklist_allowlist_precedence(spark):
+    docs = spark.createDataFrame(
+        [(1, "a.com"), (2, "b.com"), (3, "c.com")],
+        "doc_id long, registered_domain string",
+    )
+    blocked = spark.createDataFrame([("a.com",), ("b.com",)], "d string")
+    allowed = spark.createDataFrame([("b.com",)], "d string")
+    kept = sorted(
+        r["doc_id"]
+        for r in urls.apply_domain_blocklist(
+            docs, "registered_domain", blocked, allowed=allowed
+        ).collect()
+    )
+    assert kept == [2, 3]  # a blocked, b allow-overridden, c untouched
+
+
+def test_prepare_corpus_domain_stage(spark, tmp_path):
+    """The domain stage runs before scoring: blocklisted domains vanish,
+    the per-domain cap holds, and registered_domain lands in the
+    artifact."""
+    from bag_parser_spark.plans.corpus_prep import prepare_corpus
+
+    text = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (i, f"{text} u{i}", f"https://www.Site{i % 3}.com/p/{i}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = str(tmp_path / "corpus")
+    summary = prepare_corpus(
+        spark,
+        docs,
+        out,
+        min_quality=0.0,
+        lang=None,
+        near_dedup=False,
+        url_col="url",
+        max_per_domain=4,
+        domain_blocklist=spark.createDataFrame([("site0.com",)], "d string"),
+    )
+    got = spark.read.parquet(out)
+    by_domain = {
+        r["registered_domain"]: r["n"]
+        for r in got.groupBy("registered_domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert "site0.com" not in by_domain
+    assert set(by_domain) == {"site1.com", "site2.com"}
+    assert all(n <= 4 for n in by_domain.values())
+    assert summary["max_per_domain"] == 4 and summary["domain_blocklist"]
+
+
+def test_prepare_corpus_domain_args_require_url_col(spark, tmp_path):
+    import pytest
+
+    from bag_parser_spark.plans.corpus_prep import prepare_corpus
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="url_col"):
+        prepare_corpus(
+            spark, docs, str(tmp_path / "x"), max_per_domain=3
+        )
