@@ -17,22 +17,24 @@ the per-query minimum and a compact import summary. A unit test pins
 the line under the window for the current headline set.
 
 Methodology: every query runs $SPARK_GRAFT_BENCH_REPS (default 3) times in
-interleaved rounds; "queries" and the headline total report the per-query
-MINIMUM, "details" adds the median and raw runs. Local sf0.1 timings are
+interleaved rounds; "queries" maps each name to a [min, median] pair (2
+decimals; raw runs in BENCH_DETAILS.json). Local sf0.1 timings are
 warmup/noise-dominated (±30-60% run-to-run measured in round 2) — a single
 rep cannot distinguish a real 1.5× regression from scheduler noise; the
 warm minimum is the stable estimator of the query's actual cost, and the
-median exposes variance to the reader.
+median gives round-over-round comparisons an error bar (the r5→r6 ±15%
+uniform drift was unfalsifiable from min-only, VERDICT r6 #7).
 
-The JSON also carries an "import" object: the full BAG import path
+The JSON also carries an "import" LIST: the full BAG import path
 (zip scan → XML parse → upsert → adressen build → parquet sinks) timed
-on a generated $SPARK_GRAFT_IMPORT_N-address delivery (default 100k,
-0 disables) — the reference's headline ~6-min/~26k-addresses-per-sec
-number (readme.MD:86-88) that the query catalog alone never exercises.
-Fixture generation is untimed. At 100k the wall time is fixed-overhead
-dominated (scripts/import_bench.py measures ~19k addr/s at 800k with a
-~23k addr/s marginal rate); "addresses_per_sec" is reported against the
-SAME-run address count, so read it next to n_addresses.
+on generated deliveries at TWO sizes — $SPARK_GRAFT_IMPORT_N (default
+100k, continuity with r1–r6, fixed-overhead dominated) and
+$SPARK_GRAFT_IMPORT_N2 (default 800k, the AMORTIZED point the
+throughput claim cites; 0 disables either) — each $SPARK_GRAFT_IMPORT_REPS
+(default 2) times, min+median. This is the reference's headline
+~6-min/~26k-addresses-per-sec number (readme.MD:86-88) that the query
+catalog alone never exercises. Fixture generation is untimed.
+"addresses_per_sec" is reported against the SAME-run address count.
 """
 
 from __future__ import annotations
@@ -49,14 +51,18 @@ from bag_parser_spark.session import get_spark, release_cached_blocks
 
 # Headline set: one per operator family — join chain, grouped agg, window
 # dedup, coordinate transform, plus extension operators as they land.
+# Trimmed to 42 in r7 (dropped 6 near-duplicates of family members —
+# a2_count_battery, j5_explode_self_join, text_bigram_lm,
+# sim_pq_adc_topk, text_bpe_merge_step, ml_eval_confusion — all still
+# oracle-tested in pytest) to fit [min, median] PAIRS per query in the
+# driver-window budget (VERDICT r6 #7: min-only made the r5→r6 ±15%
+# uniform drift unfalsifiable).
 HEADLINE = [
     "j1_chained_left_join",
     "a1_grouped_stats",
-    "a2_count_battery",
     "w1_last_write_wins",
     "f6_rd_to_wgs84",
     "j4_explode_join_lastwins",
-    "j5_explode_self_join",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
@@ -68,7 +74,6 @@ HEADLINE = [
     "a9_rollup",
     "emb_quantize_int8",
     "ml_kmeans_step",
-    "text_bigram_lm",
     "lm_doc_score",
     "events_session_window",
     "tpch_q1_pricing_summary",
@@ -84,17 +89,20 @@ HEADLINE = [
     "dedup_incremental",
     "mm_image_neardup",
     "dedup_segment_fraction",
-    "sim_pq_encode",
-    "sim_pq_adc_topk",
+    # r7 swaps: sim_pq_encode -> url_domain_cap and dedup_span_stats ->
+    # text_gopher_rules (the dropped pair stay oracle-tested in pytest;
+    # sim_ivfpq_topk subsumes PQ encoding, dedup_span_rewrite subsumes
+    # the span-stats machinery) so the new web-curation + gopher
+    # families are benchmarked without overflowing the driver's
+    # 2000-char stdout window.
+    "url_domain_cap",
     "corpus_datasheet",
     "ml_pagerank_step",
-    "text_bpe_merge_step",
     "sim_ivfpq_topk",
     "text_bpe_encode",
     "decontaminate_bloom",
     "a27_countmin",
-    "ml_eval_confusion",
-    "dedup_span_stats",
+    "text_gopher_rules",
     "dedup_span_rewrite",
     "sim_hard_negatives",
     "text_ngram_novelty",
@@ -176,9 +184,17 @@ def main() -> None:
             # each rep re-executes persisted subtrees, and no cached or
             # checkpointed block survives into the next timing
             release_cached_blocks(spark)
-    import_metric = None
-    import_n = int(os.environ.get("SPARK_GRAFT_IMPORT_N", "100000"))
-    if import_n > 0:
+    # Import path: TWO sizes per round (VERDICT r6 #2) — the small point
+    # (fixed-overhead dominated) for continuity with r1–r6, and an
+    # amortized >=800k point that the throughput claim must cite; both
+    # under the same >=2-rep min/median protocol as the queries.
+    import_metrics: list[dict] = []
+    import_reps = max(1, int(os.environ.get("SPARK_GRAFT_IMPORT_REPS", "2")))
+    sizes = [
+        int(os.environ.get("SPARK_GRAFT_IMPORT_N", "100000")),
+        int(os.environ.get("SPARK_GRAFT_IMPORT_N2", "800000")),
+    ]
+    if any(n > 0 for n in sizes):
         import shutil
         import tempfile
 
@@ -187,12 +203,20 @@ def main() -> None:
 
         work = tempfile.mkdtemp(prefix="bag_import_bench_")
         try:
-            import_metric = run_import_bench(spark, import_n, work)
+            for import_n in sizes:
+                if import_n > 0:
+                    import_metrics.append(
+                        run_import_bench(
+                            spark, import_n, work, reps=import_reps
+                        )
+                    )
+                    release_cached_blocks(spark)
         finally:
             shutil.rmtree(work, ignore_errors=True)
-        release_cached_blocks(spark)
 
-    timings = {n: min(rs) for n, rs in runs.items()}
+    timings = {
+        n: (min(rs), round(_median(rs), 3)) for n, rs in runs.items()
+    }
     details = {
         n: {"min": min(rs), "median": round(_median(rs), 3), "runs": rs}
         for n, rs in runs.items()
@@ -207,37 +231,53 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "details": details,
-                "import": import_metric,
+                "import": import_metrics,
             },
             f,
             indent=1,
         )
-    print(format_stdout_line(timings, sf, reps, import_metric))
+    print(format_stdout_line(timings, sf, reps, import_metrics))
     spark.stop()
 
 
 def format_stdout_line(
-    timings: dict[str, float],
+    timings: dict[str, tuple[float, float]],
     sf: str,
     reps: int,
-    import_metric: dict | None,
+    import_metrics: list[dict] | None,
 ) -> str:
-    """The single machine-parsed stdout line (compact separators, min
-    timings only, 3-field import summary). Kept as a function so the
-    length-budget unit test exercises the REAL formatting."""
+    """The single machine-parsed stdout line (compact separators). Each
+    query maps to a [min, median] PAIR rounded to 2 decimals (full
+    3-decimal precision + raw runs live in BENCH_DETAILS.json) so
+    round-over-round comparisons carry an error bar (VERDICT r6 #7);
+    "value" stays the min-sum for continuity with r1–r6, "value_med"
+    adds the median-sum. The import list carries one compact
+    {n, sec, med, aps} entry per measured size ({100k, >=800k} per
+    round, VERDICT r6 #2). Kept as a function so the length-budget unit
+    test exercises the REAL formatting."""
     import_compact = None
-    if import_metric is not None:
-        import_compact = {
-            "n": import_metric.get("n_addresses"),
-            "sec": import_metric.get("value"),
-            "addr_per_sec": import_metric.get("addresses_per_sec"),
-        }
+    if import_metrics:
+        import_compact = [
+            {
+                "n": m.get("n_addresses"),
+                "sec": m.get("value"),
+                "med": m.get("value_median"),
+                "aps": m.get("addresses_per_sec"),
+            }
+            for m in import_metrics
+        ]
+    mins = [p[0] for p in timings.values()]
+    meds = [p[1] for p in timings.values()]
     return json.dumps(
         {
             "metric": "headline_queries_total",
-            "value": round(sum(timings.values()), 3),
+            "value": round(sum(mins), 3),
+            "value_med": round(sum(meds), 3),
             "unit": "sec",
-            "queries": timings,
+            "queries": {
+                n: [round(p[0], 2), round(p[1], 2)]
+                for n, p in timings.items()
+            },
             "sf": sf,
             "reps": reps,
             "import": import_compact,

@@ -258,16 +258,38 @@ def generate_fixture(
             )
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    m = n // 2
+    return s[m] if n % 2 else (s[m - 1] + s[m]) / 2.0
+
+
 def run_import_bench(
-    spark, n_addresses: int, work_dir: str, xml_backend: str = "iterparse"
+    spark,
+    n_addresses: int,
+    work_dir: str,
+    xml_backend: str = "iterparse",
+    reps: int = 2,
 ) -> dict:
-    """Generate (untimed) then time the full import; returns the metric
-    dict. ``addresses`` counts the adressen table the import produced —
-    the same unit as the reference's 9.5M/360 s. ``xml_backend="native"``
+    """Generate (untimed) then time the full import ``reps`` times;
+    returns the metric dict with min + median + raw runs (single-run
+    import numbers inherit full environment variance — the r5→r6 record
+    showed a 1.7x swing on byte-identical code, VERDICT r6 #2/#3; the
+    same >=2-rep min/median protocol bench.py uses for queries applies
+    here). ``value``/``addresses_per_sec`` report the MIN run (the
+    stable estimator); ``value_median`` exposes variance.
+
+    ``addresses`` counts the adressen table the import produced — the
+    same unit as the reference's 9.5M/360 s. ``xml_backend="native"``
     times the JVM XML scan on the plain (post-extract) layout; the
     default times the zip-capable iterparse scan on the zipped delivery
     layout — the same stage split as the reference, whose 6-minute
-    number also starts from the delivery zip."""
+    number also starts from the delivery zip. Each rep imports into a
+    FRESH out_dir (removed between reps) so no parquet commit or cache
+    from one rep shortcuts the next."""
+    import shutil
+
     from bag_parser_spark.config import EngineConfig
     from bag_parser_spark.plans.bag_job import import_bag
 
@@ -275,27 +297,36 @@ def run_import_bench(
     fixture = os.path.join(work_dir, f"bag_{n_addresses}_{layout}")
     if not os.path.isdir(fixture):
         generate_fixture(fixture, n_addresses, layout=layout)
-    out_dir = os.path.join(work_dir, "imported")
     cfg = EngineConfig(active_only=True, snapshot_date=SNAPSHOT,
                        parse_geometries=False, xml_backend=xml_backend)
-    t0 = time.perf_counter()
-    tables = import_bag(
-        spark, fixture, os.path.join(fixture, "gemeenten.csv"),
-        out_dir=out_dir, cfg=cfg,
-    )
-    n_adressen = tables["adressen"].count()
-    dt = time.perf_counter() - t0
+    times: list[float] = []
+    rows: dict[str, int] = {}
+    n_adressen = 0
+    for rep in range(max(1, reps)):
+        out_dir = os.path.join(work_dir, f"imported_{rep}")
+        t0 = time.perf_counter()
+        tables = import_bag(
+            spark, fixture, os.path.join(fixture, "gemeenten.csv"),
+            out_dir=out_dir, cfg=cfg,
+        )
+        n_adressen = tables["adressen"].count()
+        times.append(round(time.perf_counter() - t0, 3))
+        rows = {
+            t: tables[t].count()
+            for t in ("nummers", "verblijfsobjecten", "panden", "adressen")
+        }
+        shutil.rmtree(out_dir, ignore_errors=True)
+    best = min(times)
     return {
         "metric": "import_bag",
         "xml_backend": xml_backend,
         "n_addresses": n_adressen,
-        "value": round(dt, 3),
+        "value": best,
+        "value_median": round(_median(times), 3),
+        "runs": times,
         "unit": "sec",
-        "addresses_per_sec": round(n_adressen / dt),
-        "rows": {
-            t: tables[t].count()
-            for t in ("nummers", "verblijfsobjecten", "panden", "adressen")
-        },
+        "addresses_per_sec": round(n_adressen / best),
+        "rows": rows,
     }
 
 
@@ -308,10 +339,11 @@ def main() -> int:
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     backend = sys.argv[2] if len(sys.argv) > 2 else "iterparse"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     spark = get_spark(app_name="bag-import-bench")
     work = tempfile.mkdtemp(prefix="bag_import_bench_")
     try:
-        print(json.dumps(run_import_bench(spark, n, work, backend)))
+        print(json.dumps(run_import_bench(spark, n, work, backend, reps)))
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

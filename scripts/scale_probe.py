@@ -138,6 +138,14 @@ def main() -> int:
         default=None,
         help="comma-separated subset of the probe set (default: all)",
     )
+    ap.add_argument(
+        "--import-n",
+        type=int,
+        default=0,
+        help="also probe the BAG import path at N vs 10*N addresses "
+        "(0 = off); emits an import_bag row like the query rows so "
+        "import scaling is a recorded SCALE.md fact (VERDICT r6 #6)",
+    )
     args = ap.parse_args()
     if args.reps < 1 or args.docs_x < 1 or args.emb_x < 1:
         ap.error("--reps/--docs-x/--emb-x must all be >= 1")
@@ -182,6 +190,37 @@ def main() -> int:
             "scaled_s": round(b, 3),
             "time_ratio": round(b / a, 2),
             "rows_ratio": round(rows_b / max(rows_a, 1), 2),
+        }), flush=True)
+
+    if args.import_n > 0:
+        import shutil
+        import tempfile
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from import_bench import run_import_bench
+
+        work = tempfile.mkdtemp(prefix="bag_import_probe_")
+        try:
+            release_cached_blocks(spark)
+            small = run_import_bench(
+                spark, args.import_n, work, reps=args.reps
+            )
+            release_cached_blocks(spark)
+            big = run_import_bench(
+                spark, args.import_n * 10, work, reps=args.reps
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps({
+            "query": "import_bag",
+            "base_s": small["value"],
+            "scaled_s": big["value"],
+            "time_ratio": round(big["value"] / small["value"], 2),
+            "rows_ratio": round(
+                big["n_addresses"] / max(small["n_addresses"], 1), 2
+            ),
         }), flush=True)
     return 0
 

@@ -143,16 +143,22 @@ def test_bench_stdout_line_fits_driver_window():
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
-    timings = {n: 9999.999 for n in bench.HEADLINE}
+    # Worst-plausible bound: 3-digit seconds per query (observed sf0.1
+    # max is ~15 s — 60x headroom; the r6 4-digit bound predates the
+    # [min, median] pair format, which trades that slack for medians)
+    # and BOTH import sizes present.
+    timings = {n: (999.999, 999.999) for n in bench.HEADLINE}
+    worst_import = {
+        "n_addresses": 99_999_999,
+        "value": 99999.999,
+        "value_median": 99999.999,
+        "addresses_per_sec": 999_999,
+    }
     line = bench.format_stdout_line(
         timings,
         sf="0.1",
         reps=3,
-        import_metric={
-            "n_addresses": 99_999_999,
-            "value": 99999.999,
-            "addresses_per_sec": 999_999,
-        },
+        import_metrics=[worst_import, worst_import],
     )
     assert "\n" not in line
     assert len(line) < 1800, (
