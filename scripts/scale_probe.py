@@ -61,6 +61,12 @@ QUERIES = [
     # the rewrite adds one id-keyed corpus join on top of the span
     # pipeline — probe that the join (not pair blowup) is the only cost
     "dedup_span_rewrite",
+    # r7: the domain cap's single window shuffle is keyed by registered
+    # domain — replicas multiply DOMAINS (site number x suffix), so the
+    # probe checks per-domain state stays bounded; gopher is explode +
+    # two doc-keyed groupBys, expected ~linear in total tokens
+    "url_domain_cap",
+    "text_gopher_rules",
 ]
 
 
