@@ -125,6 +125,71 @@ def generate_png_payloads(
     return df.select(id_col).mapInPandas(gen, schema=schema)
 
 
+def synthetic_jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """Per-doc JPEG fixture dims in 8x8 BLOCKS (1..3 × 1..2) — multiples
+    of the MCU so the block-constant oracle contract holds; the
+    non-multiple crop path is covered by codec unit tests instead."""
+    return 1 + doc_id % 3, 1 + doc_id % 2
+
+
+def synthetic_block_value(doc_id: int, bx: int, by: int) -> int:
+    """Deterministic per-8x8-block gray value. Constant blocks have only
+    a DC coefficient, which quant=1 baseline JPEG preserves EXACTLY —
+    the property that lets a SQL oracle predict decoded pixels through a
+    lossy codec (see functions/jpeg_codec module docstring)."""
+    return (doc_id * 7 + 11 * bx + 13 * by) % 256
+
+
+def generate_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL baseline-JPEG payload per row (grayscale,
+    block-constant pixels from synthetic_block_value, all-ones quant
+    table), built executor-side by functions/jpeg_codec — genuine
+    Huffman/DCT entropy-coded bytes whose decoded statistics the catalog
+    oracle predicts from the block formula."""
+    from bag_parser_spark.functions import jpeg_codec
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                doc_id = int(i)
+                wb, hb = synthetic_jpeg_dims(doc_id)
+                w, h = wb * 8, hb * 8
+                px = bytes(
+                    synthetic_block_value(doc_id, x // 8, y // 8)
+                    for y in range(h)
+                    for x in range(w)
+                )
+                rows.append(
+                    {id_col: doc_id,
+                     "payload": jpeg_codec.encode_jpeg_gray(w, h, px)}
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
+def decode_any_image(payload: bytes) -> dict:
+    """Magic-byte codec dispatch: PNG → functions/png_codec (Pillow when
+    importable), baseline JPEG → functions/jpeg_codec. Returns the shared
+    ``{"width","height","channels","pixels"}`` dict; anything else raises
+    a descriptive error from whichever codec matched (or PNG's)."""
+    from bag_parser_spark.functions import jpeg_codec, png_codec
+
+    if payload[:2] == jpeg_codec.JPEG_MAGIC:
+        return jpeg_codec.decode_jpeg_gray(payload)
+    return png_codec.decode_image(payload)
+
+
 def extract_image_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -132,18 +197,17 @@ def extract_image_features(
 ) -> DataFrame:
     """REAL image decode + feature extraction via Arrow-batched mapInPandas:
     payload bytes → (width, height, mean pixel value, decoded byte count).
-    Decode is functions/png_codec.decode_image — Pillow when importable,
-    pure-stdlib PNG otherwise; a non-image payload raises a descriptive
-    UnsupportedImageError from the worker."""
-    from bag_parser_spark.functions import png_codec
-
+    Decode dispatches on magic bytes (``decode_any_image``): PNG via
+    functions/png_codec (Pillow when importable, pure-stdlib otherwise),
+    baseline JPEG via functions/jpeg_codec; a non-image payload raises a
+    descriptive UnsupportedImageError from the worker."""
     schema = _with_id(IMAGE_FEATURES_SCHEMA, id_col)
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = png_codec.decode_image(bytes(payload))
+                img = decode_any_image(bytes(payload))
                 px = img["pixels"]
                 rows.append(
                     {

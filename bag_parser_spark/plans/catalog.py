@@ -955,7 +955,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # — r7 additions lead the window (no driver row can exist yet);
     #   insert each new catalog query name HERE when registering it —
     "url_canonicalize", "url_domain_stats", "url_domain_cap",
-    "url_blocklist_filter", "text_gopher_rules",
+    "url_blocklist_filter", "text_gopher_rules", "mm_jpeg_features",
     # — oldest greens next: the only two queries whose latest row is r2 —
     "tfidf_vectors", "sim_knn_join",
     # — family fillers (latest row r4) so every family predicate in the

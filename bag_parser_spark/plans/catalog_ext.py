@@ -2971,6 +2971,52 @@ def q_mm_features(spark, sf_dir):
     return multimodal.extract_image_features(d)
 
 
+# REAL baseline-JPEG decode path (r7): grayscale JPEG payloads with
+# block-constant pixels (multimodal.synthetic_block_value, dims in whole
+# 8x8 blocks) and an all-ones quant table. A constant block carries only
+# its DC coefficient (an exact integer), which quant=1 preserves exactly
+# — so the decoded output of a genuinely LOSSY codec (Huffman entropy
+# decode, DC prediction, dequant, IDCT) is still bit-predictable by the
+# oracle straight from the block formula. Non-constant content is
+# covered by tests/test_jpeg_codec.py under a lossy tolerance.
+@register(
+    "mm_jpeg_features",
+    """
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, wb, hb,
+             (doc_id * 7 + 11 * t.bx + 13 * u.by) % 256 AS val
+      FROM dims,
+           UNNEST(range(0, wb)) AS t(bx),
+           UNNEST(range(0, hb)) AS u(by)
+    )
+    SELECT doc_id,
+           CAST(MIN(wb) * 8 AS INTEGER) AS width,
+           CAST(MIN(hb) * 8 AS INTEGER) AS height,
+           CAST(SUM(val) * 64 AS DOUBLE) / (COUNT(*) * 64) AS mean_byte,
+           CAST(COUNT(*) * 64 AS BIGINT) AS n_bytes
+    FROM blk GROUP BY doc_id
+    """,
+    doc="REAL baseline-JPEG decode via Arrow-batched mapInPandas: genuine "
+    "grayscale JFIF payloads (encoded executor-side by "
+    "functions/jpeg_codec — canonical Huffman tables, zigzag RLE, DC "
+    "prediction, byte stuffing, 8x8 DCT) decoded back by the same "
+    "stdlib-only module into width/height/mean-pixel/byte-count. "
+    "Payload pixels are constant per 8x8 block with quant=1, the one "
+    "regime where a lossy codec is bit-exact, so the oracle predicts "
+    "every decoded statistic independently from the block formula — a "
+    "true codec correctness gate across encoder AND decoder. Same "
+    "magic-dispatch feature extractor as mm_image_features "
+    "(multimodal.decode_any_image).",
+)
+def q_mm_jpeg_features(spark, sf_dir):
+    d = multimodal.generate_jpeg_payloads(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_image_features(d)
+
+
 @register(
     "mm_resize",
     f"""
