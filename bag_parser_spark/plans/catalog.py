@@ -956,6 +956,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #   insert each new catalog query name HERE when registering it —
     "url_canonicalize", "url_domain_stats", "url_domain_cap",
     "url_blocklist_filter", "text_gopher_rules", "mm_jpeg_features",
+    "url_canonical_dedup", "text_gopher_summary",
     # — oldest greens next: the only two queries whose latest row is r2 —
     "tfidf_vectors", "sim_knn_join",
     # — family fillers (latest row r4) so every family predicate in the

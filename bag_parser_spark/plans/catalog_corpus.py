@@ -2212,11 +2212,10 @@ def q_ml_pagerank_step(spark, sf_dir):
 
 _GOPHER_SYM_RE = r"#|\.\.\."
 
-
-@register(
-    "text_gopher_rules",
-    f"""
-    WITH toks AS (
+# Shared flags CTE chain (text_gopher_rules emits it per-doc;
+# text_gopher_summary aggregates it into the per-rule rejection report).
+_GOPHER_CTES = f"""
+    toks AS (
       SELECT doc_id,
              lower(unnest(string_split_regex(trim(text), '\\s+'))) AS w
       FROM documents
@@ -2238,27 +2237,37 @@ _GOPHER_SYM_RE = r"#|\.\.\."
       SELECT doc_id,
              len(regexp_extract_all(text, '{_GOPHER_SYM_RE}')) AS n_symbols
       FROM documents
+    ),
+    flags AS (
+      SELECT s.doc_id AS doc_id,
+             CAST(s.n_words AS BIGINT) AS n_words,
+             s.n_words < 50 AS r_too_short,
+             s.n_words > 100000 AS r_too_long,
+             (s.char_sum < 3 * s.n_words OR s.char_sum > 10 * s.n_words)
+               AS r_word_len,
+             y.n_symbols * 10 > s.n_words AS r_symbol,
+             s.alpha_words * 5 < s.n_words * 4 AS r_alpha,
+             s.stop_distinct < 2 AS r_stopword,
+             s.top_c * 5 > s.n_words AS r_top_word,
+             s.n_distinct * 2 < s.n_words AS r_dup_words,
+             (NOT (s.n_words < 50) AND NOT (s.n_words > 100000)
+              AND NOT (s.char_sum < 3 * s.n_words
+                       OR s.char_sum > 10 * s.n_words)
+              AND NOT (y.n_symbols * 10 > s.n_words)
+              AND NOT (s.alpha_words * 5 < s.n_words * 4)
+              AND NOT (s.stop_distinct < 2)
+              AND NOT (s.top_c * 5 > s.n_words)
+              AND NOT (s.n_distinct * 2 < s.n_words)) AS keep
+      FROM stats s JOIN sym y ON s.doc_id = y.doc_id
     )
-    SELECT s.doc_id AS doc_id,
-           CAST(s.n_words AS BIGINT) AS n_words,
-           s.n_words < 50 AS r_too_short,
-           s.n_words > 100000 AS r_too_long,
-           (s.char_sum < 3 * s.n_words OR s.char_sum > 10 * s.n_words)
-             AS r_word_len,
-           y.n_symbols * 10 > s.n_words AS r_symbol,
-           s.alpha_words * 5 < s.n_words * 4 AS r_alpha,
-           s.stop_distinct < 2 AS r_stopword,
-           s.top_c * 5 > s.n_words AS r_top_word,
-           s.n_distinct * 2 < s.n_words AS r_dup_words,
-           (NOT (s.n_words < 50) AND NOT (s.n_words > 100000)
-            AND NOT (s.char_sum < 3 * s.n_words
-                     OR s.char_sum > 10 * s.n_words)
-            AND NOT (y.n_symbols * 10 > s.n_words)
-            AND NOT (s.alpha_words * 5 < s.n_words * 4)
-            AND NOT (s.stop_distinct < 2)
-            AND NOT (s.top_c * 5 > s.n_words)
-            AND NOT (s.n_distinct * 2 < s.n_words)) AS keep
-    FROM stats s JOIN sym y ON s.doc_id = y.doc_id
+"""
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH {_GOPHER_CTES}
+    SELECT * FROM flags
     """,
     doc="Gopher/MassiveText quality-rule battery (Rae et al. 2021, App. "
     "A1.1) as one gated operator: per-document boolean flags for each "
@@ -2277,4 +2286,41 @@ _GOPHER_SYM_RE = r"#|\.\.\."
 def q_text_gopher_rules(spark, sf_dir):
     return text.gopher_rules(
         _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+
+
+_GOPHER_SUMMARY_UNPIVOT = " UNION ALL ".join(
+    f"SELECT '{r}' AS rule, CAST({r} AS BIGINT) AS n_docs FROM agg"
+    for r in (*text.GOPHER_RULE_NAMES, "kept", "total")
+)
+
+
+@register(
+    "text_gopher_summary",
+    f"""
+    WITH {_GOPHER_CTES},
+    agg AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS kept,
+             {", ".join(
+                 f"SUM(CASE WHEN {r} THEN 1 ELSE 0 END) AS {r}"
+                 for r in text.GOPHER_RULE_NAMES
+             )}
+      FROM flags
+    )
+    {_GOPHER_SUMMARY_UNPIVOT}
+    """,
+    doc="Per-rule rejection report over the Gopher battery: one row per "
+    "rule (rules overlap, so counts need not sum to total-kept) plus "
+    "kept/total — the curation summary a pipeline run archives and the "
+    "same numbers prepare_corpus --gopher observes on its write job. "
+    "One tiny aggregate over the flags (map-side combine), then a "
+    "literal 10-row unpivot; adds nothing to the battery's two "
+    "doc-keyed shuffles.",
+)
+def q_text_gopher_summary(spark, sf_dir):
+    return text.gopher_summary(
+        text.gopher_rules(
+            _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+        )
     )

@@ -286,3 +286,70 @@ def q_url_blocklist_filter(spark, sf_dir):
         blocked,
         allowed=allowed,
     ).select("doc_id", "registered_domain")
+
+
+# Colliding messy-URL expression for the canonical-dedup query: the PAGE
+# IDENTITY (site, tld, path, id param) depends only on doc_id % 60, while
+# the MESS (scheme case, 'WWW.', ':443' on an always-https scheme,
+# tracking params, fragment) varies with the full doc_id — so ~60
+# canonical groups of ~n/60 docs each exist BY CONSTRUCTION and
+# canonicalization is what collapses them (a non-colliding expression
+# here would make the query pass trivially on zero rows).
+URL_COLLIDE_EXPR = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'https' WHEN doc_id % 3 = 1 THEN "
+    "'HTTPS' ELSE 'Https' END || '://' || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END || "
+    "'site' || CAST(doc_id % 60 % 12 AS STRING) || '.' || "
+    "CASE WHEN doc_id % 60 % 5 = 0 THEN 'co.uk' "
+    "WHEN doc_id % 60 % 5 = 1 THEN 'org' "
+    "WHEN doc_id % 60 % 5 = 2 THEN 'io' "
+    "WHEN doc_id % 60 % 5 = 3 THEN 'net' ELSE 'com' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END || "
+    "'/p/' || CAST(doc_id % 60 % 20 AS STRING) || "
+    "'?id=' || CAST(doc_id % 60 % 10 AS STRING) || "
+    "CASE WHEN doc_id % 8 = 0 THEN '&utm_source=feed&gclid=z' "
+    "WHEN doc_id % 8 = 1 THEN '&utm_campaign=q' ELSE '' END || "
+    "CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END"
+)
+
+_COLLIDE_CANON_CTES = _CANON_CTES.replace(
+    f"{URL_EXPR} AS url", f"{URL_COLLIDE_EXPR} AS url"
+)
+
+
+@register(
+    "url_canonical_dedup",
+    f"""
+    WITH {_COLLIDE_CANON_CTES}
+    SELECT canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM canon GROUP BY canonical_url HAVING COUNT(*) > 1
+    """,
+    doc="Canonical-URL dedup (the C4 re-crawl collapse): after "
+    "canonicalization, documents fetched via tracking-param / fragment "
+    "/ case / default-port variants of one URL group together; keep "
+    "the min-id representative per canonical URL and report group "
+    "sizes. Runs BEFORE content hashing in real pipelines — it "
+    "catches re-crawls whose bodies differ by timestamps, which "
+    "content-exact dedup misses. One groupBy shuffle on the canonical "
+    "URL (an md5 of it at 100 TB to keep shuffle rows narrow). The "
+    "fixture URL expression collides by construction (identity from "
+    "doc_id%60, mess from full doc_id) so the collapse is exercised "
+    "on real volume, not zero rows.",
+)
+def q_url_canonical_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(URL_COLLIDE_EXPR).alias("url")
+    )
+    d = d.select(
+        "doc_id", urls.canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    return (
+        d.groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
