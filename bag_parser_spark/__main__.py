@@ -59,7 +59,23 @@ def cmd_ingest(args) -> int:
     from bag_parser_spark.streaming.corpus import run_ingest_stream
 
     spark = _get_spark(args, "corpus-ingest")
-    run_ingest_stream(spark, args.source, args.state, args.checkpoint)
+    schema = args.schema
+    if args.url_col and args.url_col not in schema:
+        raise SystemExit(f"--url-col {args.url_col!r} not in --schema")
+    run_ingest_stream(
+        spark, args.source, args.state, args.checkpoint,
+        schema=schema,
+        url_col=args.url_col,
+        max_per_domain=args.max_per_domain,
+        domain_blocklist=(
+            spark.createDataFrame(
+                [(d.strip(),) for d in args.block_domains.split(",")],
+                "domain string",
+            )
+            if args.block_domains
+            else None
+        ),
+    )
     acc = spark.read.parquet(os.path.join(args.state, "accepted"))
     n = acc.count()
     _log(f"accepted corpus now {n} docs -> {args.state}")
@@ -408,6 +424,19 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--checkpoint", required=True,
                      help="stream checkpoint directory (reuse across runs "
                      "to process only new files)")
+    ing.add_argument("--schema", default="doc_id long, text string",
+                     help="incoming parquet schema (DDL string)")
+    ing.add_argument("--url-col", default=None,
+                     help="column holding each doc's URL; enables the "
+                     "streaming domain stage (registered_domain stored "
+                     "in the accepted state; keep consistent across the "
+                     "stream's lifetime)")
+    ing.add_argument("--max-per-domain", type=int, default=None,
+                     help="stateful per-domain quota across batches "
+                     "(first-arrival wins; requires --url-col)")
+    ing.add_argument("--block-domains", default=None,
+                     help="comma-separated registered domains dropped "
+                     "before dedup (requires --url-col)")
     _add_spark_args(ing)
     ing.set_defaults(fn=cmd_ingest)
     return p

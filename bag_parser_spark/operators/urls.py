@@ -159,6 +159,27 @@ def with_registered_domain(
     return df.withColumn(out_col, out)
 
 
+def with_registered_domain_from_url(
+    df: DataFrame,
+    url_col: str,
+    spark: SparkSession,
+    out_col: str = "registered_domain",
+) -> DataFrame:
+    """URL column → ``out_col`` in one step: split, canonical host,
+    port strip, registered-domain longest match — the composition both
+    `prepare_corpus` and the streaming ingest domain stage apply.
+    Map-side expressions only."""
+    u = F.col(url_col)
+    scheme, hostport, _, _ = split_parts(u)
+    host = F.split(
+        canonical_host(hostport, F.lower(scheme)), ":", 2
+    ).getItem(0)
+    return with_registered_domain(
+        df.withColumn("__hostname__", host), "__hostname__", spark,
+        out_col=out_col,
+    ).drop("__hostname__")
+
+
 def apply_domain_blocklist(
     df: DataFrame,
     domain_col: str,

@@ -78,14 +78,7 @@ def prepare_corpus(
         )
     domain_cols: list = []
     if url_col is not None:
-        u = F.col(url_col)
-        scheme, hostport, _, _ = urls.split_parts(u)
-        host = F.split(
-            urls.canonical_host(hostport, F.lower(scheme)), ":", 2
-        ).getItem(0)
-        docs = urls.with_registered_domain(
-            docs.withColumn("__hostname__", host), "__hostname__", spark
-        ).drop("__hostname__")
+        docs = urls.with_registered_domain_from_url(docs, url_col, spark)
         if domain_blocklist is not None:
             docs = urls.apply_domain_blocklist(
                 docs,

@@ -23,6 +23,12 @@ the state snapshot at query start):
      with an earlier-id batch survivor,
   5. append accepted survivors + their signatures to the state tables.
 
+Optional URL/domain stage (r7): registered-domain derivation + broadcast
+blocklist before step 1, and a stateful PER-DOMAIN QUOTA between steps 4
+and 5 — earlier batches consume quota first (first-arrival wins), with
+the deterministic md5 fair draw breaking within-batch ties; the accepted
+table then also stores registered_domain (mode checked consistent).
+
 Scale shape: the accepted corpus's TEXT is only read for the
 candidate-verification semi-join (bounded by candidate pairs); the
 signature table is the only full-width state the LSH stage touches.
@@ -68,11 +74,28 @@ def ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    url_col: str | None = None,
+    max_per_domain: int | None = None,
+    domain_blocklist: DataFrame | None = None,
 ) -> int:
     """Run one ingest round (steps 1-5 above) and append survivors to
     the state tables. Returns the number of newly accepted docs.
     Callable directly for backfills/tests; the stream wires it through
     foreachBatch.
+
+    Optional URL/domain stage (streaming twin of prepare_corpus's
+    ``--url-col`` stages): with ``url_col`` set, each batch doc gets its
+    registered domain (map-side), ``domain_blocklist`` rows are dropped
+    up front (broadcast anti-join), and ``max_per_domain`` enforces a
+    PER-DOMAIN QUOTA against the accepted state — earlier batches
+    consume quota first (first-arrival wins, the stream analogue of the
+    batch cap's fair draw; within one batch the md5 fair draw breaks
+    ties deterministically). The accepted table then carries
+    ``registered_domain``; the mode must be consistent from the first
+    batch onward (checked — a mixed-mode append would silently fork the
+    state schema). Quota runs AFTER dedup (steps 1-4), so a replayed
+    batch is removed by content dedup before it could double-count
+    quota, preserving replay idempotence.
 
     Single-writer assumption: the finally block frees every persistent
     RDD whose id is NEW since batch start (that is how the eager
@@ -100,6 +123,7 @@ def ingest_batch(
         return _ingest_batch_inner(
             spark, batch, acc_path, sig_path, have_state,
             id_col, text_col, threshold, handles,
+            url_col, max_per_domain, domain_blocklist,
         )
     finally:
         # runs on success AND on a mid-batch crash — a failed batch must
@@ -123,11 +147,37 @@ def _ingest_batch_inner(
     text_col: str,
     threshold: float,
     handles: list[DataFrame],
+    url_col: str | None = None,
+    max_per_domain: int | None = None,
+    domain_blocklist: DataFrame | None = None,
 ) -> int:
     from bag_parser_spark.operators import dedup
 
+    if max_per_domain is not None and url_col is None:
+        raise ValueError("max_per_domain needs url_col")
+    domain_cols: list[str] = []
+    if url_col is not None:
+        from bag_parser_spark.operators import urls
+
+        domain_cols = ["registered_domain"]
+        batch = urls.with_registered_domain_from_url(batch, url_col, spark)
+        if domain_blocklist is not None:
+            batch = urls.apply_domain_blocklist(
+                batch, "registered_domain", domain_blocklist
+            )
+    if have_state:
+        acc_cols = spark.read.parquet(acc_path).columns
+        if (url_col is not None) != ("registered_domain" in acc_cols):
+            raise ValueError(
+                "url_col mode must be consistent across the stream's "
+                "lifetime: accepted state "
+                + ("lacks" if url_col is not None else "carries")
+                + " registered_domain (a mixed-mode append would fork "
+                "the state schema)"
+            )
     docs = batch.select(
-        F.col(id_col), F.col(text_col), F.md5(text_col).alias("__content__")
+        F.col(id_col), F.col(text_col), *domain_cols,
+        F.md5(text_col).alias("__content__"),
     )
     # 1. exact dedup: within batch (min id per content), then vs accepted
     docs = dedup.dedup_exact(docs, on=["__content__"], id_col=id_col)
@@ -220,10 +270,49 @@ def _ingest_batch_inner(
         eager=True
     )
 
+    # 4b. per-domain quota vs accepted state: earlier batches consumed
+    # their slots first (first-arrival), this batch's survivors fill the
+    # REMAINING quota in deterministic md5-fair-draw order (same draw as
+    # sampling.sample_per_group / url_domain_cap). The domain-count
+    # aggregate is |domains| rows — tiny vs the corpus; AQE broadcasts
+    # it into the join. Runs on the checkpointed survivors (post-dedup,
+    # pre-append), then re-checkpoints: the count join reads acc_path,
+    # which step 5 is about to append to, and a lazy plan would
+    # recompute against post-append state during the signature write
+    # (the same observed failure the survivors checkpoint guards).
+    if max_per_domain is not None:
+        from pyspark.sql import Window
+
+        used = (
+            spark.read.parquet(acc_path)
+            .groupBy("registered_domain")
+            .agg(F.count(F.lit(1)).alias("__used__"))
+            if have_state
+            else None
+        )
+        w = Window.partitionBy("registered_domain").orderBy(
+            F.md5(F.concat(F.lit("domcap:"), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+        ranked = survivors.withColumn("__rk__", F.row_number().over(w))
+        if used is not None:
+            ranked = ranked.join(used, "registered_domain", "left").withColumn(
+                "__used__", F.coalesce(F.col("__used__"), F.lit(0))
+            )
+        else:
+            ranked = ranked.withColumn("__used__", F.lit(0))
+        survivors = (
+            ranked.filter(
+                F.col("__rk__") + F.col("__used__") <= max_per_domain
+            )
+            .drop("__rk__", "__used__")
+            .localCheckpoint(eager=True)
+        )
+
     # 5. append survivors + signatures (append-only state growth)
     n = survivors.count()
     if n:
-        survivors.select(id_col, text_col, "__content__").write.mode(
+        survivors.select(id_col, text_col, *domain_cols, "__content__").write.mode(
             "append"
         ).parquet(acc_path)
         dedup.minhash_signatures(
@@ -296,14 +385,24 @@ def run_ingest_stream(
     state_dir: str,
     checkpoint_dir: str,
     schema: str = "doc_id long, text string",
+    url_col: str | None = None,
+    max_per_domain: int | None = None,
+    domain_blocklist: DataFrame | None = None,
 ) -> None:
     """Drain a file-source stream of document parquet files through
     ingest_batch with Trigger.AvailableNow (the backfill/test mode; a
-    live deployment drops the trigger and runs continuously)."""
+    live deployment drops the trigger and runs continuously). The
+    optional URL/domain stage flags pass straight through to
+    ingest_batch (set ``url_col`` in the schema's columns)."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(spark, batch_df, state_dir)
+        ingest_batch(
+            spark, batch_df, state_dir,
+            url_col=url_col,
+            max_per_domain=max_per_domain,
+            domain_blocklist=domain_blocklist,
+        )
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -703,3 +703,60 @@ def test_ingest_batch_string_ids_fresh_state(spark, tmp_path):
     assert [r["doc_id"] for r in acc.collect()] == ["a"]
     sigs = spark.read.parquet(f"{state}/signatures")
     assert dict(sigs.dtypes)["__id__"] == "string"
+
+
+def test_ingest_domain_quota_across_batches(spark, tmp_path):
+    """Streaming domain stage: blocklisted domains are dropped up front,
+    the per-domain quota is enforced ACROSS batches (first-arrival wins
+    — earlier batches consume slots first), registered_domain lands in
+    the accepted state, replay is idempotent, and mixed-mode reuse of
+    the state raises."""
+    import pytest
+
+    from bag_parser_spark.streaming.corpus import ingest_batch
+
+    state = str(tmp_path / "state")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string, url string"
+    )
+    txt = lambda i: " ".join(f"w{j}-{i}" for j in range(30))  # noqa: E731
+    # batch 1: two a.com docs (quota 3), one blocked.net doc
+    b1 = mk([
+        (1, txt(1), "https://WWW.a.com/p/1"),
+        (2, txt(2), "https://a.com:443/p/2"),
+        (10, txt(10), "http://blocked.net/x"),
+    ])
+    blocked = spark.createDataFrame([("blocked.net",)], "d string")
+    kw = dict(url_col="url", max_per_domain=3, domain_blocklist=blocked)
+    assert ingest_batch(spark, b1, state, **kw) == 2
+    # batch 2: three more a.com docs -> only ONE slot left; b.org fits
+    b2 = mk([
+        (3, txt(3), "https://a.com/p/3"),
+        (4, txt(4), "https://a.com/p/4"),
+        (5, txt(5), "https://a.com/p/5"),
+        (6, txt(6), "https://b.org/p/6"),
+    ])
+    assert ingest_batch(spark, b2, state, **kw) == 2
+    acc = spark.read.parquet(f"{state}/accepted")
+    by_dom = {
+        r["registered_domain"]: r["n"]
+        for r in acc.groupBy("registered_domain").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_dom == {"a.com": 3, "b.org": 1}
+    ids = {r["doc_id"] for r in acc.collect()}
+    assert {1, 2, 6} <= ids and 10 not in ids
+    # replay batch 2: content dedup removes accepted docs BEFORE the
+    # quota stage, so nothing is double-counted and nothing new lands
+    assert ingest_batch(spark, b2, state, **kw) == 0
+    assert spark.read.parquet(f"{state}/accepted").count() == 4
+    # mixed-mode reuse must fail loudly, both directions
+    plain = spark.createDataFrame(
+        [(99, txt(99))], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="consistent"):
+        ingest_batch(spark, plain, state)
+    state2 = str(tmp_path / "state2")
+    assert ingest_batch(spark, plain, state2) == 1
+    with pytest.raises(ValueError, match="consistent"):
+        ingest_batch(spark, b1, state2, **kw)
