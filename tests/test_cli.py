@@ -347,3 +347,66 @@ def test_cli_import_native_backend_zipped_delivery(tmp_path):
     assert not os.path.exists(
         str(tmp_path / "db_native" / "_native_xml_extract")
     )
+
+
+def test_cli_prepare_gopher_and_domain_flags(tmp_path):
+    """`prepare --gopher --url-col url --max-per-domain --block-domains
+    --allow-domains` — the CLI wiring for both r7 stages in one run:
+    blocklisted domain dropped (allowlist overrides), per-domain cap
+    held, gopher rejections counted in the summary JSON."""
+    import json
+
+    import duckdb
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "off to the river where this good animal rests for a while as "
+        "birds sing songs about summer evenings by that old stone bridge "
+        "near a quiet village with warm lights glowing in windows there "
+        "and people walk home slowly talking about their long pleasant day "
+    )
+    rows = []
+    for i in range(12):
+        dom = ["a.com", "b.org", "blocked.net", "saved.net"][i % 4]
+        rows.append((i, good + f"unique w{i}", f"https://www.{dom}/p/{i}"))
+    rows.append((100, "tiny", "https://a.com/p/100"))  # gopher-rejected
+    docs_path = str(tmp_path / "docs.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, url VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    con.execute(f"COPY t TO '{docs_path}' (FORMAT PARQUET)")
+    con.close()
+    out_dir = str(tmp_path / "corpus")
+    proc = _run_cli(
+        "prepare", "--docs", docs_path, "--out", out_dir,
+        "--min-quality", "0", "--any-lang", "--no-near-dedup",
+        "--gopher", "--url-col", "url", "--max-per-domain", "2",
+        "--block-domains", "blocked.net,saved.net",
+        "--allow-domains", "saved.net",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["gopher"] and summary["max_per_domain"] == 2
+    assert summary["gopher_counts"]["r_too_short"] == 1
+    con = duckdb.connect()
+    doms = dict(
+        con.execute(
+            "SELECT registered_domain, COUNT(*) FROM "
+            "read_parquet(?, hive_partitioning=1) GROUP BY 1",
+            [f"{out_dir}/*/*.parquet"],
+        ).fetchall()
+    )
+    kept_ids = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM read_parquet(?, hive_partitioning=1)",
+            [f"{out_dir}/*/*.parquet"],
+        ).fetchall()
+    }
+    con.close()
+    assert "blocked.net" not in doms
+    assert "saved.net" in doms          # allowlist overrides blocklist
+    assert all(n <= 2 for n in doms.values())
+    assert 100 not in kept_ids          # gopher-rejected doc absent
