@@ -78,6 +78,13 @@ AUDIT = [
     "url_domain_cap",
     "url_blocklist_filter",
     "text_gopher_rules",
+    # r7 late additions: canonical-URL dedup (one groupBy on the
+    # canonical string), the gopher unpivot report (same two shuffles as
+    # the battery + 1-row aggregate), and the JPEG decode path (must be
+    # exchange-free with exactly the two honest Python decode edges)
+    "url_canonical_dedup",
+    "text_gopher_summary",
+    "mm_jpeg_features",
 ]
 
 _PY_NODES = (
