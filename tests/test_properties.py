@@ -277,3 +277,165 @@ def test_segment_dup_stats_matches_python_model(spark, data):
         ).collect()
     }
     assert got == expect
+
+
+# --- URL canonicalization vs an INDEPENDENT urllib.parse model (the
+# operator itself is regex/array expressions; the model decomposes with
+# stdlib urlsplit, so a parsing bug can't cancel across both sides) ---
+
+def _canon_model(url):
+    from urllib.parse import urlsplit
+
+    from bag_parser_spark.operators.urls import (
+        TRACKING_EXACT,
+        TRACKING_PREFIX,
+    )
+
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    hostport = parts.netloc.lower()
+    if hostport.startswith("www."):
+        hostport = hostport[4:]
+    default = {"http": ":80", "https": ":443"}.get(scheme)
+    if default and hostport.endswith(default):
+        hostport = hostport[: -len(default)]
+    path = parts.path or "/"
+    kept = [
+        p
+        for p in parts.query.split("&")
+        if p != ""
+        and not p.split("=", 1)[0].startswith(TRACKING_PREFIX)
+        and p.split("=", 1)[0] not in TRACKING_EXACT
+    ]
+    q = "&".join(kept)
+    return f"{scheme}://{hostport}{path}" + (f"?{q}" if q else "")
+
+
+_URL_STRATEGY = st.builds(
+    lambda scheme, www, host, port, path, params, frag: (
+        scheme
+        + "://"
+        + ("WWW." if www else "")
+        + host
+        + port
+        + path
+        + ("?" + "&".join(params) if params else "")
+        + ("#sec" if frag else "")
+    ),
+    st.sampled_from(["http", "https", "HTTP", "HTTPS", "Https"]),
+    st.booleans(),
+    st.builds(
+        lambda ls: ".".join(ls),
+        st.lists(
+            st.text(alphabet="abXZ09", min_size=1, max_size=4),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/a/B", "/p/1"]),
+    st.lists(
+        st.sampled_from(
+            ["id=1", "x=A", "utm_source=f", "gclid=z", "ref=h", "flag",
+             "x=a=b"]
+        ),
+        max_size=4,
+    ),
+    st.booleans(),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_URL_STRATEGY, min_size=1, max_size=25))
+def test_url_canonicalize_matches_urllib_model_and_is_idempotent(
+    spark, urls_in
+):
+    from bag_parser_spark.operators import urls as U
+
+    got = _eval_batch(spark, urls_in, U.canonicalize_url)
+    assert got == [_canon_model(u) for u in urls_in]
+    # idempotence: canonical output re-canonicalizes to itself
+    again = _eval_batch(spark, got, U.canonicalize_url)
+    assert again == got
+
+
+def _registered_domain_model(host):
+    from bag_parser_spark.operators.urls import PUBLIC_SUFFIXES
+
+    labels = host.split(".")
+    best = None
+    for s in PUBLIC_SUFFIXES:
+        n = s.count(".") + 1
+        if len(labels) > n and ".".join(labels[-n:]) == s:
+            if best is None or n > best:
+                best = n
+    return host if best is None else ".".join(labels[-(best + 1):])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.builds(
+            lambda ls: ".".join(ls),
+            st.lists(
+                st.sampled_from(
+                    ["a", "bb", "x9", "co", "uk", "com", "io", "github",
+                     "blogspot", "org", "local"]
+                ),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_registered_domain_matches_longest_suffix_model(spark, hosts):
+    from bag_parser_spark.operators import urls as U
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i long, hostname string"
+    )
+    rows = U.with_registered_domain(df, "hostname", spark).collect()
+    got = [
+        r["registered_domain"] for r in sorted(rows, key=lambda r: r["i"])
+    ]
+    assert got == [_registered_domain_model(h) for h in hosts]
+
+
+# --- JPEG codec: the block-constant bit-exactness contract and the
+# general lossy bound, fuzzed over dims and content (no Spark) ---
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 4),
+    st.integers(1, 3),
+    st.integers(0, 2**31 - 1),
+)
+def test_jpeg_block_constant_roundtrip_fuzz(wb, hb, seed):
+    from bag_parser_spark.functions import jpeg_codec as J
+
+    w, h = wb * 8, hb * 8
+    px = bytes(
+        (seed + 11 * (x // 8) + 13 * (y // 8)) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    out = J.decode_jpeg_gray(J.encode_jpeg_gray(w, h, px))
+    assert out["pixels"] == px
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(8, 20), st.integers(8, 18), st.integers(0, 2**31 - 1))
+def test_jpeg_general_roundtrip_bounded_error_fuzz(w, h, seed):
+    from bag_parser_spark.functions import jpeg_codec as J
+
+    px = bytes(
+        (seed + 7 * x * x + 31 * y + x * y) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    out = J.decode_jpeg_gray(J.encode_jpeg_gray(w, h, px))
+    assert (out["width"], out["height"]) == (w, h)
+    err = max(abs(a - b) for a, b in zip(out["pixels"], px))
+    assert err <= 3, err
