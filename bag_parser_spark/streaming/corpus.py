@@ -67,6 +67,10 @@ def _paths(state_dir: str) -> tuple[str, str]:
     )
 
 
+def _counts_path(acc_path: str) -> str:
+    return os.path.join(os.path.dirname(acc_path), "domain_counts")
+
+
 def ingest_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -283,13 +287,31 @@ def _ingest_batch_inner(
     if max_per_domain is not None:
         from pyspark.sql import Window
 
-        used = (
-            spark.read.parquet(acc_path)
-            .groupBy("registered_domain")
-            .agg(F.count(F.lit(1)).alias("__used__"))
-            if have_state
-            else None
-        )
+        # Consumed-quota counts come from the domain_counts PARTIALS
+        # (one tiny (domain, n) file appended per batch, summed on
+        # read — the count-min streaming pattern), NOT from a groupBy
+        # over accepted/: at 100 TB of accepted state a full-state
+        # aggregate per micro-batch would dominate every batch. The
+        # partial dir exists from the first url-mode batch (mode
+        # consistency is enforced above); if it is missing while
+        # accepted state exists (crash in the documented append window,
+        # or a state dir predating counts), fail loudly and point at
+        # the rebuild — silently recounting here would mask the gap.
+        counts_path = _counts_path(acc_path)
+        if os.path.isdir(counts_path):
+            used = (
+                spark.read.parquet(counts_path)
+                .groupBy("registered_domain")
+                .agg(F.sum("n").alias("__used__"))
+            )
+        elif have_state:
+            raise ValueError(
+                "domain_counts/ missing but accepted state exists — run "
+                "streaming.corpus.rebuild_domain_counts(spark, state_dir) "
+                "before resuming the quota stream"
+            )
+        else:
+            used = None
         w = Window.partitionBy("registered_domain").orderBy(
             F.md5(F.concat(F.lit("domcap:"), F.col(id_col).cast("string"))),
             F.col(id_col),
@@ -309,7 +331,13 @@ def _ingest_batch_inner(
             .localCheckpoint(eager=True)
         )
 
-    # 5. append survivors + signatures (append-only state growth)
+    # 5. append survivors + signatures (append-only state growth), plus
+    # in url mode the batch's (domain, n) counts partial — written even
+    # when no quota is set this batch, so enabling max_per_domain later
+    # finds complete history. Append order accepted -> signatures ->
+    # counts: a crash before the counts append leaves quota UNDER-
+    # counting (could over-admit later); rebuild_domain_counts repairs
+    # exactly like backfill_signatures repairs the signature window.
     n = survivors.count()
     if n:
         survivors.select(id_col, text_col, *domain_cols, "__content__").write.mode(
@@ -318,6 +346,10 @@ def _ingest_batch_inner(
         dedup.minhash_signatures(
             survivors, id_col, text_col, _MH_N, _MH_HASHES
         ).write.mode("append").parquet(sig_path)
+        if domain_cols:
+            survivors.groupBy("registered_domain").agg(
+                F.count(F.lit(1)).alias("n")
+            ).write.mode("append").parquet(_counts_path(acc_path))
     return n
 
 
@@ -377,6 +409,37 @@ def backfill_signatures(
         for rid, jrdd in jsc.getPersistentRDDs().items():
             if rid not in rdd_ids_before:
                 jrdd.unpersist(False)
+
+
+def rebuild_domain_counts(spark: SparkSession, state_dir: str) -> int:
+    """Repair pass for the domain-quota crash window (the counts twin of
+    ``backfill_signatures``): a failure between the accepted append and
+    the counts append leaves ``domain_counts/`` under-counting — quota
+    could over-admit. This recomputes the per-domain counts from
+    ``accepted/`` (ONE full-state aggregate — exactly the cost the
+    per-batch partials exist to avoid, paid only on repair) and REPLACES
+    the partials with the consolidated result, which also compacts a
+    long-running stream's many tiny partial files. Also the migration
+    path for url-mode state created before domain_counts existed. Run
+    while the stream is quiesced. Returns the number of domains."""
+    acc_path, _ = _paths(state_dir)
+    if not os.path.isdir(acc_path):
+        return 0
+    accepted = spark.read.parquet(acc_path)
+    if "registered_domain" not in accepted.columns:
+        raise ValueError(
+            "accepted state has no registered_domain column — the stream "
+            "never ran in url_col mode; nothing to rebuild"
+        )
+    counts = (
+        accepted.groupBy("registered_domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # materialize once: the write and the returned count would
+        # otherwise each run the full-state aggregate
+        .localCheckpoint(eager=True)
+    )
+    counts.write.mode("overwrite").parquet(_counts_path(acc_path))
+    return counts.count()
 
 
 def run_ingest_stream(

@@ -760,3 +760,53 @@ def test_ingest_domain_quota_across_batches(spark, tmp_path):
     assert ingest_batch(spark, plain, state2) == 1
     with pytest.raises(ValueError, match="consistent"):
         ingest_batch(spark, b1, state2, **kw)
+
+
+def test_ingest_domain_counts_partials_and_rebuild(spark, tmp_path):
+    """The quota's consumed counts come from per-batch domain_counts
+    partials (never a full accepted/ aggregate per batch); deleting the
+    partials simulates the documented crash window — the next quota
+    batch fails loudly, rebuild_domain_counts repairs (and compacts),
+    and the stream resumes with correct quota."""
+    import shutil
+
+    import pytest
+
+    from bag_parser_spark.streaming.corpus import (
+        ingest_batch,
+        rebuild_domain_counts,
+    )
+
+    state = str(tmp_path / "state")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string, url string"
+    )
+    txt = lambda i: " ".join(f"w{j}-{i}" for j in range(30))  # noqa: E731
+    kw = dict(url_col="url", max_per_domain=2)
+    assert ingest_batch(
+        spark, mk([(1, txt(1), "https://a.com/1")]), state, **kw
+    ) == 1
+    assert ingest_batch(
+        spark, mk([(2, txt(2), "https://a.com/2")]), state, **kw
+    ) == 1
+    # partials: one (domain, n) file per batch, summing to accepted
+    counts = spark.read.parquet(f"{state}/domain_counts")
+    assert [(r["registered_domain"], r["n"]) for r in counts.collect()] \
+        == [("a.com", 1), ("a.com", 1)]
+    # crash window: counts gone but accepted present -> loud failure
+    shutil.rmtree(f"{state}/domain_counts")
+    with pytest.raises(ValueError, match="rebuild_domain_counts"):
+        ingest_batch(spark, mk([(3, txt(3), "https://a.com/3")]), state, **kw)
+    assert rebuild_domain_counts(spark, state) == 1  # one domain, n=2
+    rebuilt = spark.read.parquet(f"{state}/domain_counts").collect()
+    assert [(r["registered_domain"], r["n"]) for r in rebuilt] \
+        == [("a.com", 2)]
+    # quota correct after repair: a.com is full, b.org still admits
+    b3 = mk([
+        (3, txt(3), "https://a.com/3"),
+        (4, txt(4), "https://b.org/4"),
+    ])
+    assert ingest_batch(spark, b3, state, **kw) == 1
+    acc = {r["doc_id"] for r in
+           spark.read.parquet(f"{state}/accepted").collect()}
+    assert acc == {1, 2, 4}
