@@ -250,6 +250,8 @@ def sample_per_group(
     k: int,
     seed: int | str = 0,
     rank_name: str = "sample_rank",
+    big_group_cutoff: int | None = None,
+    salt: int = 32,
 ) -> DataFrame:
     """Deterministic cap-k-per-key sampling: rank each group's rows by the
     md5 of ``seed:id`` (a uniform, reproducible shuffle order) and keep the
@@ -258,16 +260,56 @@ def sample_per_group(
     whatever order the files arrived in; the hash rank is a fair draw that
     every re-run and every engine reproduces.
 
-    One shuffle on ``keys``; skewed groups cost their own size only (the
-    window never materializes more than a task's partition — for pathological
-    single-key skew, pre-filter with an aggregate count + salted top-k).
+    One shuffle on ``keys``; skewed groups cost their own size only — the
+    window sorts whole groups inside single tasks, so a pathological
+    single-key group (one viral domain holding a corpus-scale share) pins
+    one task. ``big_group_cutoff`` arms the OUTPUT-IDENTICAL guarded
+    route for exactly those groups (lazy — a count aggregate joined back,
+    no driver collect): groups above the cutoff run a salted two-stage
+    top-k — top-``k`` within each of ``salt`` md5-derived cells (spreads
+    one group over ``salt`` tasks), then true top-``k`` over the ≤
+    ``salt``·``k`` survivors. Exact including rank values: every true
+    top-``k`` row is top-``k`` within its salt cell, and all better rows
+    survive stage 1, so survivor-set ranks 1..k equal global ranks.
+    Groups at or below the cutoff keep the plain single-window shape.
     """
     order = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     w = Window.partitionBy(*keys).orderBy(order.asc(), F.col(id_col).asc())
-    return (
-        df.withColumn(rank_name, F.row_number().over(w))
+    if big_group_cutoff is None:
+        return (
+            df.withColumn(rank_name, F.row_number().over(w))
+            .filter(F.col(rank_name) <= k)
+        )
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__gn__"))
+    tagged = df.join(counts, list(keys))
+    small = (
+        tagged.filter(F.col("__gn__") <= big_group_cutoff)
+        .drop("__gn__")
+        .withColumn(rank_name, F.row_number().over(w))
         .filter(F.col(rank_name) <= k)
     )
+    # salt cell from the SAME md5 order key (layout-independent); conv
+    # returns a string, hence the cast
+    salt_cell = (
+        F.conv(F.substring(order, 1, 4), 16, 10).cast("long") % salt
+    )
+    w1 = Window.partitionBy(*keys, "__salt__").orderBy(
+        order.asc(), F.col(id_col).asc()
+    )
+    stage1 = (
+        tagged.filter(F.col("__gn__") > big_group_cutoff)
+        .drop("__gn__")
+        .withColumn("__salt__", salt_cell)
+        .withColumn("__r1__", F.row_number().over(w1))
+        .filter(F.col("__r1__") <= k)
+        .drop("__salt__", "__r1__")
+    )
+    big = (
+        stage1.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )
+    # the key join reorders columns — restore the caller's layout
+    return small.unionByName(big).select(*df.columns, rank_name)
 
 
 def mixture_sample(

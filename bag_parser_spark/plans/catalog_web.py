@@ -234,9 +234,9 @@ _CAP_SEED = "domcap"
     "sample_per_group's deterministic md5(seed:id) fair draw so the "
     "kept subset is engine- and rerun-stable, not arrival-order bias. "
     "One window shuffle keyed by registered_domain; a viral domain is "
-    "the classic skew key, and the operator's documented escape hatch "
-    "(pre-count + salted top-k) is the same two-stage shape "
-    "sim_hard_negatives already uses.",
+    "the classic skew key, and sample_per_group(big_group_cutoff=...) "
+    "arms the output-identical salted two-stage top-k for exactly "
+    "those groups (identity pinned by unit test).",
 )
 def q_url_domain_cap(spark, sf_dir):
     from bag_parser_spark.operators import sampling

@@ -2214,3 +2214,25 @@ def test_prepare_corpus_gopher_gate(spark, tmp_path):
         spark, docs, out2, min_quality=0.0, lang=None, near_dedup=False
     )
     assert s2["gopher_counts"] is None and s2["gopher"] is False
+
+
+def test_sample_per_group_salted_route_is_output_identical(spark):
+    """big_group_cutoff's salted two-stage top-k must reproduce the plain
+    window's output EXACTLY (rows and rank values) on a skewed input —
+    one giant group, several small — including with cutoff=0 forcing
+    every group through the salted route."""
+    from bag_parser_spark.operators import sampling
+
+    rows = [(i, "giant") for i in range(500)]
+    rows += [(1000 + i, f"g{i % 5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    plain = sampling.sample_per_group(
+        df, keys=["grp"], id_col="id", k=3, seed="s"
+    )
+    want = sorted(map(tuple, plain.collect()))
+    for cutoff in (0, 100):
+        got = sampling.sample_per_group(
+            df, keys=["grp"], id_col="id", k=3, seed="s",
+            big_group_cutoff=cutoff, salt=8,
+        )
+        assert sorted(map(tuple, got.collect())) == want, cutoff
