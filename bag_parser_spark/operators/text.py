@@ -445,6 +445,103 @@ def gopher_summary(flags_df):
     return agg.select(F.explode(rows).alias("x")).select("x.rule", "x.n_docs")
 
 
+# C4 line-level cleaning constants (Raffel et al. 2020, §2.2): a line
+# containing a bad phrase is dropped; a document containing a drop phrase
+# is rejected wholesale. Matching is case-insensitive substring.
+C4_BAD_LINE_PHRASES = ("javascript", "cookie policy", "terms of use")
+C4_DOC_DROP_PHRASES = ("lorem ipsum", "{")
+
+
+def c4_line_filter(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_words: int = 4,
+    min_kept_lines: int = 3,
+):
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2) — the other
+    canonical web-curation recipe beside ``gopher_rules``' doc-level
+    battery. Keep a line iff it (a) ends in terminal punctuation
+    (``[.!?"]``), (b) has at least ``min_words`` whitespace-delimited
+    words, and (c) contains no ``C4_BAD_LINE_PHRASES`` member
+    (case-insensitive). The whole DOCUMENT is flagged ``drop_doc`` when
+    it mentions any ``C4_DOC_DROP_PHRASES`` member anywhere ('lorem
+    ipsum' / the curly brace that marks leaked code) or when fewer than
+    ``min_kept_lines`` lines survive — C4's "at least 3 sentences" gate.
+    Returns (id, clean_text, n_lines, n_kept, drop_doc); ``clean_text``
+    preserves original line order. Docs are flagged, not filtered, so
+    the caller can count rejections before dropping.
+
+    Scale shape: ZERO shuffles — split → higher-order filter →
+    concat_ws are array expressions riding the scan (whole-stage
+    codegen), so at 100 TB this is free map work exactly like URL
+    canonicalization. Contrast ``remove_common_lines``, which needs a
+    corpus-level line-frequency shuffle because its keep-decision is
+    global; C4's is purely local.
+    """
+    t = F.col(text_col)
+
+    def _keep(line: Column) -> Column:
+        low = F.lower(line)
+        cond = line.rlike('[.!?"]$') & (
+            F.size(F.split(F.trim(line), " +")) >= min_words
+        )
+        for p in C4_BAD_LINE_PHRASES:
+            cond = cond & ~low.contains(p)
+        return cond
+
+    lines = F.split(t, sep)
+    kept = F.filter(lines, _keep)
+    doc_low = F.lower(t)
+    drop = F.lit(False)
+    for p in C4_DOC_DROP_PHRASES:
+        drop = drop | doc_low.contains(p)
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(sep, kept).alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        (drop | (n_kept < min_kept_lines)).alias("drop_doc"),
+    )
+
+
+# HTML entity decode pairs, applied IN ORDER: '&amp;' must come LAST so
+# already-escaped entities ('&amp;lt;') decode exactly once (to '&lt;'
+# text), never twice (to '<').
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """HTML → visible text extraction, expression-only: drop
+    <script>/<style> blocks including their contents, strip every
+    remaining tag, decode the six common entities (ordered so '&amp;'
+    resolves last — see ``HTML_ENTITIES``), and collapse whitespace
+    runs to single spaces. The raw-web → text step that precedes every
+    line/quality filter in a C4/RefinedWeb-style pipeline; this is the
+    boilerplate-agnostic baseline (tag removal), not a content
+    extractor — readability-style block scoring would build on top.
+
+    Pure chained regexp_replace/replace — whole-stage codegen, no UDF,
+    no shuffle; both regex steps avoid backreferences so the SAME
+    patterns run under Java regex (Spark) and RE2 (the DuckDB oracle).
+    """
+    x = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
 def tfidf_vectors(
     df,
     id_col: str = "doc_id",

@@ -956,7 +956,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #   insert each new catalog query name HERE when registering it —
     "url_canonicalize", "url_domain_stats", "url_domain_cap",
     "url_blocklist_filter", "text_gopher_rules", "mm_jpeg_features",
-    "url_canonical_dedup", "text_gopher_summary",
+    "url_canonical_dedup", "text_gopher_summary", "text_c4_line_filter",
+    "text_html_extract",
     # — oldest greens next: the only two queries whose latest row is r2 —
     "tfidf_vectors", "sim_knn_join",
     # — family fillers (latest row r4) so every family predicate in the
@@ -977,7 +978,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "a10_pivot", "w3_rank_battery", "a11_exact_moments",
     "ev_json_extract", "text_pii_redact", "emb_quantize_int8",
     "ml_kmeans_step", "a12_zscore", "text_bigram_lm",
-    "a13_above_cust_avg", "layout_zorder_key", "j11_merge_apply",
+    "j11_merge_apply", "layout_zorder_key", "a13_above_cust_avg",
     "a14_profile", "dedup_ngram_jaccard", "dedup_simhash",
     "split_train_test", "pack_sequences", "curate_corpus",
     "sample_per_source", "decontaminate_check", "sample_weighted_sources",

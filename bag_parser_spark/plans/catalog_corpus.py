@@ -2324,3 +2324,155 @@ def q_text_gopher_summary(spark, sf_dir):
             _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_c4_line_filter / text_html_extract — C4 line-level cleaning and the
+# raw-web HTML -> text step that precedes it (r7, companions to the Gopher
+# battery: Gopher gates documents, C4 cleans lines, html_to_text produces
+# the text both consume)
+# ---------------------------------------------------------------------------
+
+# The documents table is punctuation-free word soup, so (like the URL
+# family's URL_EXPR) the line structure is synthesized by ONE expression
+# valid in BOTH dialects (CASE / % / || / substr / chr(10)): the oracle
+# verifies the filter, the construction is parity by definition. Branch
+# coverage: a javascript-phrase line (ends '.', long enough — only the
+# phrase rule rejects it), a long kept line, a too-short line, a line
+# without terminal punctuation, a kept question line, a 'lorem ipsum'
+# line (kept at LINE level; rejects the DOC), an extra kept line on
+# doc_id % 7 = 0 (the only docs reaching min_kept_lines = 3), and a
+# curly-brace code line (doc-drop + no terminal punct).
+_C4_DOC_EXPR = (
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'Please enable JavaScript to view comments.' || chr(10) "
+    "ELSE '' END || "
+    "'The ' || substr(text, 1, 40) || ' works well.' || chr(10) || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'Too short.' || chr(10) ELSE '' END || "
+    "'Sign in' || chr(10) || "
+    "'Why does ' || substr(text, 41, 50) || ' matter?' || "
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "chr(10) || 'A serious line about ' || substr(text, 91, 30) || "
+    "' indeed.' ELSE '' END || "
+    "CASE WHEN doc_id % 13 = 0 THEN "
+    "chr(10) || 'function f() { return 1; }' ELSE '' END"
+)
+
+_C4_KEEP_LAMBDA = (
+    "l -> regexp_matches(l, '[.!?\"]$') "
+    "AND len(string_split_regex(trim(l), ' +')) >= 4 "
+    + " ".join(
+        f"AND NOT contains(lower(l), '{p}')"
+        for p in text.C4_BAD_LINE_PHRASES
+    )
+)
+
+
+@register(
+    "text_c4_line_filter",
+    f"""
+    WITH synth AS (
+      SELECT doc_id, {_C4_DOC_EXPR} AS synth FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             string_split(synth, chr(10)) AS lines,
+             list_filter(string_split(synth, chr(10)),
+                         {_C4_KEEP_LAMBDA}) AS kept,
+             (contains(lower(synth), 'lorem ipsum')
+              OR contains(synth, '{{')) AS bad_doc
+      FROM synth
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           (bad_doc OR len(kept) < 3) AS drop_doc
+    FROM f
+    """,
+    doc="C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep "
+    "lines ending in terminal punctuation with >= 4 words and no bad "
+    "phrase ('javascript', ...); flag the whole doc on 'lorem ipsum' / "
+    "'{' or when < 3 lines survive (C4's three-sentence gate). "
+    "clean_text preserves line order. Scale shape: ZERO shuffles — "
+    "split -> higher-order filter -> concat_ws ride the scan in "
+    "whole-stage codegen, free map work at 100 TB; contrast "
+    "remove_common_lines, whose keep-decision is corpus-global and "
+    "needs a line-frequency shuffle.",
+)
+def q_text_c4_line_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_C4_DOC_EXPR).alias("synth")
+    )
+    return text.c4_line_filter(d, id_col="doc_id", text_col="synth")
+
+
+# HTML wrapper synthesized by one dual-dialect expression: title + h1 +
+# a paragraph with entity escapes, a style block with CSS braces, a
+# script block on doc_id % 5 = 0 (its code must vanish ENTIRELY, not
+# just its tags), attributes on tags, and a trailing &nbsp; entity.
+_HTML_DOC_EXPR = (
+    "'<html><head><title>' || substr(text, 1, 20) || "
+    "'</title><style type=\"text/css\">p { color: red; }</style>"
+    "</head><body>' || "
+    "'<h1 class=\"t\">' || substr(text, 1, 30) || '</h1>' || "
+    "'<p>' || substr(text, 31, 60) || ' &amp; ' || "
+    "substr(text, 95, 20) || '</p>' || "
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "'<script>var x = 1 &lt; 2;</script>' ELSE '' END || "
+    "'<p>Tail &nbsp;' || substr(text, 120, 30) || '</p></body></html>'"
+)
+
+# the same ordered entity decode as operators/text.py::HTML_ENTITIES
+# ('&amp;' last so pre-escaped entities decode exactly once)
+_HTML_DECODE_SQL = "s3"
+for _ent, _ch in text.HTML_ENTITIES:
+    _HTML_DECODE_SQL = (
+        f"replace({_HTML_DECODE_SQL}, '{_ent}', "
+        f"'{_ch.replace(chr(39), chr(39) * 2)}')"
+    )
+
+
+@register(
+    "text_html_extract",
+    f"""
+    WITH synth AS (
+      SELECT doc_id, {_HTML_DOC_EXPR} AS html FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, html,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html,
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g') AS s3
+      FROM synth
+    )
+    SELECT doc_id,
+           trim(regexp_replace({_HTML_DECODE_SQL}, '\\s+', ' ', 'g'))
+             AS extracted,
+           CAST(length(html) AS BIGINT) AS html_chars
+    FROM stripped
+    """,
+    doc="HTML -> visible-text extraction, expression-only: script/style "
+    "blocks dropped WITH their contents, remaining tags stripped, six "
+    "common entities decoded in an order that resolves '&amp;' last "
+    "(pre-escaped entities decode exactly once), whitespace collapsed. "
+    "The raw-web step before every line/quality filter. No "
+    "backreferences in any pattern, so the SAME regexes run under "
+    "Java regex (Spark) and RE2 (DuckDB); chained "
+    "regexp_replace/replace — whole-stage codegen, zero shuffles, "
+    "free map work riding the scan at 100 TB.",
+)
+def q_text_html_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_DOC_EXPR).alias("html")
+    )
+    return d.select(
+        "doc_id",
+        text.html_to_text(F.col("html")).alias("extracted"),
+        F.length("html").cast("long").alias("html_chars"),
+    )

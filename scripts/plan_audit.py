@@ -85,6 +85,11 @@ AUDIT = [
     "url_canonical_dedup",
     "text_gopher_summary",
     "mm_jpeg_features",
+    # r7 late additions II: C4 line-level cleaning and HTML -> text —
+    # both must be exchange-free map work (higher-order array filter /
+    # regexp_replace chain riding the scan)
+    "text_c4_line_filter",
+    "text_html_extract",
 ]
 
 _PY_NODES = (

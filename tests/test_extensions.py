@@ -2236,3 +2236,74 @@ def test_sample_per_group_salted_route_is_output_identical(spark):
             big_group_cutoff=cutoff, salt=8,
         )
         assert sorted(map(tuple, got.collect())) == want, cutoff
+
+
+def test_c4_line_filter_branches(spark):
+    """Every C4 rule fires on its designed line and nowhere else; the
+    doc-level drop flags fire on 'lorem ipsum' / '{' / the < 3 kept-line
+    gate; clean_text preserves original line order."""
+    from bag_parser_spark.operators import text as T
+
+    doc1 = "\n".join([
+        "This first line ends with a period.",      # kept
+        "Please enable JavaScript to continue.",    # bad phrase
+        "no punct at the end here",                 # no terminal punct
+        "Too short.",                               # < 4 words
+        'She said "stop right there."',             # kept (quote end)
+        "Is this a real question?",                 # kept -> 3 kept, keep doc
+    ])
+    doc2 = "\n".join([
+        "Lorem ipsum dolor sit amet consectetur.",  # line kept; DOC dropped
+        "A perfectly fine second line here.",
+        "Another perfectly fine third line here.",
+    ])
+    doc3 = "\n".join([
+        "Some code follows right after this line.",
+        "function f() { return 1; }",               # '{' -> DOC dropped
+        "And a closing remark sentence here.",
+    ])
+    doc4 = "\n".join([                              # only 2 survive -> drop
+        "This one is a good line.",
+        "Sign in",
+        "This other one is also good.",
+    ])
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (4, doc4)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in T.c4_line_filter(df).collect()
+    }
+    assert out[1]["n_lines"] == 6 and out[1]["n_kept"] == 3
+    assert not out[1]["drop_doc"]
+    assert out[1]["clean_text"] == "\n".join([
+        "This first line ends with a period.",
+        'She said "stop right there."',
+        "Is this a real question?",
+    ])
+    assert out[2]["n_kept"] == 3 and out[2]["drop_doc"]   # lorem ipsum
+    assert out[3]["drop_doc"]                             # curly brace
+    assert out[4]["n_kept"] == 2 and out[4]["drop_doc"]   # 3-line gate
+
+
+def test_html_to_text_blocks_entities_whitespace(spark):
+    """script/style contents vanish entirely, tags strip, the six
+    entities decode exactly once ('&amp;lt;' -> literal '&lt;' text, not
+    '<'), and whitespace collapses."""
+    from bag_parser_spark.operators import text as T
+
+    html = (
+        '<html><head><title>My   Page</title>'
+        "<style>p { color: red; }</style></head><body>"
+        '<h1 class="big">Hello &amp; welcome</h1>'
+        "<SCRIPT type='text/javascript'>var x = 1 < 2;</SCRIPT>"
+        "<p>a &lt; b &gt; c &quot;q&quot; &#39;s&#39;&nbsp;end</p>"
+        "<p>escaped: &amp;lt;</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = df.select(T.html_to_text(F.col("html")).alias("t")).head()["t"]
+    assert got == (
+        "My Page Hello & welcome a < b > c \"q\" 's' end escaped: &lt;"
+    )
+    assert "color" not in got and "var x" not in got
