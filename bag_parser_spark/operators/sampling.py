@@ -250,7 +250,7 @@ def sample_per_group(
     k: int,
     seed: int | str = 0,
     rank_name: str = "sample_rank",
-    big_group_cutoff: int | None = None,
+    salted: bool = False,
     salt: int = 32,
 ) -> DataFrame:
     """Deterministic cap-k-per-key sampling: rank each group's rows by the
@@ -260,34 +260,40 @@ def sample_per_group(
     whatever order the files arrived in; the hash rank is a fair draw that
     every re-run and every engine reproduces.
 
-    One shuffle on ``keys``; skewed groups cost their own size only — the
-    window sorts whole groups inside single tasks, so a pathological
-    single-key group (one viral domain holding a corpus-scale share) pins
-    one task. ``big_group_cutoff`` arms the OUTPUT-IDENTICAL guarded
-    route for exactly those groups (lazy — a count aggregate joined back,
-    no driver collect): groups above the cutoff run a salted two-stage
-    top-k — top-``k`` within each of ``salt`` md5-derived cells (spreads
-    one group over ``salt`` tasks), then true top-``k`` over the ≤
-    ``salt``·``k`` survivors. Exact including rank values: every true
-    top-``k`` row is top-``k`` within its salt cell, and all better rows
-    survive stage 1, so survivor-set ranks 1..k equal global ranks.
-    Groups at or below the cutoff keep the plain single-window shape.
+    Plain route — THE scale path, measured: one shuffle on ``keys``,
+    and Catalyst inserts ``WindowGroupLimit`` around it (rank-limit
+    pushdown for ``row_number() <= k`` filters): a map-side Partial
+    top-``k`` per group runs BEFORE the exchange, so a viral single-key
+    group ships ≤ ``k``·n_map_partitions rows to the final window
+    task, never its full size. The naive skew story ("a giant group
+    sorts inside one task") does NOT apply to this operator — probed at
+    40M rows with one domain holding 95%: 4.2 s, flat vs the unskewed
+    case (SCALE.md r7; the Partial-before-Exchange shape is pinned by a
+    plan test).
+
+    ``salted=True`` arms an OUTPUT-IDENTICAL two-stage top-k — stage 1
+    ranks within (``keys``, md5-derived salt cell) and keeps ``k`` per
+    cell, stage 2 ranks the survivors per group; exact including rank
+    values, since every true top-``k`` row is top-``k`` in its cell and
+    all better-ranked rows survive stage 1. It exists as the manual
+    fallback for rank variants the group-limit pushdown cannot cover
+    (e.g. ordering by an expression Catalyst declines to push); for
+    this operator it only adds a second full shuffle — measured 4.2x
+    plain at 20M rows/20% skew, 1.5x at 40M/95% (extreme skew lets
+    stage 1 prune more) — so leave it off unless the plan audit shows
+    the pushdown missing. An earlier count-routed design (count
+    aggregate joined back, salting only groups above a cutoff) measured
+    7.7x plain at 20M rows and 54x at 40M/95% skew: the count-join
+    itself re-shuffles the viral key into one join partition — the
+    guard WAS the wedge.
     """
     order = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     w = Window.partitionBy(*keys).orderBy(order.asc(), F.col(id_col).asc())
-    if big_group_cutoff is None:
+    if not salted:
         return (
             df.withColumn(rank_name, F.row_number().over(w))
             .filter(F.col(rank_name) <= k)
         )
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__gn__"))
-    tagged = df.join(counts, list(keys))
-    small = (
-        tagged.filter(F.col("__gn__") <= big_group_cutoff)
-        .drop("__gn__")
-        .withColumn(rank_name, F.row_number().over(w))
-        .filter(F.col(rank_name) <= k)
-    )
     # salt cell from the SAME md5 order key (layout-independent); conv
     # returns a string, hence the cast
     salt_cell = (
@@ -297,19 +303,15 @@ def sample_per_group(
         order.asc(), F.col(id_col).asc()
     )
     stage1 = (
-        tagged.filter(F.col("__gn__") > big_group_cutoff)
-        .drop("__gn__")
-        .withColumn("__salt__", salt_cell)
+        df.withColumn("__salt__", salt_cell)
         .withColumn("__r1__", F.row_number().over(w1))
         .filter(F.col("__r1__") <= k)
         .drop("__salt__", "__r1__")
     )
-    big = (
+    return (
         stage1.withColumn(rank_name, F.row_number().over(w))
         .filter(F.col(rank_name) <= k)
     )
-    # the key join reorders columns — restore the caller's layout
-    return small.unionByName(big).select(*df.columns, rank_name)
 
 
 def mixture_sample(

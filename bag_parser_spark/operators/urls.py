@@ -11,7 +11,7 @@ map work that pushes through the scan; the suffix match replicates a
 few-KB list to every task; the per-domain cap is the only shuffle and
 it partitions by registered domain — the key with the heaviest real
 skew (one giant domain), which is exactly what ``sample_per_group``'s
-``big_group_cutoff`` salted two-stage top-k (output-identical,
+``salted=True`` two-stage top-k (output-identical,
 unit-pinned) is for.
 
 The reference has no web stage (it is a BAG parser); this family is

@@ -233,10 +233,13 @@ _CAP_SEED = "domcap"
     "anti-over-representation step every web pipeline applies; reuses "
     "sample_per_group's deterministic md5(seed:id) fair draw so the "
     "kept subset is engine- and rerun-stable, not arrival-order bias. "
-    "One window shuffle keyed by registered_domain; a viral domain is "
-    "the classic skew key, and sample_per_group(big_group_cutoff=...) "
-    "arms the output-identical salted two-stage top-k for exactly "
-    "those groups (identity pinned by unit test).",
+    "One window shuffle keyed by registered_domain — and it is "
+    "viral-domain-safe AS IS: Catalyst plans a map-side Partial "
+    "WindowGroupLimit before the exchange (<= k rows per group per map "
+    "partition ever ship), probed flat at 95% single-domain skew and "
+    "pinned by plan test. sample_per_group(salted=True) remains the "
+    "output-identical manual fallback for rank shapes the pushdown "
+    "can't cover (SCALE.md r7).",
 )
 def q_url_domain_cap(spark, sf_dir):
     from bag_parser_spark.operators import sampling

@@ -57,6 +57,83 @@ def derive(base: str, out: str, skew_pct: int, emb_x: int) -> None:
     """)
 
 
+def cap_probe(
+    spark, n_rows: int, skew_pct: int, reps: int, verify: bool = False
+) -> None:
+    """Per-domain-cap skew probe (r7): one viral domain holds
+    ``skew_pct``% of ``n_rows`` synthetic docs; time
+    ``sample_per_group(k=5)`` with the plain single window vs the
+    ``salted=True`` two-stage route. Finding recorded in SCALE.md: the
+    plain route is skew-flat because Catalyst's map-side Partial
+    WindowGroupLimit pre-limits every group to k rows per map
+    partition — the salted route (and the count-routed guard it
+    replaced) only ADD cost for row_number ranks. Each arm prints its
+    own JSON line as it completes, so one straggling arm never hides
+    the other arm's number.
+    Output identity between the routes is pinned by
+    ``tests/test_extensions.py::test_sample_per_group_salted_route_is_
+    output_identical``; pass ``verify=True`` to also re-check it here
+    (two extra full exceptAll passes). Input is generated in-memory via
+    spark.range — the probe measures the window shuffle, not a scan."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators import sampling
+    from bag_parser_spark.session import release_cached_blocks
+
+    df = spark.range(n_rows).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 < skew_pct, F.lit("viral.com"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % 200_000)))
+        .alias("registered_domain"),
+    )
+
+    def run(arm: str, **extra) -> float:
+        times = []
+        for _ in range(reps):
+            release_cached_blocks(spark)
+            t0 = _t.time()
+            sampling.sample_per_group(
+                df, keys=["registered_domain"], id_col="id", k=5,
+                seed="capskew", **extra,
+            ).write.format("noop").mode("overwrite").save()
+            times.append(_t.time() - t0)
+        print(json.dumps({
+            "probe": "per_domain_cap_giant_group",
+            "arm": arm,
+            "n_rows": n_rows,
+            "skew_pct": skew_pct,
+            "sec_min": round(min(times), 3),
+            "sec_all": [round(t, 3) for t in times],
+        }), flush=True)
+        return min(times)
+
+    guarded = run("salted", salted=True, salt=32)
+    plain = run("plain")
+    out = {
+        "probe": "per_domain_cap_giant_group",
+        "arm": "summary",
+        "n_rows": n_rows,
+        "skew_pct": skew_pct,
+        "plain_s": round(plain, 3),
+        "salted_s": round(guarded, 3),
+        "salted_speedup": round(plain / guarded, 2),
+    }
+    if verify:
+        a = sampling.sample_per_group(
+            df, keys=["registered_domain"], id_col="id", k=5, seed="capskew"
+        )
+        b = sampling.sample_per_group(
+            df, keys=["registered_domain"], id_col="id", k=5, seed="capskew",
+            salted=True, salt=32,
+        )
+        out["rows_equal"] = (
+            a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        )
+    print(json.dumps(out), flush=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
@@ -64,6 +141,26 @@ def main() -> int:
     ap.add_argument("--skew-pct", type=int, default=20)
     ap.add_argument("--emb-x", type=int, default=4)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--cap-rows",
+        type=int,
+        default=0,
+        help="also run the per-domain-cap skew probe on N synthetic "
+        "rows (0 = off); emits a per_domain_cap_giant_group JSON line",
+    )
+    ap.add_argument(
+        "--cap-only",
+        action="store_true",
+        help="run ONLY the cap probe (skips the semantic-dedup probe "
+        "and its corpus derivation)",
+    )
+    ap.add_argument(
+        "--cap-verify",
+        action="store_true",
+        help="also re-check plain/salted output identity inside the cap "
+        "probe (two full exceptAll passes; identity is already pinned "
+        "by unit test)",
+    )
     args = ap.parse_args()
     if not 0 < args.skew_pct <= 100 or args.reps < 1 or args.emb_x < 1:
         ap.error("need 0 < --skew-pct <= 100, --reps >= 1, --emb-x >= 1")
@@ -76,6 +173,14 @@ def main() -> int:
     from bag_parser_spark.operators import similarity
     from bag_parser_spark.session import get_spark, release_cached_blocks
     from bag_parser_spark.sources.parquet import load_table
+
+    if args.cap_only:
+        spark = get_spark(app_name="skew-probe")
+        cap_probe(
+            spark, args.cap_rows or 20_000_000, args.skew_pct, args.reps,
+            verify=args.cap_verify,
+        )
+        return 0
 
     derive(args.base, args.out, args.skew_pct, args.emb_x)
     spark = get_spark(app_name="skew-probe")
@@ -120,6 +225,8 @@ def main() -> int:
         "rows_salted": n_sa,
         "rows_equal": n_un == n_sa,
     }), flush=True)
+    if args.cap_rows > 0:
+        cap_probe(spark, args.cap_rows, args.skew_pct, args.reps, verify=args.cap_verify)
     return 0
 
 

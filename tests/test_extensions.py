@@ -2217,10 +2217,10 @@ def test_prepare_corpus_gopher_gate(spark, tmp_path):
 
 
 def test_sample_per_group_salted_route_is_output_identical(spark):
-    """big_group_cutoff's salted two-stage top-k must reproduce the plain
-    window's output EXACTLY (rows and rank values) on a skewed input —
-    one giant group, several small — including with cutoff=0 forcing
-    every group through the salted route."""
+    """The salted two-stage top-k must reproduce the plain window's
+    output EXACTLY (rows and rank values) on a skewed input — one giant
+    group (spread across every salt cell) plus several small groups
+    (each smaller than salt*k, so stage 1 passes them through whole)."""
     from bag_parser_spark.operators import sampling
 
     rows = [(i, "giant") for i in range(500)]
@@ -2230,12 +2230,12 @@ def test_sample_per_group_salted_route_is_output_identical(spark):
         df, keys=["grp"], id_col="id", k=3, seed="s"
     )
     want = sorted(map(tuple, plain.collect()))
-    for cutoff in (0, 100):
+    for n_salt in (2, 8):
         got = sampling.sample_per_group(
             df, keys=["grp"], id_col="id", k=3, seed="s",
-            big_group_cutoff=cutoff, salt=8,
+            salted=True, salt=n_salt,
         )
-        assert sorted(map(tuple, got.collect())) == want, cutoff
+        assert sorted(map(tuple, got.collect())) == want, n_salt
 
 
 def test_c4_line_filter_branches(spark):

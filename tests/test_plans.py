@@ -502,3 +502,41 @@ def test_runtime_cached_plan_shapes_persist_queries(spark):
     st = stats("dedup_incremental")
     assert st["cached_distinct"] == 1, st  # banded new-batch projection
     assert st["runtime_exchanges"] <= 5, st
+
+
+def test_sample_per_group_window_group_limit_pushdown(spark):
+    """sample_per_group's plain route is skew-safe BECAUSE Catalyst
+    plans a map-side Partial WindowGroupLimit before the exchange (a
+    viral group ships <= k rows per map partition, never its full
+    size) — the property that measured 4.2 s flat on a 40M-row/95%-skew
+    probe (SCALE.md r7). If a refactor changes the rank expression so
+    the pushdown no longer applies (e.g. rank over a derived ordering
+    Catalyst declines), this trips and the salted route becomes the
+    documented fallback."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators import sampling
+
+    df = spark.range(10_000).select(
+        F.col("id"),
+        F.concat(F.lit("d"), (F.col("id") % 7)).alias("grp"),
+    )
+    out = sampling.sample_per_group(df, keys=["grp"], id_col="id", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("WindowGroupLimit")
+    assert "row_number(), 5, Partial" in plan and "5, Final" in plan
+    # the Partial instance sits BELOW the exchange (later in the tree
+    # string), i.e. map-side
+    below_exchange = plan[plan.find("Exchange hashpartitioning(grp"):]
+    assert "Partial" in below_exchange and partial >= 0
+    # the salted fallback stays output-identical and costs exactly one
+    # extra exchange (two window shuffles total, no count pass, no join)
+    salted = sampling.sample_per_group(
+        df, keys=["grp"], id_col="id", k=5, salted=True
+    )
+    splan = salted._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_ex = len(re.findall(r"Exchange (?:hash|range|Single)", splan))
+    assert n_ex == 2, splan
+    assert "Join" not in splan and "Aggregate" not in splan
