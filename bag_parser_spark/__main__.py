@@ -236,7 +236,23 @@ def cmd_prepare(args) -> int:
     from bag_parser_spark.plans.corpus_prep import prepare_corpus
 
     spark = _get_spark(args, "corpus-prepare")
-    docs = spark.read.parquet(args.docs)
+    id_col, url_col = "doc_id", args.url_col
+    if args.from_warc:
+        from pyspark.sql import functions as F
+
+        from bag_parser_spark.sources.warc import crawl_to_documents
+
+        # raw crawl front half: WARC -> visible text -> C4 lines; docs
+        # the line gate rejects never reach the curation stages
+        docs = (
+            crawl_to_documents(spark, args.docs)
+            .filter(~F.col("drop_doc"))
+            .select("url", "text")
+        )
+        id_col = "url"
+        url_col = url_col or "url"
+    else:
+        docs = spark.read.parquet(args.docs)
     splits = None
     if args.splits:
         parts = [s.split("=") for s in args.splits.split(",")]
@@ -245,6 +261,7 @@ def cmd_prepare(args) -> int:
         spark,
         docs,
         args.out,
+        id_col=id_col,
         min_quality=args.min_quality,
         lang=None if args.any_lang else args.lang,
         splits=splits,
@@ -259,7 +276,7 @@ def cmd_prepare(args) -> int:
         ),
         max_contamination_pct=args.max_contamination_pct,
         gopher=args.gopher,
-        url_col=args.url_col,
+        url_col=url_col,
         max_per_domain=args.max_per_domain,
         domain_blocklist=(
             spark.createDataFrame(
@@ -356,7 +373,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="curate a documents table into a split training corpus",
     )
     prep.add_argument("--docs", required=True,
-                      help="input documents parquet (doc_id, text[, source])")
+                      help="input documents parquet (doc_id, text[, "
+                      "source]) — or a WARC directory with --from-warc")
+    prep.add_argument("--from-warc", action="store_true",
+                      help="treat --docs as a directory of WARC/WARC.GZ "
+                      "crawl files: parse records, extract visible text "
+                      "(html_to_text), clean lines (C4 filter), key docs "
+                      "by URL; implies --url-col url")
     prep.add_argument("--out", required=True,
                       help="output directory (parquet, partitioned by split)")
     prep.add_argument("--min-quality", type=float, default=0.7)

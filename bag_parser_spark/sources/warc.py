@@ -1,0 +1,257 @@
+"""WARC (Web ARChive, ISO 28500) source — the raw-input end of the
+web-curation pipeline: CommonCrawl and every serious crawler deliver
+pages as WARC, so `read_warc` is the step BEFORE `html_to_text` /
+`c4_line_filter` / `canonicalize_url` in a real corpus build.
+
+Spark-first shape: `spark.read.format("binaryFile")` scans the WARC
+files (one row per file — the standard CommonCrawl processing grain,
+where each of the ~72k segment files is an independent ~1 GB unit and
+parallelism comes from file count, exactly how a 1000-executor cluster
+eats a crawl), then ONE Arrow-batched `mapInPandas` parses records
+executor-side. No shuffle anywhere: file → records is embarrassingly
+parallel map work; everything downstream (dedup, quality, domain caps)
+starts from the returned DataFrame.
+
+Format notes (public spec, ISO 28500 / IIPC warc-specifications):
+- A WARC file is a concatenation of records. Each record: a header
+  block ("WARC/1.0\\r\\n" + "Name: value" lines) terminated by
+  CRLFCRLF, then exactly Content-Length payload bytes, then CRLFCRLF.
+- *.warc.gz files are CONCATENATED gzip members (one per record) so
+  readers can seek; Python's ``gzip.decompress`` handles concatenated
+  members natively, so decompress-then-parse covers both layouts.
+- 'response' records carry an HTTP message as payload: status line +
+  headers, CRLFCRLF, body. ``read_warc(parse_http=True)`` splits it so
+  callers get the HTML body directly.
+
+Scale caveats, stated honestly: a file is decompressed in ONE task, so
+executor memory must hold one decompressed file (~4-5x the ~1 GB
+compressed grain) — the same contract every CommonCrawl map job has;
+shard the crawl into more, smaller WARCs to lower it. binaryFile caps
+single-file size at spark.sql.sources.binaryFile.maxLength (int32 max
+by default) which matches the 1 GB convention.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_CRLF2 = b"\r\n\r\n"
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_offset", T.LongType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def parse_warc_records(
+    data: bytes,
+) -> Iterator[tuple[int, dict[str, str], bytes]]:
+    """Iterate (offset, header-fields, payload) over raw (already
+    decompressed) WARC bytes. Header names are lower-cased; a record
+    with a missing/garbled Content-Length ends the iteration rather
+    than mis-slicing every later record (truncated tail files are a
+    fact of crawl life)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        start = pos
+        hdr_end = data.find(_CRLF2, pos)
+        if hdr_end < 0:
+            return
+        header = data[pos:hdr_end].decode("utf-8", "replace")
+        lines = header.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            return
+        fields: dict[str, str] = {}
+        for line in lines[1:]:
+            name, _, value = line.partition(":")
+            fields[name.strip().lower()] = value.strip()
+        try:
+            clen = int(fields["content-length"])
+        except (KeyError, ValueError):
+            return
+        body_start = hdr_end + len(_CRLF2)
+        if body_start + clen > n:
+            return  # truncated final record
+        yield start, fields, data[body_start : body_start + clen]
+        pos = body_start + clen
+
+
+def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split an HTTP response message into (status, content-type, body).
+    Non-HTTP payloads come back unchanged with (None, None, payload)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    sep = payload.find(_CRLF2)
+    if sep < 0:
+        return None, None, payload
+    head = payload[:sep].decode("utf-8", "replace").split("\r\n")
+    parts = head[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    ctype = None
+    for line in head[1:]:
+        name, _, value = line.partition(":")
+        if name.strip().lower() == "content-type":
+            ctype = value.strip()
+            break
+    return status, ctype, payload[sep + len(_CRLF2) :]
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] | None = ("response",),
+    parse_http: bool = True,
+) -> DataFrame:
+    """Read WARC/WARC.GZ files under ``path`` into one row per record.
+
+    ``record_types`` keeps only those WARC-Type values (default: just
+    'response', the records that carry page content — request/metadata
+    records are crawler bookkeeping); pass None for all. With
+    ``parse_http``, response payloads are split into http_status /
+    http_content_type / body so the payload column IS the page bytes.
+
+    The type filter runs INSIDE the parser (executor-side, before any
+    Arrow transfer), so skipped records never leave the task.
+    """
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)  # concatenated members ok
+                for off, fields, payload in parse_warc_records(data):
+                    wtype = fields.get("warc-type", "")
+                    if record_types is not None and wtype not in record_types:
+                        continue
+                    status, ctype, body = (
+                        split_http_payload(payload)
+                        if parse_http
+                        else (None, None, payload)
+                    )
+                    rows.append(
+                        {
+                            "warc_file": fpath,
+                            "record_offset": off,
+                            "record_id": fields.get("warc-record-id"),
+                            "warc_type": wtype,
+                            "target_uri": fields.get("warc-target-uri"),
+                            "warc_date": fields.get("warc-date"),
+                            "content_type": fields.get("content-type"),
+                            "content_length": int(fields["content-length"]),
+                            "http_status": status,
+                            "http_content_type": ctype,
+                            "payload": body,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def build_warc_bytes(
+    records: list[tuple[str, str, dict[str, str], bytes]],
+    per_record_gzip: bool = False,
+) -> bytes:
+    """Assemble WARC bytes from (warc_type, target_uri, extra_headers,
+    payload) tuples — the fixture/writer half used by tests and by
+    small roundtrip exports. ``per_record_gzip`` emits one gzip member
+    per record, the CommonCrawl *.warc.gz layout."""
+    out = []
+    for i, (wtype, uri, extra, payload) in enumerate(records):
+        headers = [
+            "WARC/1.0",
+            f"WARC-Type: {wtype}",
+            f"WARC-Record-ID: <urn:uuid:{i:08d}-0000-0000-0000-000000000000>",
+            "WARC-Date: 2026-01-01T00:00:00Z",
+        ]
+        if uri:
+            headers.append(f"WARC-Target-URI: {uri}")
+        for k, v in extra.items():
+            headers.append(f"{k}: {v}")
+        headers.append(f"Content-Length: {len(payload)}")
+        rec = (
+            "\r\n".join(headers).encode() + _CRLF2 + payload + _CRLF2
+        )
+        out.append(gzip.compress(rec) if per_record_gzip else rec)
+    return b"".join(out)
+
+
+def crawl_to_documents(
+    spark: SparkSession,
+    path: str,
+    min_words: int = 4,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The assembled raw-web front half: WARC scan → HTTP 200 text/html
+    responses → visible text (``html_to_text``) → C4 line cleaning →
+    canonical URL — one lazy plan from crawl bytes to curation-ready
+    (url, canonical_url, text, n_lines, n_kept, drop_doc) rows, ready
+    for `prepare_corpus` (dedup/quality/domain stages) downstream.
+    Everything after the per-file record parse is expression-level map
+    work; no shuffle until a downstream stage asks for one."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators import text as text_ops
+    from bag_parser_spark.operators import urls
+
+    pages = (
+        read_warc(spark, path)
+        .filter(
+            (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            text_ops.html_to_text(
+                F.decode(F.col("payload"), "UTF-8")
+            ).alias("visible"),
+        )
+        # sentence boundaries -> line boundaries for the line filter
+        .select(
+            "url",
+            F.regexp_replace(F.col("visible"), r"\. ", ".\n").alias("text"),
+        )
+    )
+    cleaned = text_ops.c4_line_filter(
+        pages,
+        id_col="url",
+        text_col="text",
+        min_words=min_words,
+        min_kept_lines=min_kept_lines,
+    )
+    return cleaned.withColumn(
+        "canonical_url", urls.canonicalize_url(F.col("url"))
+    ).withColumnRenamed("clean_text", "text")

@@ -410,3 +410,66 @@ def test_cli_prepare_gopher_and_domain_flags(tmp_path):
     assert "saved.net" in doms          # allowlist overrides blocklist
     assert all(n <= 2 for n in doms.values())
     assert 100 not in kept_ids          # gopher-rejected doc absent
+
+
+def test_cli_prepare_from_warc(tmp_path):
+    """`prepare --from-warc` runs the raw-crawl front half (WARC ->
+    visible text -> C4 line gate, URL-keyed) before the standard
+    curation stages and writes a split corpus."""
+    import json
+
+    import duckdb
+
+    from bag_parser_spark.sources import warc as W
+
+    def page(i):
+        body = (
+            f"<html><body><h1>Page {i}</h1>"
+            f"<p>The quick brown fox number {i} jumps over the lazy dog.</p>"
+            f"<p>It then rests by the old stone bridge for a while.</p>"
+            f"<p>Birds sing their songs about summer evening {i} there.</p>"
+            "<script>var skip = 1;</script></body></html>"
+        ).encode()
+        return (
+            "response", f"https://site{i % 2}.com/p/{i}",
+            {"Content-Type": "application/http;msgtype=response"},
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body,
+        )
+
+    records = [page(i) for i in range(6)]
+    # a 404 and a non-html 200 must be dropped by the front half
+    records.append(("response", "https://site0.com/miss",
+                    {"Content-Type": "application/http;msgtype=response"},
+                    b"HTTP/1.1 404 Not Found\r\n\r\ngone"))
+    records.append(("response", "https://site0.com/data.json",
+                    {"Content-Type": "application/http;msgtype=response"},
+                    b"HTTP/1.1 200 OK\r\nContent-Type: application/json"
+                    b"\r\n\r\n{}"))
+    crawl_dir = tmp_path / "crawl"
+    crawl_dir.mkdir()
+    (crawl_dir / "seg0.warc.gz").write_bytes(
+        W.build_warc_bytes(records, per_record_gzip=True)
+    )
+    out_dir = str(tmp_path / "corpus")
+    proc = _run_cli(
+        "prepare", "--from-warc", "--docs", str(crawl_dir),
+        "--out", out_dir, "--min-quality", "0", "--any-lang",
+        "--no-near-dedup", "--max-per-domain", "2",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # 404 + json never entered curation; 2 domains x 3 html pages,
+    # capped at 2 per domain -> 4 survive
+    assert summary["n_out"] == 4 and summary["max_per_domain"] == 2
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT url, text, registered_domain FROM "
+        f"read_parquet('{out_dir}/*/*.parquet', hive_partitioning=1)"
+    ).fetchall()
+    con.close()
+    assert len(rows) == summary["n_out"]
+    assert all("skip" not in t for _, t, _ in rows)  # script gone
+    assert all("." in t and "fox" in t for _, t, _ in rows)
+    from collections import Counter
+    per_dom = Counter(d for *_, d in rows)
+    assert per_dom == {"site0.com": 2, "site1.com": 2}

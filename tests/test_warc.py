@@ -1,0 +1,139 @@
+"""WARC source: record parsing (plain + per-record-gzip layouts), HTTP
+payload splitting, type filtering, truncation tolerance, and the raw
+crawl -> visible text -> C4 lines pipeline end-to-end."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from bag_parser_spark.sources import warc
+
+_HTML = (
+    b"<html><body><h1>A heading</h1>"
+    b"<p>This is the first real sentence of the page.</p>"
+    b"<p>And here is another good long sentence to keep.</p>"
+    b"<p>Plus a third full sentence for the line gate.</p>"
+    b"<script>var tracked = true;</script></body></html>"
+)
+
+_HTTP = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    b"Server: test\r\n\r\n" + _HTML
+)
+
+_RECORDS = [
+    ("warcinfo", "", {"Content-Type": "application/warc-fields"},
+     b"software: testcrawler/1.0\r\n"),
+    ("request", "https://example.com/page",
+     {"Content-Type": "application/http;msgtype=request"},
+     b"GET /page HTTP/1.1\r\nHost: example.com\r\n\r\n"),
+    ("response", "https://example.com/page",
+     {"Content-Type": "application/http;msgtype=response"}, _HTTP),
+    ("response", "https://example.com/other",
+     {"Content-Type": "application/http;msgtype=response"},
+     b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\ngone"),
+]
+
+
+def _write(tmp_path, per_record_gzip):
+    name = "crawl.warc.gz" if per_record_gzip else "crawl.warc"
+    (tmp_path / name).write_bytes(
+        warc.build_warc_bytes(_RECORDS, per_record_gzip=per_record_gzip)
+    )
+
+
+def test_warc_parse_records_plain_bytes():
+    data = warc.build_warc_bytes(_RECORDS)
+    recs = list(warc.parse_warc_records(data))
+    assert [r[1]["warc-type"] for r in recs] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    assert recs[2][2] == _HTTP
+    # offsets strictly increase and start at 0
+    offs = [r[0] for r in recs]
+    assert offs[0] == 0 and offs == sorted(set(offs))
+    # a truncated tail record ends iteration cleanly, keeping the rest
+    cut = data + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    assert len(list(warc.parse_warc_records(cut))) == 4
+
+
+def test_split_http_payload():
+    status, ctype, body = warc.split_http_payload(_HTTP)
+    assert status == 200 and ctype == "text/html; charset=utf-8"
+    assert body == _HTML
+    raw = b"not http at all"
+    assert warc.split_http_payload(raw) == (None, None, raw)
+
+
+def test_read_warc_both_layouts(spark, tmp_path):
+    _write(tmp_path, per_record_gzip=False)
+    _write(tmp_path, per_record_gzip=True)
+    df = warc.read_warc(spark, str(tmp_path))
+    rows = df.orderBy("warc_file", "record_offset").collect()
+    # 2 files x 2 response records (default type filter)
+    assert len(rows) == 4
+    assert {r["warc_type"] for r in rows} == {"response"}
+    ok = [r for r in rows if r["http_status"] == 200]
+    assert len(ok) == 2
+    assert bytes(ok[0]["payload"]) == _HTML
+    assert ok[0]["target_uri"] == "https://example.com/page"
+    assert ok[0]["http_content_type"].startswith("text/html")
+    # gzip decompression really ran per concatenated member
+    gz = [r for r in rows if r["warc_file"].endswith(".warc.gz")]
+    assert len(gz) == 2
+    # all record types when the filter is off; raw payload keeps headers
+    allr = warc.read_warc(
+        spark, str(tmp_path), record_types=None, parse_http=False
+    )
+    assert allr.count() == 8
+    resp = allr.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status").isNull())
+    )
+    assert resp.count() == 4  # parse_http off -> no status extracted
+
+
+def test_warc_to_clean_text_pipeline(spark, tmp_path):
+    """The full raw-web front half: WARC scan -> HTTP body -> HTML ->
+    visible text -> C4 line filter, all in one lazy plan."""
+    from bag_parser_spark.operators import text
+
+    _write(tmp_path, per_record_gzip=True)
+    pages = (
+        warc.read_warc(spark, str(tmp_path))
+        .filter(
+            (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("payload"), "UTF-8").alias("html"),
+        )
+        .withColumn("visible", text.html_to_text(F.col("html")))
+    )
+    # html_to_text keeps sentence text, drops the script block
+    row = pages.head()
+    assert "first real sentence" in row["visible"]
+    assert "tracked" not in row["visible"]
+    # sentences -> lines, then the C4 gate keeps the 3 full sentences
+    lined = pages.select(
+        "url",
+        F.regexp_replace(F.col("visible"), r"\. ", ".\n").alias("text"),
+    )
+    out = text.c4_line_filter(lined, id_col="url").head()
+    assert out["n_kept"] == 3 and not out["drop_doc"]
+
+
+def test_crawl_to_documents_front_half(spark, tmp_path):
+    """crawl_to_documents assembles WARC -> html -> C4 -> canonical URL
+    in one lazy plan and returns curation-ready rows."""
+    _write(tmp_path, per_record_gzip=True)
+    docs = warc.crawl_to_documents(spark, str(tmp_path))
+    rows = docs.collect()
+    assert len(rows) == 1  # only the 200 text/html response survives
+    r = rows[0].asDict()
+    assert r["url"] == "https://example.com/page"
+    assert r["canonical_url"] == "https://example.com/page"
+    assert r["n_kept"] == 3 and not r["drop_doc"]
+    assert "first real sentence" in r["text"] and "tracked" not in r["text"]
