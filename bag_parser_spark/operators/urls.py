@@ -10,9 +10,10 @@ block lists are small by nature) and one window shuffle keyed by domain
 map work that pushes through the scan; the suffix match replicates a
 few-KB list to every task; the per-domain cap is the only shuffle and
 it partitions by registered domain — the key with the heaviest real
-skew (one giant domain), which is exactly what ``sample_per_group``'s
-``salted=True`` two-stage top-k (output-identical,
-unit-pinned) is for.
+skew (one giant domain), which Catalyst's map-side WindowGroupLimit
+already bounds to k rows per map partition (probed flat at 95%
+single-domain skew, SCALE.md r7; ``sample_per_group``'s ``salted=True``
+two-stage top-k remains the output-identical manual fallback).
 
 The reference has no web stage (it is a BAG parser); this family is
 part of the training-data extension surface (VERDICT r6 "next" #4).
@@ -204,4 +205,86 @@ def apply_domain_blocklist(
         F.broadcast(b),
         df[domain_col] == F.col("__blocked_domain__"),
         "left_anti",
+    )
+
+
+# href extraction pattern — double-quoted attribute values; group 1 is
+# the target. Capture-group extract_all works identically under Java
+# regex (Spark) and RE2 (the DuckDB oracle); no backreferences.
+HREF_RE = r'href="([^"]*)"'
+
+
+def resolve_link(
+    link: Column, scheme: Column, host: Column, path: Column
+) -> Column:
+    """RFC 3986-lite reference resolution for harvested hrefs, as one
+    codegen CASE: absolute http(s) targets pass through; protocol-
+    relative ('//cdn...') inherit the base scheme; root-relative
+    ('/about') join scheme://host; fragments, empty targets and
+    javascript:/mailto: pseudo-links resolve to NULL (dropped by the
+    caller); anything else is path-relative and joins the base
+    DIRECTORY (base path with its last segment stripped). ``path``
+    must be the normalized base path ('' already mapped to '/'), so
+    the directory join always has its leading slash."""
+    base_dir = F.regexp_replace(path, "[^/]*$", "")
+    return (
+        F.when(link.rlike("^[Hh][Tt][Tt][Pp][Ss]?://"), link)
+        .when(
+            link.startswith("//"), F.concat(scheme, F.lit(":"), link)
+        )
+        .when(
+            link.startswith("/"),
+            F.concat(scheme, F.lit("://"), host, link),
+        )
+        .when(
+            (link == "") | link.rlike("^(javascript:|mailto:|#)"),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.concat(scheme, F.lit("://"), host, base_dir, link))
+    )
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    scheme_col: str,
+    host_col: str,
+    path_col: str,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Harvest and resolve outgoing links — the crawl-frontier / web-
+    graph construction step (the edge list PageRank and domain-graph
+    analyses consume). regexp_extract_all pulls every double-quoted
+    href; posexplode keeps the in-page link order as ``link_no``;
+    ``resolve_link`` absolutizes each target against the page's base
+    (scheme, host, path); NULL resolutions (fragments, javascript:,
+    mailto:, empty) are dropped. ``keep`` lists extra columns carried
+    through unchanged (e.g. the source host for edge-list building).
+
+    Scale shape: extraction and resolution are per-row string
+    expressions riding the scan (whole-stage codegen, no UDF); the
+    explode multiplies rows by the page's own link count, never by
+    corpus size — map-only until a downstream aggregate asks for a
+    shuffle."""
+    exploded = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.col(scheme_col).alias("__scheme__"),
+        F.col(host_col).alias("__host__"),
+        F.col(path_col).alias("__path__"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
+        ).alias("link_no", "__raw__"),
+    )
+    resolved = resolve_link(
+        F.col("__raw__"),
+        F.col("__scheme__"),
+        F.col("__host__"),
+        F.col("__path__"),
+    )
+    return (
+        exploded.withColumn("link_url", resolved)
+        .filter(F.col("link_url").isNotNull())
+        .select(id_col, *keep, "link_no", "link_url")
     )

@@ -957,7 +957,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "url_canonicalize", "url_domain_stats", "url_domain_cap",
     "url_blocklist_filter", "text_gopher_rules", "mm_jpeg_features",
     "url_canonical_dedup", "text_gopher_summary", "text_c4_line_filter",
-    "text_html_extract",
+    "text_html_extract", "web_link_extract", "web_link_graph",
     # — oldest greens next: the only two queries whose latest row is r2 —
     "tfidf_vectors", "sim_knn_join",
     # — family fillers (latest row r4) so every family predicate in the
@@ -977,8 +977,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "p7_geometry_roundtrip", "f8_geometry_rings", "a9_rollup",
     "a10_pivot", "w3_rank_battery", "a11_exact_moments",
     "ev_json_extract", "text_pii_redact", "emb_quantize_int8",
-    "ml_kmeans_step", "a12_zscore", "text_bigram_lm",
-    "j11_merge_apply", "layout_zorder_key", "a13_above_cust_avg",
+    "ml_kmeans_step", "j11_merge_apply", "text_bigram_lm",
+    "a12_zscore", "layout_zorder_key", "a13_above_cust_avg",
     "a14_profile", "dedup_ngram_jaccard", "dedup_simhash",
     "split_train_test", "pack_sequences", "curate_corpus",
     "sample_per_source", "decontaminate_check", "sample_weighted_sources",

@@ -356,3 +356,163 @@ def q_url_canonical_dedup(spark, sf_dir):
         )
         .filter(F.col("n_dups") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# web_link_extract / web_link_graph — href harvesting, reference
+# resolution, and host-level edge aggregation (r7 late: the crawl-
+# frontier / web-graph construction step that feeds ml_pagerank_step)
+# ---------------------------------------------------------------------------
+
+# Per-page HTML synthesized from doc_id alone (dual-dialect; hrefs are
+# double-quoted so the single extraction regex covers every branch):
+# an absolute mixed-case external link, a protocol-relative CDN link
+# (even ids), a root-relative link, a path-relative link (ids % 3),
+# dropped fragment/javascript links (ids % 4), and a dropped mailto
+# (ids % 5).
+_LINK_HTML_EXPR = (
+    "'<html><body>' || "
+    "'<a href=\"HTTP://Ext' || CAST(doc_id % 7 AS STRING) || "
+    "'.COM/p/1\">x</a>' || "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'<a href=\"//cdn' || CAST(doc_id % 3 AS STRING) || "
+    "'.example.org/lib.js\">c</a>' ELSE '' END || "
+    "'<a href=\"/about\">a</a>' || "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'<a href=\"img/logo' || CAST(doc_id % 5 AS STRING) || "
+    "'.png\">i</a>' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'<a href=\"#top\">t</a><a href=\"javascript:void(0)\">j</a>' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "'<a href=\"mailto:x@example.com\">m</a>' ELSE '' END || "
+    "'</body></html>'"
+)
+
+# shared CTE tail: page base components (from the canonicalizer's
+# parts/hostp chain) + extraction + ordinal + resolution — the same
+# CASE the Spark resolve_link compiles to
+_LINK_CTES = f"""
+    base AS (
+      SELECT doc_id, scheme, host,
+             CASE WHEN path = '' THEN '/' ELSE path END AS npath,
+             {_LINK_HTML_EXPR} AS html
+      FROM hostp
+    ),
+    lnk AS (
+      SELECT doc_id, scheme, host, npath,
+             regexp_extract_all(html, 'href="([^"]*)"', 1) AS ls
+      FROM base
+    ),
+    pos AS (
+      SELECT doc_id, scheme, host, npath, i - 1 AS link_no, ls[i] AS raw
+      FROM (SELECT *, unnest(range(1, len(ls) + 1)) AS i FROM lnk)
+    ),
+    res AS (
+      SELECT doc_id, link_no, host AS src_hostport,
+             CASE
+               WHEN regexp_matches(raw, '^[Hh][Tt][Tt][Pp][Ss]?://')
+                 THEN raw
+               WHEN starts_with(raw, '//') THEN scheme || ':' || raw
+               WHEN starts_with(raw, '/')
+                 THEN scheme || '://' || host || raw
+               WHEN raw = ''
+                    OR regexp_matches(raw, '^(javascript:|mailto:|#)')
+                 THEN NULL
+               ELSE scheme || '://' || host
+                    || regexp_replace(npath, '[^/]*$', '') || raw
+             END AS link_url
+      FROM pos
+    )
+"""
+
+
+def _link_pages(spark, sf_dir):
+    """(doc_id, scheme, host, npath, html) — the Spark half of the
+    shared construction (canonical base components + fixture HTML)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(URL_EXPR).alias("url"),
+        F.expr(_LINK_HTML_EXPR).alias("html"),
+    )
+    scheme, hostport, path, _ = urls.split_parts(F.col("url"))
+    scheme_l = F.lower(scheme)
+    return d.select(
+        "doc_id",
+        "html",
+        scheme_l.alias("scheme"),
+        urls.canonical_host(hostport, scheme_l).alias("host"),
+        F.when(path == "", F.lit("/")).otherwise(path).alias("npath"),
+    )
+
+
+@register(
+    "web_link_extract",
+    f"""
+    WITH {_CANON_CTES}, {_LINK_CTES}
+    SELECT doc_id, CAST(link_no AS BIGINT) AS link_no, link_url
+    FROM res WHERE link_url IS NOT NULL
+    """,
+    doc="Outgoing-link harvest + RFC 3986-lite resolution — the crawl "
+    "frontier / web-graph construction step: regexp_extract_all pulls "
+    "every href, posexplode keeps in-page order (link_no gaps where "
+    "pseudo-links were dropped), and one codegen CASE absolutizes "
+    "each target against the page's canonical base (absolute pass "
+    "through; '//' inherits the scheme; '/' joins scheme://host; "
+    "path-relative joins the base directory; fragment/javascript:/"
+    "mailto:/empty resolve to NULL and drop). Map-only — the explode "
+    "multiplies by the page's own link count, never corpus size; at "
+    "100 TB this rides the scan like canonicalization.",
+)
+def q_web_link_extract(spark, sf_dir):
+    return urls.extract_links(
+        _link_pages(spark, sf_dir),
+        id_col="doc_id",
+        html_col="html",
+        scheme_col="scheme",
+        host_col="host",
+        path_col="npath",
+    ).select(
+        "doc_id", F.col("link_no").cast("long").alias("link_no"), "link_url"
+    )
+
+
+@register(
+    "web_link_graph",
+    f"""
+    WITH {_CANON_CTES}, {_LINK_CTES}
+    SELECT string_split(src_hostport, ':')[1] AS src_host,
+           string_split(
+             regexp_replace(
+               lower(regexp_extract(link_url, '^[^:/?]+://([^/?]*)', 1)),
+               '^www\\.', ''),
+             ':')[1] AS dst_host,
+           CAST(COUNT(*) AS BIGINT) AS n_links
+    FROM res WHERE link_url IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Host-level link graph: the harvested+resolved edge list "
+    "aggregated to (src_host, dst_host, n_links) — the input shape "
+    "ml_pagerank_step consumes and the domain-graph view curation "
+    "dashboards rank. One groupBy shuffle on the host pair; "
+    "everything upstream is the map-only extract/resolve chain, so "
+    "the shuffle carries (host, host, 1) triples — never pages.",
+)
+def q_web_link_graph(spark, sf_dir):
+    ex = urls.extract_links(
+        _link_pages(spark, sf_dir),
+        id_col="doc_id",
+        html_col="html",
+        scheme_col="scheme",
+        host_col="host",
+        path_col="npath",
+        keep=("host",),
+    )
+    return (
+        ex.select(
+            F.split(F.col("host"), ":", 2).getItem(0).alias("src_host"),
+            urls.host_only(F.col("link_url")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

@@ -90,6 +90,10 @@ AUDIT = [
     # regexp_replace chain riding the scan)
     "text_c4_line_filter",
     "text_html_extract",
+    # r7 late additions III: link harvest must be exchange-free map
+    # work; the host-graph rollup is exactly one groupBy exchange
+    "web_link_extract",
+    "web_link_graph",
 ]
 
 _PY_NODES = (

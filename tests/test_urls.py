@@ -123,3 +123,40 @@ def test_prepare_corpus_domain_args_require_url_col(spark, tmp_path):
         prepare_corpus(
             spark, docs, str(tmp_path / "x"), max_per_domain=3
         )
+
+
+def test_extract_links_resolution_branches(spark):
+    """Every resolve_link branch on one handcrafted page: absolute
+    pass-through, protocol-relative inherits the scheme, root-relative
+    joins scheme://host, path-relative joins the base DIRECTORY,
+    fragment/javascript:/mailto:/empty drop; link_no keeps original
+    in-page positions (gaps where pseudo-links dropped); `keep` columns
+    pass through."""
+    from bag_parser_spark.operators import urls as U
+
+    html = (
+        '<a href="HTTP://Ext.COM/x">1</a>'
+        '<a href="//cdn.example.org/l.js">2</a>'
+        '<a href="/about">3</a>'
+        '<a href="img/logo.png">4</a>'
+        '<a href="#top">5</a>'
+        '<a href="javascript:void(0)">6</a>'
+        '<a href="mailto:a@b.c">7</a>'
+        '<a href="">8</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, html, "https", "site.io:8080", "/docs/page.html")],
+        "doc_id long, html string, scheme string, host string, npath string",
+    )
+    out = U.extract_links(
+        df, id_col="doc_id", html_col="html", scheme_col="scheme",
+        host_col="host", path_col="npath", keep=("host",),
+    ).collect()
+    got = {r["link_no"]: r["link_url"] for r in out}
+    assert got == {
+        0: "HTTP://Ext.COM/x",
+        1: "https://cdn.example.org/l.js",
+        2: "https://site.io:8080/about",
+        3: "https://site.io:8080/docs/img/logo.png",
+    }
+    assert all(r["host"] == "site.io:8080" for r in out)
