@@ -67,6 +67,14 @@ QUERIES = [
     # two doc-keyed groupBys, expected ~linear in total tokens
     "url_domain_cap",
     "text_gopher_rules",
+    # r7 late: C4 line cleaning / HTML extract / link harvest are
+    # map-only expression chains — the probe should read ~linear time
+    # with zero shuffle growth; the link graph adds one (host, host)
+    # groupBy whose keyspace is bounded by the fixture's host universe
+    "text_c4_line_filter",
+    "text_html_extract",
+    "web_link_extract",
+    "web_link_graph",
 ]
 
 
