@@ -21,7 +21,7 @@ part of the training-data extension surface (VERDICT r6 "next" #4).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Tracking parameters stripped during canonicalization — the ubiquitous
@@ -287,4 +287,111 @@ def extract_links(
         exploded.withColumn("link_url", resolved)
         .filter(F.col("link_url").isNotNull())
         .select(id_col, *keep, "link_no", "link_url")
+    )
+
+
+def parse_robots(
+    df: DataFrame,
+    domain_col: str = "domain",
+    content_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse robots.txt content into (domain, rule_type, path_prefix)
+    rows for ONE user-agent group (default '*', the group corpus
+    crawlers honor). Pure expressions: split lines, strip '#' comments,
+    lowercase the directive, and attach each Allow/Disallow to the most
+    recent preceding User-agent via a last-non-null running window per
+    domain — robots files are tiny (the window partition is one file's
+    lines), so the per-domain window costs nothing at any corpus scale.
+    Simplification, stated: a group listing SEVERAL User-agent lines is
+    attributed to its last one (full multi-agent group semantics would
+    accumulate an agent set per group); empty-path rules are kept and
+    mean "match nothing" per the spec — ``apply_robots`` skips them.
+    """
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias(
+            "__pos__", "__raw__"
+        ),
+    )
+    clean = F.trim(F.regexp_replace(F.col("__raw__"), "#.*", ""))
+    # F.get (not getItem): lines without ':' split to one element, and
+    # ANSI mode raises on out-of-range getItem — get returns NULL
+    key = F.lower(F.trim(F.split(clean, ":", 2).getItem(0)))
+    val = F.trim(F.get(F.split(clean, ":", 2), 1))
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("__pos__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = lines.select(
+        "domain",
+        "__pos__",
+        key.alias("__key__"),
+        val.alias("__val__"),
+    ).withColumn(
+        "__agent__",
+        F.last(
+            F.when(F.col("__key__") == "user-agent", F.col("__val__")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return tagged.filter(
+        F.col("__key__").isin("allow", "disallow")
+        & (F.col("__agent__") == agent)
+    ).select(
+        "domain",
+        F.col("__key__").alias("rule_type"),
+        F.col("__val__").alias("path_prefix"),
+    )
+
+
+def apply_robots(
+    pages: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "hostname",
+    path_col: str = "npath",
+) -> DataFrame:
+    """Longest-match robots evaluation (the Google/RFC 9309 rule): for
+    each page, among the rules of its host whose path_prefix prefixes
+    the page path, the LONGEST prefix decides; a length tie goes to
+    allow; no matching rule (or no rules at all) means allowed.
+    Empty-prefix rules match nothing per the spec.
+
+    Rules are a curation artifact (a few rules per domain) so the join
+    BROADCASTS — the corpus never shuffles for it; the only per-page
+    work is one broadcast join plus a doc-keyed window over that doc's
+    own matches (bounded by its domain's rule count, an input
+    invariant). Returns the pages with `allowed` + the deciding
+    `matched_rule`/`matched_prefix` (NULL when nothing matched).
+    """
+    r = F.broadcast(
+        rules.select(
+            F.col("domain").alias("__rdom__"),
+            F.col("rule_type").alias("__rtype__"),
+            F.col("path_prefix").alias("__rpath__"),
+        ).filter(F.col("__rpath__") != "")
+    )
+    j = pages.join(
+        r,
+        (F.col(host_col) == F.col("__rdom__"))
+        & F.col(path_col).startswith(F.col("__rpath__")),
+        "left",
+    )
+    # longest prefix first; on equal length 'allow' < 'disallow'
+    w = Window.partitionBy(id_col).orderBy(
+        F.length("__rpath__").desc(), F.col("__rtype__").asc()
+    )
+    return (
+        j.withColumn("__rank__", F.row_number().over(w))
+        .filter(F.col("__rank__") == 1)
+        .select(
+            *pages.columns,
+            (
+                F.col("__rtype__").isNull() | (F.col("__rtype__") == "allow")
+            ).alias("allowed"),
+            F.col("__rtype__").alias("matched_rule"),
+            F.col("__rpath__").alias("matched_prefix"),
+        )
     )

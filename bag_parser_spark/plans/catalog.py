@@ -958,6 +958,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "url_blocklist_filter", "text_gopher_rules", "mm_jpeg_features",
     "url_canonical_dedup", "text_gopher_summary", "text_c4_line_filter",
     "text_html_extract", "web_link_extract", "web_link_graph",
+    "web_robots_filter",
     # — oldest greens next: the only two queries whose latest row is r2 —
     "tfidf_vectors", "sim_knn_join",
     # — family fillers (latest row r4) so every family predicate in the

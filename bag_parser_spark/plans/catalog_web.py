@@ -516,3 +516,88 @@ def q_web_link_graph(spark, sf_dir):
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+# ---------------------------------------------------------------------------
+# web_robots_filter — RFC 9309 longest-match rule evaluation (r7 late:
+# the crawl-politeness gate between link harvest and fetch)
+# ---------------------------------------------------------------------------
+
+# Literal rule set over hostnames the URL fixture actually produces
+# (site numbers x suffixes from URL_EXPR). Branch coverage: a blanket
+# '/' disallow (blocks a whole host), a '/p/' disallow overridden by a
+# LONGER '/p/1' allow (longest match wins), an equal-length
+# allow/disallow tie on '/p/2' (allow wins ties), and hosts with no
+# rules at all (allowed by default).
+_ROBOTS_RULES = (
+    ("site1.github.io", "disallow", "/"),
+    ("site3.io", "disallow", "/p/"),
+    ("site3.io", "allow", "/p/1"),
+    ("site10.blogspot.com", "allow", "/p/2"),
+    ("site10.blogspot.com", "disallow", "/p/2"),
+    ("site5.com", "disallow", "/p/9"),
+)
+
+_ROBOTS_VALUES = ", ".join(
+    f"('{d}', '{t}', '{p}')" for d, t, p in _ROBOTS_RULES
+)
+
+
+@register(
+    "web_robots_filter",
+    f"""
+    WITH {_CANON_CTES},
+    rules(domain, rule_type, path_prefix) AS (
+      VALUES {_ROBOTS_VALUES}
+    ),
+    pages AS (
+      SELECT c.doc_id, c.hostname,
+             CASE WHEN p.path = '' THEN '/' ELSE p.path END AS npath
+      FROM canon c JOIN parts p USING (doc_id)
+    ),
+    matched AS (
+      SELECT p.doc_id, p.hostname, p.npath, r.rule_type, r.path_prefix,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY length(r.path_prefix) DESC, r.rule_type ASC
+             ) AS rnk
+      FROM pages p
+      LEFT JOIN rules r
+        ON p.hostname = r.domain
+       AND starts_with(p.npath, r.path_prefix)
+       AND r.path_prefix <> ''
+    )
+    SELECT doc_id, hostname, npath,
+           (rule_type IS NULL OR rule_type = 'allow') AS allowed,
+           rule_type AS matched_rule, path_prefix AS matched_prefix
+    FROM matched WHERE rnk = 1
+    """,
+    doc="robots.txt rule evaluation (RFC 9309 longest-match): among a "
+    "host's rules whose prefix matches the page path, the longest "
+    "decides, ties go to allow, and no match means allowed — the "
+    "crawl-politeness gate between link harvest and fetch. Rules are "
+    "a curation artifact so the join BROADCASTS (the corpus never "
+    "shuffles); the only other work is a doc-keyed window over that "
+    "doc's own matches, bounded by its domain's rule count. "
+    "parse_robots (the text -> rules half, last-non-null user-agent "
+    "window) is unit-tested on handcrafted robots.txt content.",
+)
+def q_web_robots_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(URL_EXPR).alias("url")
+    )
+    u = F.col("url")
+    scheme, hostport, path, _ = urls.split_parts(u)
+    pages = d.select(
+        "doc_id",
+        F.split(
+            urls.canonical_host(hostport, F.lower(scheme)), ":", 2
+        ).getItem(0).alias("hostname"),
+        F.when(path == "", F.lit("/")).otherwise(path).alias("npath"),
+    )
+    rules = spark.createDataFrame(
+        list(_ROBOTS_RULES), "domain string, rule_type string, path_prefix string"
+    )
+    return urls.apply_robots(
+        pages, rules, id_col="doc_id", host_col="hostname", path_col="npath"
+    )

@@ -94,6 +94,9 @@ AUDIT = [
     # work; the host-graph rollup is exactly one groupBy exchange
     "web_link_extract",
     "web_link_graph",
+    # robots evaluation: broadcast rules join + one doc-keyed window,
+    # never a corpus shuffle
+    "web_robots_filter",
 ]
 
 _PY_NODES = (

@@ -160,3 +160,57 @@ def test_extract_links_resolution_branches(spark):
         3: "https://site.io:8080/docs/img/logo.png",
     }
     assert all(r["host"] == "site.io:8080" for r in out)
+
+
+def test_parse_and_apply_robots(spark):
+    """parse_robots extracts the '*' group's rules via the last-non-null
+    user-agent window (comments stripped, other agents' groups ignored);
+    apply_robots evaluates RFC 9309 longest-match with allow winning
+    ties and default-allow on no match / empty prefix."""
+    from bag_parser_spark.operators import urls as U
+
+    robots = "\n".join([
+        "# corpus crawler policy",
+        "User-agent: googlebot",
+        "Disallow: /private",
+        "",
+        "User-agent: *",
+        "Disallow: /p/   # trailing comment",
+        "Allow: /p/1",
+        "Disallow:",            # empty prefix: matches nothing
+        "Allow: /tie",
+        "Disallow: /tie",
+    ])
+    rules_in = spark.createDataFrame(
+        [("a.com", robots)], "domain string, robots_txt string"
+    )
+    rules = U.parse_robots(rules_in)
+    got = sorted(map(tuple, rules.collect()))
+    assert got == [
+        ("a.com", "allow", "/p/1"),
+        ("a.com", "allow", "/tie"),
+        ("a.com", "disallow", ""),
+        ("a.com", "disallow", "/p/"),
+        ("a.com", "disallow", "/tie"),
+    ]
+    pages = spark.createDataFrame(
+        [
+            (1, "a.com", "/p/5"),     # '/p/' disallow
+            (2, "a.com", "/p/12"),    # '/p/1' allow beats '/p/'
+            (3, "a.com", "/tie"),     # equal length -> allow wins
+            (4, "a.com", "/other"),   # no match -> allowed
+            (5, "b.com", "/p/5"),     # no rules for host -> allowed
+        ],
+        "doc_id long, hostname string, npath string",
+    )
+    out = {
+        r["doc_id"]: (r["allowed"], r["matched_prefix"])
+        for r in U.apply_robots(pages, rules).collect()
+    }
+    assert out == {
+        1: (False, "/p/"),
+        2: (True, "/p/1"),
+        3: (True, "/tie"),
+        4: (True, None),
+        5: (True, None),
+    }
