@@ -60,11 +60,12 @@ def cmd_ingest(args) -> int:
 
     spark = _get_spark(args, "corpus-ingest")
     schema = args.schema
-    if args.url_col and args.url_col not in schema:
+    if args.url_col and not args.from_warc and args.url_col not in schema:
         raise SystemExit(f"--url-col {args.url_col!r} not in --schema")
     run_ingest_stream(
         spark, args.source, args.state, args.checkpoint,
         schema=schema,
+        source_format="warc" if args.from_warc else "parquet",
         url_col=args.url_col,
         max_per_domain=args.max_per_domain,
         domain_blocklist=(
@@ -460,6 +461,13 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--block-domains", default=None,
                      help="comma-separated registered domains dropped "
                      "before dedup (requires --url-col)")
+    ing.add_argument("--from-warc", action="store_true",
+                     help="treat --source as a directory of WARC/WARC.GZ "
+                     "crawl segments: each micro-batch parses records, "
+                     "extracts visible text (html_to_text), cleans lines "
+                     "(C4 filter), keys docs by URL, then enters the "
+                     "incremental dedup; implies the streaming domain "
+                     "stage keys on url")
     _add_spark_args(ing)
     ing.set_defaults(fn=cmd_ingest)
     return p

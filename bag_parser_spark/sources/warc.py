@@ -120,13 +120,15 @@ def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, payload[sep + len(_CRLF2) :]
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
+def parse_warc_frame(
+    files: DataFrame,
     record_types: tuple[str, ...] | None = ("response",),
     parse_http: bool = True,
 ) -> DataFrame:
-    """Read WARC/WARC.GZ files under ``path`` into one row per record.
+    """Parse a (path, content) DataFrame of raw WARC file bytes into one
+    row per record — the shared core behind the batch ``read_warc`` and
+    the streaming ingest's `readStream.format("binaryFile")` source
+    (the SAME Arrow-batched parser runs per micro-batch there).
 
     ``record_types`` keeps only those WARC-Type values (default: just
     'response', the records that carry page content — request/metadata
@@ -172,13 +174,26 @@ def read_warc(
                     )
             yield pd.DataFrame(rows, columns=cols)
 
+    return files.select("path", "content").mapInPandas(
+        parse, schema=WARC_SCHEMA
+    )
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] | None = ("response",),
+    parse_http: bool = True,
+) -> DataFrame:
+    """Batch-read WARC/WARC.GZ files under ``path`` into one row per
+    record — a binaryFile scan through ``parse_warc_frame`` (see there
+    for the record/type/HTTP semantics)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path)
-        .select("path", "content")
     )
-    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+    return parse_warc_frame(files, record_types, parse_http)
 
 
 def build_warc_bytes(
@@ -209,26 +224,25 @@ def build_warc_bytes(
     return b"".join(out)
 
 
-def crawl_to_documents(
-    spark: SparkSession,
-    path: str,
+def records_to_documents(
+    records: DataFrame,
     min_words: int = 4,
     min_kept_lines: int = 3,
 ) -> DataFrame:
-    """The assembled raw-web front half: WARC scan → HTTP 200 text/html
-    responses → visible text (``html_to_text``) → C4 line cleaning →
-    canonical URL — one lazy plan from crawl bytes to curation-ready
-    (url, canonical_url, text, n_lines, n_kept, drop_doc) rows, ready
-    for `prepare_corpus` (dedup/quality/domain stages) downstream.
-    Everything after the per-file record parse is expression-level map
-    work; no shuffle until a downstream stage asks for one."""
+    """The raw-web front half over an already-parsed WARC-records frame:
+    HTTP 200 text/html responses → visible text (``html_to_text``) →
+    C4 line cleaning → canonical URL — one lazy plan from records to
+    curation-ready (url, canonical_url, text, n_lines, n_kept,
+    drop_doc) rows, ready for `prepare_corpus` or the streaming
+    ``ingest_batch`` downstream. Everything here is expression-level
+    map work; no shuffle until a downstream stage asks for one."""
     from pyspark.sql import functions as F
 
     from bag_parser_spark.operators import text as text_ops
     from bag_parser_spark.operators import urls
 
     pages = (
-        read_warc(spark, path)
+        records
         .filter(
             (F.col("http_status") == 200)
             & F.col("http_content_type").startswith("text/html")
@@ -255,3 +269,21 @@ def crawl_to_documents(
     return cleaned.withColumn(
         "canonical_url", urls.canonicalize_url(F.col("url"))
     ).withColumnRenamed("clean_text", "text")
+
+
+def crawl_to_documents(
+    spark: SparkSession,
+    path: str,
+    min_words: int = 4,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """Batch composition: WARC scan (``read_warc``) →
+    ``records_to_documents``. The streaming twin feeds the same
+    record parser and front half from `readStream.format("binaryFile")`
+    micro-batches instead (`streaming/corpus.py::run_ingest_stream`
+    with ``source_format='warc'``)."""
+    return records_to_documents(
+        read_warc(spark, path),
+        min_words=min_words,
+        min_kept_lines=min_kept_lines,
+    )

@@ -451,12 +451,62 @@ def run_ingest_stream(
     url_col: str | None = None,
     max_per_domain: int | None = None,
     domain_blocklist: DataFrame | None = None,
+    source_format: str = "parquet",
 ) -> None:
-    """Drain a file-source stream of document parquet files through
+    """Drain a file-source stream of incoming documents through
     ingest_batch with Trigger.AvailableNow (the backfill/test mode; a
     live deployment drops the trigger and runs continuously). The
     optional URL/domain stage flags pass straight through to
-    ingest_batch (set ``url_col`` in the schema's columns)."""
+    ingest_batch (set ``url_col`` in the schema's columns).
+
+    ``source_format='warc'`` streams a CRAWL instead of parquet docs:
+    `readStream.format("binaryFile")` tails the directory for new
+    WARC/WARC.GZ segment files, and each micro-batch runs the same
+    record parser + raw-web front half the batch path uses
+    (`sources/warc.py::parse_warc_frame` / ``records_to_documents`` —
+    HTTP 200 text/html → visible text → C4 line gate → canonical URL)
+    before entering the incremental dedup; docs are keyed by URL and
+    the domain stage defaults to that same column. ``schema`` is
+    ignored in warc mode (the parser owns the record schema)."""
+    if source_format == "warc":
+        from bag_parser_spark.sources import warc as W
+
+        stream = (
+            spark.readStream.format("binaryFile")
+            # streaming sources need an explicit schema; binaryFile's is
+            # fixed by the format
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("pathGlobFilter", "*.warc*")
+            .load(source_dir)
+        )
+        warc_url_col = url_col or "url"
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            docs = (
+                W.records_to_documents(W.parse_warc_frame(batch_df))
+                .filter(~F.col("drop_doc"))
+                .select("url", "text")
+            )
+            ingest_batch(
+                spark, docs, state_dir,
+                id_col="url",
+                url_col=warc_url_col,
+                max_per_domain=max_per_domain,
+                domain_blocklist=domain_blocklist,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return
+
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

@@ -473,3 +473,43 @@ def test_cli_prepare_from_warc(tmp_path):
     from collections import Counter
     per_dom = Counter(d for *_, d in rows)
     assert per_dom == {"site0.com": 2, "site1.com": 2}
+
+
+def test_cli_ingest_from_warc(tmp_path):
+    """`ingest --from-warc` drains crawl segments through the WARC
+    front half + incremental dedup and reports the accepted count."""
+    import json
+
+    from bag_parser_spark.sources import warc as W
+
+    body1 = (
+        b"<html><body><p>Sourdough bread needs a mature starter.</p>"
+        b"<p>Fold the dough gently every thirty minutes today.</p>"
+        b"<p>Bake inside a covered pot for a crackling crust.</p>"
+        b"</body></html>"
+    )
+    body2 = (
+        b"<html><body><p>Distributed engines shuffle data between "
+        b"executors constantly.</p><p>Broadcast joins avoid moving the "
+        b"large fact table.</p><p>Adaptive execution splits skewed "
+        b"partitions at runtime.</p></body></html>"
+    )
+    recs = [
+        ("response", f"https://site{i}.com/a",
+         {"Content-Type": "application/http;msgtype=response"},
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + b)
+        for i, b in ((1, body1), (2, body2))
+    ]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "seg.warc.gz").write_bytes(
+        W.build_warc_bytes(recs, per_record_gzip=True)
+    )
+    proc = _run_cli(
+        "ingest", "--from-warc", "--source", str(src),
+        "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_accepted"] == 2

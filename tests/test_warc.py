@@ -137,3 +137,74 @@ def test_crawl_to_documents_front_half(spark, tmp_path):
     assert r["canonical_url"] == "https://example.com/page"
     assert r["n_kept"] == 3 and not r["drop_doc"]
     assert "first real sentence" in r["text"] and "tracked" not in r["text"]
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """run_ingest_stream(source_format='warc'): micro-batches of crawl
+    segment files run the record parser + front half, then the
+    incremental dedup keyed by URL; a second drain sees only NEW
+    segment files (checkpoint), and a replayed (re-keyed) copy of an
+    already-accepted page is removed by content dedup — replay
+    idempotence across the crawl path."""
+    from bag_parser_spark.streaming.corpus import run_ingest_stream
+
+    themes = {
+        1: ("The quick brown fox jumps over the lazy dog today.",
+            "It rests by the old stone bridge for a while.",
+            "Birds sing their songs about the summer evenings."),
+        2: ("Distributed query engines shuffle data between executors.",
+            "Broadcast joins avoid moving the large fact table.",
+            "Adaptive execution repartitions skewed stages at runtime."),
+        3: ("Sourdough bread needs a mature starter and patience.",
+            "Fold the dough gently every thirty minutes while rising.",
+            "Bake inside a covered pot for a crackling crust."),
+    }
+
+    def page(i, text_suffix):
+        a, b, c = themes[i]
+        body = (
+            f"<html><body><p>{a}</p><p>{b}</p>"
+            f"<p>{c} Suffix {text_suffix}.</p></body></html>"
+        ).encode()
+        return (
+            "response", f"https://site{i}.com/p/{i}",
+            {"Content-Type": "application/http;msgtype=response"},
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body,
+        )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "seg0.warc.gz").write_bytes(
+        warc.build_warc_bytes([page(1, "one"), page(2, "two")],
+                              per_record_gzip=True)
+    )
+    run_ingest_stream(
+        spark, str(src), state, ckpt, source_format="warc"
+    )
+    acc = spark.read.parquet(f"{state}/accepted")
+    assert sorted(r["url"] for r in acc.collect()) == [
+        "https://site1.com/p/1", "https://site2.com/p/2",
+    ]
+    # second drain: one genuinely new page + an exact CONTENT replay of
+    # page 1 under a different URL -> only the new page is accepted
+    (src / "seg1.warc").write_bytes(
+        warc.build_warc_bytes([
+            page(3, "three"),
+            ("response", "https://mirror.net/copy-of-1",
+             {"Content-Type": "application/http;msgtype=response"},
+             page(1, "one")[3]),
+        ])
+    )
+    run_ingest_stream(
+        spark, str(src), state, ckpt, source_format="warc"
+    )
+    acc = spark.read.parquet(f"{state}/accepted")
+    urls_now = sorted(r["url"] for r in acc.collect())
+    assert urls_now == [
+        "https://site1.com/p/1", "https://site2.com/p/2",
+        "https://site3.com/p/3",
+    ], urls_now
+    # the accepted state carries the domain column (warc mode keys on url)
+    assert "registered_domain" in acc.columns
