@@ -574,3 +574,81 @@ def weighted_reservoir_sample(
         .limit(k)
         .withColumnRenamed("__key__", "sample_key")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    seed: int | str = 0,
+    tokens_name: str = "n_tokens",
+    cum_name: str = "cum_tokens",
+) -> DataFrame:
+    """Token-budget data mixing — the form real mixture specs are
+    written in ("N tokens of source X"), complementing
+    ``mixture_sample``'s doc-percent form: per source, draw documents
+    in the seeded md5 fair order and keep while the RUNNING
+    whitespace-token total stays within ``budgets[source]`` (a document
+    that would cross the boundary is dropped — integer arithmetic, no
+    fractional-doc ambiguity). Sources absent from ``budgets`` are
+    dropped. Returns the kept rows plus per-doc ``n_tokens`` and the
+    running ``cum_tokens`` (== the consumed budget, auditable).
+
+    Scale shape — exact distributed prefix sum, skew-proof: a plain
+    per-source cumsum window would put each source's WHOLE corpus in
+    one task, and a running sum is not a rank-limit, so Catalyst's
+    WindowGroupLimit cannot bound it (contrast ``sample_per_group``).
+    Same two-pass trick as ``global_shuffle_rank``: the bucket is the
+    first 2 hex chars of the order hash — an ORDERED prefix, so
+    (bucket, hash) order equals the global fair-draw order — then
+    (1) per-(source, bucket) token totals (a tiny ≤ sources×256-row
+    aggregate with map-side combine), (2) per-source running bucket
+    offsets via a window over that tiny side only, (3) per-row running
+    sum = broadcast bucket offset + within-(source, bucket) cumsum —
+    every big window partition holds ~1/256 of one source.
+    """
+    from bag_parser_spark.operators.text import token_count_ws
+
+    mapping = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    order = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    eligible = (
+        df.withColumn("__budget__", mapping[F.col(source_col)])
+        .filter(F.col("__budget__").isNotNull())
+        .withColumn(tokens_name, token_count_ws(F.col(text_col)).cast("long"))
+        .withColumn("__h__", order)
+        .withColumn("__bkt__", F.substring(F.col("__h__"), 1, 2))
+    )
+    offsets = (
+        eligible.groupBy(source_col, "__bkt__")
+        .agg(F.sum(tokens_name).alias("__btok__"))
+        .withColumn(
+            "__offset__",
+            F.coalesce(
+                F.sum("__btok__").over(
+                    Window.partitionBy(source_col)
+                    .orderBy("__bkt__")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(source_col, "__bkt__", "__offset__")
+    )
+    w = (
+        Window.partitionBy(source_col, "__bkt__")
+        .orderBy(F.col("__h__").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        eligible.join(F.broadcast(offsets), [source_col, "__bkt__"])
+        .withColumn(
+            cum_name,
+            (F.col("__offset__") + F.sum(tokens_name).over(w)).cast("long"),
+        )
+        .filter(F.col(cum_name) <= F.col("__budget__"))
+        .drop("__budget__", "__h__", "__bkt__", "__offset__")
+    )

@@ -958,7 +958,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "url_blocklist_filter", "text_gopher_rules", "mm_jpeg_features",
     "url_canonical_dedup", "text_gopher_summary", "text_c4_line_filter",
     "text_html_extract", "web_link_extract", "web_link_graph",
-    "web_robots_filter",
+    "web_robots_filter", "sample_token_budget",
     # — oldest greens next: the only two queries whose latest row is r2 —
     "tfidf_vectors", "sim_knn_join",
     # — family fillers (latest row r4) so every family predicate in the
@@ -975,10 +975,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "a4_distinct", "a5_dedup_scan", "p6_conditional_name",
     "p11_clean_dummies", "p12_orphan_delete", "f7_wgs84_to_rd",
     "j5_explode_self_join", "j3_plaats_overlay", "f5_bag_date_parse",
-    "p7_geometry_roundtrip", "f8_geometry_rings", "a9_rollup",
+    "p7_geometry_roundtrip", "f8_geometry_rings", "j11_merge_apply",
     "a10_pivot", "w3_rank_battery", "a11_exact_moments",
     "ev_json_extract", "text_pii_redact", "emb_quantize_int8",
-    "ml_kmeans_step", "j11_merge_apply", "text_bigram_lm",
+    "ml_kmeans_step", "a9_rollup", "text_bigram_lm",
     "a12_zscore", "layout_zorder_key", "a13_above_cust_avg",
     "a14_profile", "dedup_ngram_jaccard", "dedup_simhash",
     "split_train_test", "pack_sequences", "curate_corpus",

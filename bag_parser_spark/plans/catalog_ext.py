@@ -3850,3 +3850,65 @@ def q_mm_neardup(spark, sf_dir):
         & (F.col("id_a") < F.col("id_b")),
     ).select("id_a", "id_b", F.lit(0).cast("long").alias("hamming"))
     return cross.unionAll(within)
+
+
+# ---------------------------------------------------------------------------
+# sample_token_budget — token-budget data mixing (r7 late: the form real
+# mixture specs use — "N tokens of source X" — beside sample_mixture's
+# doc-percent form)
+# ---------------------------------------------------------------------------
+
+# Budgets chosen against the fixture's ~1.1-1.5k tokens/source at
+# sf0.01: a mid-source cut, an exact-total edge, a tiny budget, an
+# over-total budget (keeps the whole source), and 16 absent sources
+# (dropped) — every rule branch populated.
+_TOKBUDGETS = {"src0": 700, "src1": 1540, "src2": 100, "src3": 5000}
+_TOKBUDGET_SEED = "tokbudget"
+
+_TOKBUDGET_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {b}" for s, b in _TOKBUDGETS.items()
+) + " END"
+
+
+@register(
+    "sample_token_budget",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len({O.words_sql('text')}) AS BIGINT) AS n_tokens,
+             md5('{_TOKBUDGET_SEED}:' || CAST(doc_id AS STRING)) AS h,
+             {_TOKBUDGET_CASE} AS budget
+      FROM documents
+    ),
+    cum AS (
+      SELECT *, SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM toks WHERE budget IS NOT NULL
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= budget
+    """,
+    doc="Token-budget data mixing ('N tokens of source X' — how real "
+    "mixture specs are written): per source, draw docs in the seeded "
+    "md5 fair order and keep while the running token total stays "
+    "within budget (boundary-crossing docs drop; integer arithmetic). "
+    "Scale shape: a plain per-source cumsum window holds a whole "
+    "source in ONE task and — unlike the rank-limit windows "
+    "WindowGroupLimit saves — nothing bounds it, so the operator runs "
+    "the exact distributed prefix sum instead: ordered 2-hex-char "
+    "hash-prefix buckets, per-(source,bucket) token totals (tiny "
+    "aggregate), running bucket offsets on that side only, broadcast "
+    "back + within-bucket cumsum — identical output to the naive "
+    "window (the oracle states it that way), every big partition "
+    "~1/256 of one source.",
+)
+def q_sample_token_budget(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    return sampling.token_budget_sample(
+        _t(spark, sf_dir, "documents"),
+        budgets=_TOKBUDGETS,
+        seed=_TOKBUDGET_SEED,
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")

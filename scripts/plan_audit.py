@@ -97,6 +97,10 @@ AUDIT = [
     # robots evaluation: broadcast rules join + one doc-keyed window,
     # never a corpus shuffle
     "web_robots_filter",
+    # token-budget mixing: the exact distributed prefix sum — one
+    # (source,bucket) window exchange + a tiny broadcast offsets side,
+    # never a whole-source single-task window
+    "sample_token_budget",
 ]
 
 _PY_NODES = (

@@ -2307,3 +2307,52 @@ def test_html_to_text_blocks_entities_whitespace(spark):
         "My Page Hello & welcome a < b > c \"q\" 's' end escaped: &lt;"
     )
     assert "color" not in got and "var x" not in got
+
+
+def test_token_budget_sample_prefix_sum_identity(spark):
+    """The bucketed two-pass prefix sum must equal the naive per-source
+    cumsum window EXACTLY (rows and cum_tokens), boundary-crossing docs
+    drop, absent sources drop, and an over-total budget keeps a whole
+    source."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators import sampling
+    from bag_parser_spark.operators.text import token_count_ws
+
+    rows = [
+        (i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c"),
+         " ".join(f"w{i}x{j}" for j in range(1 + i % 7)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"a": 120, "b": 10_000}  # c absent; b over-total
+    got = sampling.token_budget_sample(df, budgets, seed="t")
+    # naive reference: single window per source
+    order = F.md5(F.concat(F.lit("t:"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(order.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bmap = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+    want = (
+        df.withColumn("__b__", bmap[F.col("source")])
+        .filter(F.col("__b__").isNotNull())
+        .withColumn("n_tokens", token_count_ws(F.col("text")).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= F.col("__b__"))
+        .drop("__b__")
+    )
+    cols = ["doc_id", "source", "text", "n_tokens", "cum_tokens"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    out = {r["source"] for r in got.select("source").distinct().collect()}
+    assert out == {"a", "b"}  # c dropped
+    n_b_in = sum(1 for _, s, _ in rows if s == "b")
+    assert got.filter(F.col("source") == "b").count() == n_b_in  # all kept
+    a_cum = got.filter(F.col("source") == "a").agg(
+        F.max("cum_tokens")
+    ).head()[0]
+    assert a_cum <= 120  # budget respected, boundary doc dropped
