@@ -421,6 +421,130 @@ def global_shuffle_rank(
     )
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division of non-negative longs as Columns: ``(a - a%b)
+    / b`` — the numerator is exactly divisible, so the double division is
+    exact for any count < 2^53 (no ``div`` operator exists in the Column
+    API without string expressions)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def bucketed_rank(
+    df: DataFrame,
+    value: Column,
+    tiebreaks: Sequence[Column],
+    rank_name: str = "rank",
+    total_name: str | None = None,
+    ascending: bool = True,
+    n_buckets: int = 32,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Exact global rank under ``(value asc|desc, *tiebreaks asc)`` without
+    a single-partition sort — the generalization of
+    :func:`global_shuffle_rank` to an ARBITRARY numeric ordering key
+    (there the key is a uniform hash, so its prefix is a free balanced
+    bucket; here the distribution is unknown, so bucket boundaries come
+    from an ``approx_percentile`` sketch instead):
+
+    1. cut points = ``approx_percentile(value, ...)`` — a distributed,
+       sketch-mergeable AGGREGATE (never a sort). The cuts only steer
+       BALANCE, not correctness: bucket = #cuts strictly below the value
+       is a monotone function of the value alone, so rows that tie on
+       the value always share a bucket and (bucket, value, tiebreaks)
+       order equals the global order exactly even if the sketch is off.
+    2. per-bucket counts -> running offsets, a window over the
+       <= ``n_buckets``-row aggregate side only (bounded by construction).
+    3. rank = broadcast bucket offset + row_number within the bucket
+       (window PARTITIONED on bucket — every task sorts only its slice).
+
+    ``value`` must be numeric and non-null (rank of NULL is undefined
+    here — filter first). ``ascending=False`` ranks descending by
+    negating the key (exact for longs < 2^63 and finite doubles).
+    ``total_name`` additionally attaches the total row count to every
+    row (needed by :func:`ntile_from_rank`) — it rides the same
+    broadcast, no extra pass. Temp columns are dropped; input columns
+    pass through untouched.
+
+    Cost: three passes over the input (cut sketch, bucket counts, the
+    ranked output) — the tiny cuts/offsets sides are PERSISTED so the
+    branches never re-derive the input subtree a fourth time (the
+    handles go to ``cache_registry`` when given, same contract as
+    ``text.bpe_train``). If the input is itself expensive (an
+    aggregate, a join), persist it before calling.
+    """
+    v = value.cast("double") if ascending else (-value).cast("double")
+    with_v = df.withColumn("__v__", v)
+    qs = ", ".join(f"{(i + 1) / n_buckets:.6f}" for i in range(n_buckets - 1))
+    cuts = with_v.agg(
+        F.expr(f"approx_percentile(__v__, array({qs}), 10000)").alias(
+            "__cuts__"
+        )
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(cuts)
+    b = (
+        with_v.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "__bkt__",
+            F.size(F.filter("__cuts__", lambda c: c < F.col("__v__"))),
+        )
+        .drop("__cuts__")
+    )
+    # offsets: <= n_buckets rows — the unpartitioned windows below are
+    # bounded by construction (same class as the 256-row window in
+    # token_budget_sample), never the fact
+    w_all = Window.partitionBy().orderBy("__bkt__")
+    counts = b.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    offsets = counts.select(
+        "__bkt__",
+        F.coalesce(
+            F.sum("__cnt__").over(
+                w_all.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off__"),
+        F.sum("__cnt__")
+        .over(
+            w_all.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__tot__"),
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(offsets)
+    w = Window.partitionBy("__bkt__").orderBy(
+        F.col("__v__").asc(), *[t.asc() for t in tiebreaks]
+    )
+    out = b.join(F.broadcast(offsets), "__bkt__").withColumn(
+        rank_name, (F.col("__off__") + F.row_number().over(w)).cast("long")
+    )
+    if total_name is not None:
+        out = out.withColumn(total_name, F.col("__tot__").cast("long"))
+    return out.drop("__v__", "__bkt__", "__off__", "__tot__")
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """``ntile(k)`` reconstructed from an exact global rank and the total
+    row count in PURE integer arithmetic — the scale-safe twin of the
+    single-partition ``ntile(k) OVER (ORDER BY ...)`` window (identical
+    output by the SQL-standard definition both Spark and DuckDB
+    implement: with ``n = q*k + rem``, tiles ``1..rem`` hold ``q+1`` rows,
+    tiles ``rem+1..k`` hold ``q`` rows, filled in rank order). Feed it the
+    rank from :func:`bucketed_rank` and its ``total_name`` column. The
+    ``q == 0`` case (n < k) always takes the first branch — the
+    otherwise-branch's division by zero is never evaluated (lazy CASE).
+    """
+    kk = F.lit(k)
+    q = _idiv(n, kk)
+    rem = n % kk
+    big = q + F.lit(1)
+    cut = rem * big
+    first = _idiv(rank - F.lit(1), big) + F.lit(1)
+    second = rem + _idiv(rank - cut - F.lit(1), q) + F.lit(1)
+    return F.when(rank <= cut, first).otherwise(second).cast("int")
+
+
 def quantile_band_filter(
     df: DataFrame,
     value_col: str,

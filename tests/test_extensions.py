@@ -2356,3 +2356,59 @@ def test_token_budget_sample_prefix_sum_identity(spark):
         F.max("cum_tokens")
     ).head()[0]
     assert a_cum <= 120  # budget respected, boundary doc dropped
+
+
+def test_main_content_extract_block_scoring(spark):
+    """Readability-style scoring on one handcrafted page: the link-dense
+    nav (long enough in words — only density kills it), a too-short
+    paragraph (zero links — only min_words kills it), the related-links
+    list, and the footer are dropped; prose paragraphs survive, one WITH
+    its inline link text; entities decode inside kept blocks; and the
+    result provably DIFFERS from plain tag-stripping."""
+    from bag_parser_spark.operators import text as T
+
+    html = (
+        '<html><body>'
+        '<div><a href="/">Home page</a> <a href="/a">About this</a> '
+        '<a href="/c">Contact the team</a></div>'
+        '<p>The quick brown fox jumps over a lazy dog &amp; runs.</p>'
+        '<ul><li><a href="/1">First related link</a></li></ul>'
+        '<p>Too short here.</p>'
+        '<p>Read more in <a href="/g">this guide</a> about block '
+        'scoring every single day.</p>'
+        '<div>Copyright 2024 by the site owners '
+        '<a href="/t">Terms of use</a> <a href="/p">Privacy policy</a> '
+        '<a href="/k">Cookie settings</a></div>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    row = T.main_content_extract(df).head()
+    assert row["main_text"] == (
+        "The quick brown fox jumps over a lazy dog & runs.\n"
+        "Read more in this guide about block scoring every single day."
+    )
+    assert row["n_kept"] == 2
+    assert row["n_blocks"] == 6  # nav, 3 paragraphs, li text, footer
+    stripped = df.select(T.html_to_text(F.col("html")).alias("t")).head()["t"]
+    assert "Privacy policy" in stripped and "Home page" in stripped
+    assert "Privacy policy" not in row["main_text"]
+
+
+def test_main_content_differs_from_strip_on_fixture(spark):
+    """The text_main_content catalog fixture must make tag-strip and
+    content-extract give DIFFERENT outputs for EVERY document — the
+    oracle then proves the scoring, not the stripping."""
+    from bag_parser_spark.operators import text as T
+    from bag_parser_spark.plans.catalog_corpus import _MAIN_HTML_EXPR
+    from bag_parser_spark.sources.parquet import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.expr(_MAIN_HTML_EXPR).alias("html")
+    )
+    out = T.main_content_extract(d).join(
+        d.select("doc_id", T.html_to_text(F.col("html")).alias("stripped")),
+        "doc_id",
+    )
+    assert out.filter(F.col("main_text") == F.col("stripped")).count() == 0
+    # and every doc keeps SOMETHING (the extractor isn't vacuously empty)
+    assert out.filter(F.col("n_kept") < 2).count() == 0

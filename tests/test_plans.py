@@ -540,3 +540,74 @@ def test_sample_per_group_window_group_limit_pushdown(spark):
     n_ex = len(re.findall(r"Exchange (?:hash|range|Single)", splan))
     assert n_ex == 2, splan
     assert "Join" not in splan and "Aggregate" not in splan
+
+
+def test_no_single_partition_ntile_windows(spark):
+    """VERDICT r7 #1/#2: a20_ntile_binning and cust_rfm must not plan an
+    unpartitioned ntile/row_number window over the fact (a single task
+    sorting the whole table). The rewrite computes the exact rank via
+    sampling.bucketed_rank — every corpus-sized Window operator must be
+    PARTITIONED on the range bucket; the only unpartitioned windows
+    allowed are the running-offset sums over the <= 32-row bucket-count
+    aggregate (bounded by construction)."""
+    for name in ("a20_ntile_binning", "cust_rfm"):
+        df = registry()[name].fn(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        # (?<!perce): 'ntile(' must not match inside 'approx_percentile('
+        assert not _re.search(r"(?<!perce)ntile\(", plan), name
+        for line in plan.splitlines():
+            if "Window [" not in line:
+                continue
+            partitioned = ", [__bkt__#" in line
+            tiny_offsets = "sum(__cnt__#" in line
+            assert partitioned or tiny_offsets, (name, line)
+        spark.catalog.clearCache()
+
+
+def test_bucketed_rank_matches_single_partition_window(spark):
+    """bucketed_rank's distributed rank must be IDENTICAL to the naive
+    row_number() OVER (ORDER BY ...) single-partition form, ascending and
+    descending, including heavy ties (the bucket function is value-only,
+    so ties never straddle a rank discontinuity), and ntile_from_rank
+    must reproduce F.ntile exactly at every (n, k) remainder shape."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators import sampling
+
+    df = spark.range(1, 1001).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("double").alias("v"),  # heavy ties
+    )
+    for asc in (True, False):
+        order = F.col("v").asc() if asc else F.col("v").desc()
+        naive = df.select(
+            "id", F.row_number().over(W.orderBy(order, F.col("id"))).alias("r")
+        )
+        fast = sampling.bucketed_rank(
+            df, value=F.col("v"), tiebreaks=[F.col("id")],
+            rank_name="r2", total_name="n", ascending=asc,
+        ).select("id", "r2", "n")
+        joined = naive.join(fast, "id")
+        assert joined.filter(F.col("r") != F.col("r2")).count() == 0
+        assert joined.filter(F.col("n") != 1000).count() == 0
+    # ntile parity across remainder shapes incl. n < k
+    for n, k in ((1000, 7), (10, 3), (7, 5), (4, 9)):
+        sub = df.limit(n)
+        naive = sub.select(
+            "id",
+            F.ntile(k).over(W.orderBy(F.col("v"), F.col("id"))).alias("t"),
+        )
+        fast = sampling.bucketed_rank(
+            sub, value=F.col("v"), tiebreaks=[F.col("id")],
+            rank_name="r", total_name="nn",
+        ).select(
+            "id",
+            sampling.ntile_from_rank(F.col("r"), F.col("nn"), k).alias("t2"),
+        )
+        assert naive.join(fast, "id").filter(
+            F.col("t") != F.col("t2")
+        ).count() == 0, (n, k)
+    spark.catalog.clearCache()
