@@ -944,45 +944,44 @@ def q_f8(spark, sf_dir):
 
 # Driver-verification priority. The correctness driver samples the catalog in
 # dict order with a bounded budget (every round so far recorded exactly the
-# first 50 keys), so the order is re-rotated each round. r7 rotation
-# (VERDICT r6 #1/#3): the cross-round union is complete (184/184 green
-# after r6), so the window now re-verifies the queries whose latest green
-# row is OLDEST (the r2 pair, then the r3 cohort), with r4-green family
-# fillers so all 10 family predicates in the ordering-contract test keep a
-# member in-window, and every NEW r7 query inserted at the very front.
-# Queries not listed follow in registration order — nothing is dropped.
+# first 50 keys), so the order is re-rotated each round. r8 rotation
+# (VERDICT r7 #2): the cross-round union remains complete (198/198 green
+# after r7), so the window leads with the r8 additions and rewrites (no /
+# stale rows), then re-verifies the queries whose latest green row is
+# OLDEST — the full r3 cohort (5 rounds stale) and the head of the r4
+# cohort — with two r5 fillers (ts_*, f1*) so all 10 family predicates in
+# the ordering-contract test keep a member in-window. Queries not listed
+# follow in registration order — nothing is dropped.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # — r7 additions lead the window (no driver row can exist yet);
-    #   insert each new catalog query name HERE when registering it —
-    "url_canonicalize", "url_domain_stats", "url_domain_cap",
-    "url_blocklist_filter", "text_gopher_rules", "mm_jpeg_features",
-    "url_canonical_dedup", "text_gopher_summary", "text_c4_line_filter",
-    "text_html_extract", "web_link_extract", "web_link_graph",
-    "web_robots_filter", "sample_token_budget",
-    # — oldest greens next: the only two queries whose latest row is r2 —
-    "tfidf_vectors", "sim_knn_join",
-    # — family fillers (latest row r4) so every family predicate in the
-    #   ordering-contract test keeps a member inside the 50-slot window:
-    #   timeseries / events / multimodal / tpch / scalar_packs —
-    "ts_window_battery", "events_windowed_agg", "mm_image_features",
-    "tpch_q7_volume_shipping", "f14_null_semantics",
-    # — the r3 cohort (oldest bulk greens), re-verified round-robin;
-    #   covers similarity (via sim_knn_join above), text, agg_ext,
-    #   join_ext, corpus (tfidf_vectors above) —
-    "dedup_exact_docs", "dedup_minhash_lsh", "dedup_clusters",
-    "text_quality_metrics", "j2_update_join", "j6_coalesce_override",
-    "j7_anti_join", "j8_semi_join", "a2_count_battery", "a3_latest_date",
-    "a4_distinct", "a5_dedup_scan", "p6_conditional_name",
-    "p11_clean_dummies", "p12_orphan_delete", "f7_wgs84_to_rd",
-    "j5_explode_self_join", "j3_plaats_overlay", "f5_bag_date_parse",
-    "p7_geometry_roundtrip", "f8_geometry_rings", "j11_merge_apply",
-    "a10_pivot", "w3_rank_battery", "a11_exact_moments",
-    "ev_json_extract", "text_pii_redact", "emb_quantize_int8",
-    "ml_kmeans_step", "a9_rollup", "text_bigram_lm",
-    "a12_zscore", "layout_zorder_key", "a13_above_cust_avg",
-    "a14_profile", "dedup_ngram_jaccard", "dedup_simhash",
-    "split_train_test", "pack_sequences", "curate_corpus",
-    "sample_per_source", "decontaminate_check", "sample_weighted_sources",
+    # — r8 additions lead the window (no driver row can exist yet) —
+    "text_main_content", "ml_pagerank_converged",
+    # — r8 rewrites next (stale green rows are not evidence for new code) —
+    "a20_ntile_binning", "cust_rfm", "web_robots_filter",
+    "web_link_extract", "web_link_graph",
+    # — the r3-stale cohort (latest green row 5 rounds old — VERDICT r7
+    #   #2 names these 14 explicitly) —
+    "a9_rollup", "text_bigram_lm", "a12_zscore", "layout_zorder_key",
+    "a13_above_cust_avg", "a14_profile", "dedup_ngram_jaccard",
+    "dedup_simhash", "split_train_test", "pack_sequences",
+    "curate_corpus", "sample_per_source", "decontaminate_check",
+    "sample_weighted_sources",
+    # — family fillers (oldest members of families absent from the r3/r4
+    #   cohorts: timeseries and scalar_packs are r5-green at oldest) —
+    "ts_topk_per_user", "f15_string_pack",
+    # — the r4 cohort head (next-oldest greens), round-robin; includes
+    #   the events / similarity / multimodal / tpch / join_ext / corpus
+    #   family members —
+    "a25_market_basket", "a26_cube", "dedup_containment",
+    "dedup_lsh_recall", "text_bm25_topk", "text_hash_classifier",
+    "vocab_build", "text_keywords_topk", "sim_cosine_topk",
+    "sim_lsh_bucket_topk", "sim_ann_recall", "a7_approx_distinct",
+    "events_sessionize", "mm_binary_metadata",
+    "dedup_repeated_substrings", "split_leakage_safe",
+    "text_bpe_pair_counts", "ml_pca_power_step", "mm_image_ahash",
+    "sample_weighted_reservoir", "text_entropy", "dq_k_anonymity",
+    "tpch_q8_market_share", "tpch_q12_late_lines",
+    "tpch_q13_cust_distribution", "tpch_q15_top_supplier",
+    "j10_salted_skew_join",
 )
 
 # Queries REWRITTEN since their last green driver CORRECTNESS row: a stale
@@ -991,9 +990,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # Maintained by hand: add a name here when materially changing its query or
 # operator; remove it once a NEWER driver round records a green row.
 _REWRITTEN_SINCE_DRIVER_ROW: tuple[str, ...] = (
-    # (empty after r6: every previously-listed rewrite got a fresh green
-    # driver row in CORRECTNESS_r06 — add names here when materially
-    # rewriting a query, remove once a newer green driver row lands)
+    # r8 rewrites (VERDICT r7 #1/#2): the unpartitioned ntile windows
+    # replaced with sampling.bucketed_rank + ntile_from_rank
+    "a20_ntile_binning",
+    "cust_rfm",
+    # r8 rewrites (VERDICT r7 #5 + ADVICE r7): RFC 9309 agent groups +
+    # wildcard/anchor matching; link resolution strips embedded
+    # fragments (fixture extended with a fragment-carrying href)
+    "web_robots_filter",
+    "web_link_extract",
+    "web_link_graph",
 )
 
 

@@ -159,6 +159,11 @@ def _ingest_batch_inner(
 
     if max_per_domain is not None and url_col is None:
         raise ValueError("max_per_domain needs url_col")
+    if domain_blocklist is not None and url_col is None:
+        # same guard as prepare_corpus: without url_col no domain exists
+        # to block against — filtering silently NOTHING would be worse
+        # than failing (ADVICE r7)
+        raise ValueError("domain_blocklist needs url_col")
     domain_cols: list[str] = []
     if url_col is not None:
         from bag_parser_spark.operators import urls

@@ -101,6 +101,19 @@ AUDIT = [
     # (source,bucket) window exchange + a tiny broadcast offsets side,
     # never a whole-source single-task window
     "sample_token_budget",
+    # r8 rewrites (VERDICT r7 #1/#2): exact ntile via bucketed_rank —
+    # every corpus-sized window must be bucket-partitioned; no
+    # unpartitioned WindowExec over the fact (pinned by
+    # tests/test_plans.py::test_no_single_partition_ntile_windows)
+    "a20_ntile_binning",
+    "cust_rfm",
+    # r8: readability block scoring — must be exchange-free map work
+    # (block split + higher-order filter riding the scan)
+    "text_main_content",
+    # r8: converged PageRank — per-iteration lineage must be TRUNCATED
+    # (localCheckpoint), so the final plan is one join over two
+    # checkpointed rank tables, not a 3^k tree
+    "ml_pagerank_converged",
 ]
 
 _PY_NODES = (

@@ -810,3 +810,22 @@ def test_ingest_domain_counts_partials_and_rebuild(spark, tmp_path):
     acc = {r["doc_id"] for r in
            spark.read.parquet(f"{state}/accepted").collect()}
     assert acc == {1, 2, 4}
+
+
+def test_ingest_blocklist_without_url_col_raises(spark, tmp_path):
+    """ADVICE r7: a blocklist with no url_col has nothing to block
+    against — it must raise (the same guard prepare_corpus has), not
+    silently filter nothing."""
+    import pytest
+
+    from bag_parser_spark.streaming.corpus import ingest_batch
+
+    b = spark.createDataFrame(
+        [(1, "some words here")], "doc_id long, text string"
+    )
+    blocked = spark.createDataFrame([("a.com",)], "domain string")
+    with pytest.raises(ValueError, match="domain_blocklist needs url_col"):
+        ingest_batch(
+            spark, b, str(tmp_path / "state"),
+            domain_blocklist=blocked,
+        )
