@@ -238,18 +238,26 @@ def cmd_prepare(args) -> int:
 
     spark = _get_spark(args, "corpus-prepare")
     id_col, url_col = "doc_id", args.url_col
-    if args.from_warc:
+    if args.from_warc or args.from_wet:
         from pyspark.sql import functions as F
 
-        from bag_parser_spark.sources.warc import crawl_to_documents
-
-        # raw crawl front half: WARC -> visible text -> C4 lines; docs
-        # the line gate rejects never reach the curation stages
-        docs = (
-            crawl_to_documents(spark, args.docs)
-            .filter(~F.col("drop_doc"))
-            .select("url", "text")
+        from bag_parser_spark.sources.warc import (
+            crawl_to_documents,
+            wet_to_documents,
         )
+
+        # raw crawl front half: WARC -> visible text (tag strip, or
+        # readability block scoring with --main-content) -> C4 lines;
+        # WET skips the HTML step (text is pre-extracted). Docs the
+        # line gate rejects never reach the curation stages.
+        front = (
+            wet_to_documents(spark, args.docs)
+            if args.from_wet
+            else crawl_to_documents(
+                spark, args.docs, main_content=args.main_content
+            )
+        )
+        docs = front.filter(~F.col("drop_doc")).select("url", "text")
         id_col = "url"
         url_col = url_col or "url"
     else:
@@ -277,6 +285,8 @@ def cmd_prepare(args) -> int:
         ),
         max_contamination_pct=args.max_contamination_pct,
         gopher=args.gopher,
+        c4_lines=args.c4_lines,
+        stage_report=args.stage_report,
         url_col=url_col,
         max_per_domain=args.max_per_domain,
         domain_blocklist=(
@@ -324,12 +334,14 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--geometries", action="store_true",
                      help="parse + convert geometries (reference "
                      "parse_geometries)")
-    imp.add_argument("--xml-backend", default="iterparse",
-                     choices=("iterparse", "native"),
-                     help="XML scan: 'iterparse' (reads zips in-stream, "
-                     "default) or 'native' (JVM-side parse; a zipped "
-                     "delivery is transparently extracted to plain .xml "
-                     "under --out first, then removed)")
+    imp.add_argument("--xml-backend", default="auto",
+                     choices=("auto", "iterparse", "native"),
+                     help="XML scan: 'auto' (default: JVM-native parse "
+                     "for plain layouts, iterparse for zipped "
+                     "deliveries), 'iterparse' (reads zips in-stream) "
+                     "or 'native' (JVM-side parse; a zipped delivery is "
+                     "transparently extracted to plain .xml under --out "
+                     "first, then removed)")
     _add_spark_args(imp)
     imp.set_defaults(fn=cmd_import)
 
@@ -381,6 +393,10 @@ def build_parser() -> argparse.ArgumentParser:
                       "crawl files: parse records, extract visible text "
                       "(html_to_text), clean lines (C4 filter), key docs "
                       "by URL; implies --url-col url")
+    prep.add_argument("--from-wet", action="store_true",
+                      help="treat --docs as a directory of WET files "
+                      "(CommonCrawl's pre-extracted text sidecar): same "
+                      "front half as --from-warc minus the HTML step")
     prep.add_argument("--out", required=True,
                       help="output directory (parquet, partitioned by split)")
     prep.add_argument("--min-quality", type=float, default=0.7)
@@ -419,6 +435,20 @@ def build_parser() -> argparse.ArgumentParser:
                       help="gate documents through the Gopher/MassiveText "
                       "quality-rule battery (8 rules; per-rule rejection "
                       "counts land in the summary JSON as gopher_counts)")
+    prep.add_argument("--c4-lines", action="store_true",
+                      help="C4 line-level gate between the quality filter "
+                      "and --gopher: bad lines are removed from surviving "
+                      "docs (the artifact carries cleaned text), docs "
+                      "failing the three-sentence/drop-phrase rules are "
+                      "rejected; counts land as c4_counts")
+    prep.add_argument("--main-content", action="store_true",
+                      help="with --from-warc: readability-style block "
+                      "scoring (drop link-dense nav/footer blocks) "
+                      "instead of the bare tag strip")
+    prep.add_argument("--stage-report", action="store_true",
+                      help="count survivors at every pipeline stage "
+                      "boundary (summary JSON key 'stages'; one bounded "
+                      "count per stage — leave off at production scale)")
     prep.add_argument("--url-col", default=None,
                       help="column holding each doc's URL; enables the "
                       "domain stage (canonical host -> registered "

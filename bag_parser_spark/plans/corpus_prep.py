@@ -50,6 +50,8 @@ def prepare_corpus(
     domain_blocklist: DataFrame | None = None,
     domain_allowlist: DataFrame | None = None,
     gopher: bool = False,
+    c4_lines: bool = False,
+    stage_report: bool = False,
 ) -> dict:
     """Run the curation pipeline and write ``out_dir`` partitioned by
     ``split``. Returns a summary dict (input/kept/emitted counts and the
@@ -65,6 +67,21 @@ def prepare_corpus(
     anti-join, then a deterministic ``max_per_domain`` cap
     (md5-seeded fair draw via ``sample_per_group``). The registered
     domain rides along into the artifact as ``registered_domain``.
+
+    ``c4_lines`` inserts the C4 line-level gate between the quality
+    filter and the Gopher battery (the real web-pipeline order): bad
+    lines are REMOVED from surviving documents (the artifact carries
+    the cleaned text, and exact dedup hashes the cleaned text), docs
+    failing C4's three-sentence / drop-phrase rules are rejected, and
+    total/kept counts ride the write job as ``c4_counts`` (same
+    observe shape as ``gopher_counts`` — no extra scan).
+
+    ``stage_report`` adds a stage-by-stage count breakdown (``stages``
+    in the summary, insertion-ordered along the pipeline): each stage
+    boundary is persisted and counted — one bounded action per stage,
+    and the caches double as reuse points for the multi-pass dedup
+    stages. Leave it off for production-scale runs where the free
+    observe-based c4/gopher counts suffice.
     """
     from bag_parser_spark.operators import dedup, sampling, urls
     from bag_parser_spark.operators.text import language_id, quality_score
@@ -76,6 +93,18 @@ def prepare_corpus(
             "max_per_domain / domain_blocklist need url_col to derive "
             "the registered domain from"
         )
+    stage_counts: dict[str, int] = {}
+    stage_handles: list[DataFrame] = []
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        if not stage_report:
+            return df
+        df = df.persist()
+        stage_handles.append(df)
+        stage_counts[name] = df.count()
+        return df
+
+    docs = _stage(docs, "input")
     domain_cols: list = []
     if url_col is not None:
         docs = urls.with_registered_domain_from_url(docs, url_col, spark)
@@ -86,6 +115,7 @@ def prepare_corpus(
                 domain_blocklist,
                 allowed=domain_allowlist,
             )
+            docs = _stage(docs, "domain_allowed")
         if max_per_domain is not None:
             docs = sampling.sample_per_group(
                 docs,
@@ -94,6 +124,7 @@ def prepare_corpus(
                 k=max_per_domain,
                 seed=seed,
             ).drop("sample_rank")
+            docs = _stage(docs, "domain_capped")
         domain_cols = [F.col("registered_domain")]
 
     scored = docs.select(
@@ -107,7 +138,33 @@ def prepare_corpus(
     keep = F.col("quality") >= min_quality
     if lang is not None:
         keep = keep & (F.col("lang_pred") == lang)
-    kept = scored.filter(keep).withColumn("__content__", F.md5(text_col))
+    kept = _stage(scored.filter(keep), "quality_lang")
+
+    c4_obs = None
+    if c4_lines:
+        # C4 line gate between the cheap quality filter and the Gopher
+        # battery (real pipeline order); kept docs get their CLEANED
+        # text — bad lines removed — so every later stage (gopher,
+        # content-hash dedup, the artifact) sees what training sees.
+        # Counts observe the flags subplan the join executes anyway.
+        from bag_parser_spark.operators.text import c4_line_filter
+
+        c4_obs = Observation("c4")
+        c4f = c4_line_filter(kept, id_col=id_col, text_col=text_col).observe(
+            c4_obs,
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(~F.col("drop_doc"), 1).otherwise(0)).alias("kept"),
+        )
+        kept = kept.drop(text_col).join(
+            c4f.filter(~F.col("drop_doc")).select(
+                id_col, F.col("clean_text").alias(text_col)
+            ),
+            id_col,
+        )
+        kept = _stage(kept, "c4_lines")
+    # content hash AFTER line cleaning: two docs differing only in
+    # removed boilerplate lines dedup as the same document
+    kept = kept.withColumn("__content__", F.md5(text_col))
 
     gopher_obs = None
     if gopher:
@@ -135,7 +192,11 @@ def prepare_corpus(
         kept = kept.join(
             flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
         )
-    unique = dedup.dedup_exact(kept, on=["__content__"], id_col=id_col)
+        kept = _stage(kept, "gopher")
+    unique = _stage(
+        dedup.dedup_exact(kept, on=["__content__"], id_col=id_col),
+        "exact_dedup",
+    )
 
     if near_dedup:
         # Candidate pairs over the exact-deduped survivors, REFINED by
@@ -164,7 +225,7 @@ def prepare_corpus(
         drop = clustered.filter(
             F.col(id_col) != F.col("cluster_id")
         ).select(id_col)
-        unique = unique.join(drop, id_col, "left_anti")
+        unique = _stage(unique.join(drop, id_col, "left_anti"), "near_dedup")
 
     if max_segment_dup_pct is not None:
         # Sub-document boilerplate gate (CCNet/RefinedWeb line dedup):
@@ -183,7 +244,9 @@ def prepare_corpus(
             .filter(~F.col("keep"))
             .select(id_col)
         )
-        unique = unique.join(seg_drop, id_col, "left_anti")
+        unique = _stage(
+            unique.join(seg_drop, id_col, "left_anti"), "segment_gate"
+        )
 
     if decontaminate_docs is not None:
         # Eval-set decontamination (the release gate every benchmark
@@ -227,7 +290,9 @@ def prepare_corpus(
             )
             .select(F.col("__id__").alias(id_col))
         )
-        unique = unique.join(contaminated, id_col, "left_anti")
+        unique = _stage(
+            unique.join(contaminated, id_col, "left_anti"), "decontaminated"
+        )
 
     split_df = sampling.hash_split(
         unique, id_col=id_col, splits=splits or DEFAULT_SPLITS, seed=seed
@@ -247,6 +312,8 @@ def prepare_corpus(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    for h in stage_handles:
+        h.unpersist()
     return {
         "out": os.path.abspath(out_dir),
         "n_out": n_out,
@@ -269,4 +336,11 @@ def prepare_corpus(
             if gopher_obs is not None
             else None
         ),
+        "c4_lines": c4_lines,
+        "c4_counts": (
+            {k: int(v) for k, v in c4_obs.get.items()}
+            if c4_obs is not None
+            else None
+        ),
+        "stages": stage_counts or None,
     }

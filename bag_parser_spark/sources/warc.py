@@ -196,6 +196,60 @@ def read_warc(
     return parse_warc_frame(files, record_types, parse_http)
 
 
+def read_wet(
+    spark: SparkSession,
+    path: str,
+) -> DataFrame:
+    """Batch-read WET (WARC-encapsulated text) files under ``path`` —
+    CommonCrawl's PRE-EXTRACTED plain-text sidecar, the artifact most
+    corpus builds reach for before raw WARC (no HTML step needed). The
+    record framing is identical to WARC (ISO 28500); only the payload
+    differs: 'conversion' records whose Content-Type is text/plain and
+    whose payload is the page's extracted text. Reuses the same
+    binaryFile scan + Arrow-batched parser as ``read_warc`` with the
+    conversion-record filter and no HTTP splitting."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .load(path)
+    )
+    return parse_warc_frame(
+        files, record_types=("conversion",), parse_http=False
+    )
+
+
+def wet_to_documents(
+    spark: SparkSession,
+    path: str,
+    min_words: int = 4,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """WET front half: conversion records → (url, text) → C4 line
+    cleaning → canonical URL, the same curation-ready shape
+    ``records_to_documents`` produces from raw WARC minus the HTML
+    extraction (WET text is already extracted and line-structured, so
+    the line gate applies directly)."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators import text as text_ops
+    from bag_parser_spark.operators import urls
+
+    pages = read_wet(spark, path).select(
+        F.col("target_uri").alias("url"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+    cleaned = text_ops.c4_line_filter(
+        pages,
+        id_col="url",
+        text_col="text",
+        min_words=min_words,
+        min_kept_lines=min_kept_lines,
+    )
+    return cleaned.withColumn(
+        "canonical_url", urls.canonicalize_url(F.col("url"))
+    ).withColumnRenamed("clean_text", "text")
+
+
 def build_warc_bytes(
     records: list[tuple[str, str, dict[str, str], bytes]],
     per_record_gzip: bool = False,
@@ -228,36 +282,42 @@ def records_to_documents(
     records: DataFrame,
     min_words: int = 4,
     min_kept_lines: int = 3,
+    main_content: bool = False,
 ) -> DataFrame:
     """The raw-web front half over an already-parsed WARC-records frame:
-    HTTP 200 text/html responses → visible text (``html_to_text``) →
-    C4 line cleaning → canonical URL — one lazy plan from records to
-    curation-ready (url, canonical_url, text, n_lines, n_kept,
-    drop_doc) rows, ready for `prepare_corpus` or the streaming
-    ``ingest_batch`` downstream. Everything here is expression-level
-    map work; no shuffle until a downstream stage asks for one."""
+    HTTP 200 text/html responses → visible text → C4 line cleaning →
+    canonical URL — one lazy plan from records to curation-ready
+    (url, canonical_url, text, n_lines, n_kept, drop_doc) rows, ready
+    for `prepare_corpus` or the streaming ``ingest_batch`` downstream.
+    ``main_content=True`` swaps the bare tag strip (``html_to_text``)
+    for readability-style block scoring (``main_content_extract``):
+    link-dense nav/footer blocks die before line cleaning ever sees
+    them. Everything here is expression-level map work; no shuffle
+    until a downstream stage asks for one."""
     from pyspark.sql import functions as F
 
     from bag_parser_spark.operators import text as text_ops
     from bag_parser_spark.operators import urls
 
-    pages = (
-        records
-        .filter(
-            (F.col("http_status") == 200)
-            & F.col("http_content_type").startswith("text/html")
+    raw = records.filter(
+        (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.decode(F.col("payload"), "UTF-8").alias("__html__"),
+    )
+    if main_content:
+        visible = text_ops.main_content_extract(
+            raw, id_col="url", html_col="__html__"
+        ).select("url", F.col("main_text").alias("visible"))
+    else:
+        visible = raw.select(
+            "url", text_ops.html_to_text(F.col("__html__")).alias("visible")
         )
-        .select(
-            F.col("target_uri").alias("url"),
-            text_ops.html_to_text(
-                F.decode(F.col("payload"), "UTF-8")
-            ).alias("visible"),
-        )
-        # sentence boundaries -> line boundaries for the line filter
-        .select(
-            "url",
-            F.regexp_replace(F.col("visible"), r"\. ", ".\n").alias("text"),
-        )
+    # sentence boundaries -> line boundaries for the line filter
+    pages = visible.select(
+        "url",
+        F.regexp_replace(F.col("visible"), r"\. ", ".\n").alias("text"),
     )
     cleaned = text_ops.c4_line_filter(
         pages,
@@ -276,6 +336,7 @@ def crawl_to_documents(
     path: str,
     min_words: int = 4,
     min_kept_lines: int = 3,
+    main_content: bool = False,
 ) -> DataFrame:
     """Batch composition: WARC scan (``read_warc``) →
     ``records_to_documents``. The streaming twin feeds the same
@@ -286,4 +347,5 @@ def crawl_to_documents(
         read_warc(spark, path),
         min_words=min_words,
         min_kept_lines=min_kept_lines,
+        main_content=main_content,
     )

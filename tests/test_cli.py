@@ -513,3 +513,114 @@ def test_cli_ingest_from_warc(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["n_accepted"] == 2
+
+
+def test_cli_prepare_full_web_pipeline_stage_report(tmp_path):
+    """VERDICT r7 #6: ONE CLI invocation composes the whole web-curation
+    chain — WARC -> readability main-content extraction -> C4 lines ->
+    domain block/cap -> quality -> C4 gate -> Gopher -> exact dedup ->
+    near dedup -> split — and --stage-report emits the stage-by-stage
+    survivor counts, asserted exactly here. The fixture plants one
+    casualty per gate: 2 blocked.net pages (blocklist), a 4th site0.com
+    page (cap 3), an under-50-words page (gopher), an identical-body
+    pair (exact dedup), and a one-word-apart pair (near dedup); nav
+    link bars vanish via --main-content."""
+    import json
+    from collections import Counter
+
+    import duckdb
+
+    from bag_parser_spark.sources import warc as W
+
+    NAV = ('<div><a href="/">Homelink</a> <a href="/a">Aboutlink</a> '
+           '<a href="/c">Contactlink</a></div>')
+
+    def prose(i, tweak="summer"):
+        # per-page vocabulary spread through EVERY sentence so distinct
+        # pages sit far below the 0.5 near-dup Jaccard (a shared
+        # skeleton alone would make all pages near-dups of each other),
+        # while the near.com pair (same i, one tweak word) stays high
+        w = [f"alpha{i}", f"beta{i}", f"gamma{i}", f"delta{i}",
+             f"omega{i}", f"sigma{i}", f"kappa{i}", f"theta{i}"]
+        return (
+            f"<p>The quick {w[0]} fox of {w[1]} valley jumps over the "
+            f"lazy {w[2]} dog and keeps a steady happy pace. "
+            f"It then rests by the old {w[3]} bridge near the quiet "
+            f"{tweak} river for a long {w[4]} while.</p>"
+            f"<p>Birds sing their gentle {w[5]} songs about warm evening "
+            f"light in the tall {w[6]} trees of page {w[7]}. "
+            f"People walk slowly along the {w[0]} winding path and talk "
+            f"about small {w[1]} things that matter to them.</p>"
+            f"<p>Later the village bakers prepare fresh {w[2]} bread "
+            f"with soft golden {w[3]} crusts for the early market crowd. "
+            f"Children play near the {w[4]} fountain while their parents "
+            f"buy {w[5]} fruit and cheese from friendly sellers.</p>"
+        )
+
+    def page(url, body_html):
+        body = f"<html><body>{NAV}{body_html}</body></html>".encode()
+        return (
+            "response", url,
+            {"Content-Type": "application/http;msgtype=response"},
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body,
+        )
+
+    records = [
+        # 4 unique site0 pages -> cap 3 drops one
+        *[page(f"https://site0.com/p/{i}", prose(i)) for i in range(4)],
+        # 2 blocked pages
+        *[page(f"https://blocked.net/p/{i}", prose(10 + i))
+          for i in range(2)],
+        # identical-body pair on two URLs -> exact dedup drops one
+        page("https://dup.com/a", prose(20)),
+        page("https://dup.com/b", prose(20)),
+        # one-word-apart pair -> near dedup drops one
+        page("https://near.com/a", prose(30, tweak="summer")),
+        page("https://near.com/b", prose(30, tweak="winter")),
+        # passes C4 (3 lines of >= 4 words) but < 50 words -> gopher
+        page("https://short.com/x",
+             "<p>We keep this page very small today. "
+             "It holds only a few simple words. "
+             "Nothing else lives on this page now.</p>"),
+    ]
+    crawl_dir = tmp_path / "crawl"
+    crawl_dir.mkdir()
+    (crawl_dir / "seg0.warc.gz").write_bytes(
+        W.build_warc_bytes(records, per_record_gzip=True)
+    )
+    out_dir = str(tmp_path / "corpus")
+    proc = _run_cli(
+        "prepare", "--from-warc", "--docs", str(crawl_dir),
+        "--out", out_dir, "--min-quality", "0", "--any-lang",
+        "--main-content", "--c4-lines", "--gopher",
+        "--max-per-domain", "3", "--block-domains", "blocked.net",
+        "--stage-report",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["stages"] == {
+        "input": 11,
+        "domain_allowed": 9,    # - 2 blocked.net
+        "domain_capped": 8,     # - 1 site0.com over the cap
+        "quality_lang": 8,      # min-quality 0 / any-lang: no casualty
+        "c4_lines": 8,          # front half already line-cleaned
+        "gopher": 7,            # - short.com (< 50 words)
+        "exact_dedup": 6,       # - one of dup.com
+        "near_dedup": 5,        # - one of near.com
+    }
+    assert summary["n_out"] == 5
+    assert summary["c4_counts"] == {"total": 8, "kept": 8}
+    assert summary["gopher_counts"]["total"] == 8
+    assert summary["gopher_counts"]["kept"] == 7
+    assert summary["gopher_counts"]["r_too_short"] >= 1
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT url, text, registered_domain FROM "
+        f"read_parquet('{out_dir}/*/*.parquet', hive_partitioning=1)"
+    ).fetchall()
+    con.close()
+    assert len(rows) == 5
+    # --main-content killed the nav bar in every surviving doc
+    assert all("Homelink" not in t for _, t, _ in rows)
+    per_dom = Counter(d for *_, d in rows)
+    assert per_dom["site0.com"] == 3 and per_dom["blocked.net"] == 0

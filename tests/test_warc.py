@@ -208,3 +208,45 @@ def test_streaming_warc_ingest(spark, tmp_path):
     ], urls_now
     # the accepted state carries the domain column (warc mode keys on url)
     assert "registered_domain" in acc.columns
+
+
+def test_read_wet_roundtrip_and_front_half(spark, tmp_path):
+    """WET sidecar (VERDICT r7 #8): identical WARC framing, 'conversion'
+    records carrying pre-extracted text/plain. read_wet filters to
+    conversion records (warcinfo skipped), wet_to_documents applies the
+    C4 line gate directly (no HTML step) and canonicalizes the URL; a
+    raw-WARC reader over the same directory must see none of it (no
+    'response' records)."""
+    from bag_parser_spark.sources import warc
+
+    text1 = (
+        "The quick brown fox jumps over the lazy dog tonight.\n"
+        "It then rests by the old stone bridge for a while.\n"
+        "Birds sing their songs about the warm summer evening."
+    )
+    text2 = "too short\nno punct"  # every line fails the C4 gate
+    records = [
+        ("warcinfo", "", {"Content-Type": "application/warc-fields"},
+         b"software: test"),
+        ("conversion", "https://WWW.Site1.com/p/1#frag",
+         {"Content-Type": "text/plain"}, text1.encode()),
+        ("conversion", "https://site2.com/p/2",
+         {"Content-Type": "text/plain"}, text2.encode()),
+    ]
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "seg0.warc.wet.gz").write_bytes(
+        warc.build_warc_bytes(records, per_record_gzip=True)
+    )
+    recs = warc.read_wet(spark, str(d)).collect()
+    assert sorted(r["warc_type"] for r in recs) == ["conversion"] * 2
+    assert {bytes(r["payload"]).decode() for r in recs} == {text1, text2}
+    docs = {r["url"]: r for r in
+            warc.wet_to_documents(spark, str(d)).collect()}
+    ok = docs["https://WWW.Site1.com/p/1#frag"]
+    assert ok["drop_doc"] is False and ok["n_kept"] == 3
+    assert ok["text"].startswith("The quick brown fox")
+    assert ok["canonical_url"] == "https://site1.com/p/1"
+    assert docs["https://site2.com/p/2"]["drop_doc"] is True
+    # the raw-WARC reader over the same dir sees no response records
+    assert warc.read_warc(spark, str(d)).count() == 0
