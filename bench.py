@@ -67,11 +67,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "text_quality_metrics",
-    "sim_cosine_topk",
     "sim_ivf_topk",
     "ts_gapfill",
     "ts_interval_join",
-    "a9_rollup",
     "emb_quantize_int8",
     "ml_kmeans_step",
     "lm_doc_score",
@@ -82,9 +80,7 @@ HEADLINE = [
     "mm_image_features",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
-    "text_bm25_topk",
     "text_hash_classifier",
-    "ts_ohlc_bars",
     "dedup_verified_pairs",
     "dedup_incremental",
     "mm_image_neardup",
@@ -106,6 +102,17 @@ HEADLINE = [
     "dedup_span_rewrite",
     "sim_hard_negatives",
     "text_ngram_novelty",
+    # r8 swaps (stdout-window budget, same pattern as r7): dropped
+    # sim_cosine_topk (sim_ivf_topk covers the cosine path),
+    # ts_ohlc_bars (ts_gapfill/ts_interval_join keep the family on the
+    # clock), text_bm25_topk and a9_rollup (families covered below) —
+    # all stay oracle-tested in pytest. Added: the two rewritten ntile
+    # queries (their perf is the point of the rewrite), the 0-exchange
+    # block-scoring extractor, and the iterative PageRank
+    "a20_ntile_binning",
+    "cust_rfm",
+    "text_main_content",
+    "ml_pagerank_converged",
 ]
 
 
