@@ -227,6 +227,15 @@ def cmd_query(args) -> int:
     return 0
 
 
+def _parse_robots_arg(spark, path: str):
+    """--robots: a parquet of fetched robots.txt files (domain,
+    robots_txt) -> the parsed per-agent rule rows prepare_corpus's
+    politeness gate consumes."""
+    from bag_parser_spark.operators.urls import parse_robots
+
+    return parse_robots(spark.read.parquet(path))
+
+
 def cmd_prepare(args) -> int:
     """Training-corpus preparation: quality/language filter → exact dedup
     → near-dup canonicalization → deterministic split → parquet
@@ -305,6 +314,10 @@ def cmd_prepare(args) -> int:
             if args.allow_domains
             else None
         ),
+        robots_rules=(
+            _parse_robots_arg(spark, args.robots) if args.robots else None
+        ),
+        robots_agent=args.robots_agent,
     )
     _log(f"prepared {summary['n_out']} docs -> {summary['out']}")
     print(json.dumps(summary, sort_keys=True))
@@ -462,6 +475,15 @@ def build_parser() -> argparse.ArgumentParser:
     prep.add_argument("--allow-domains", default=None,
                       help="comma-separated registered domains that "
                       "override --block-domains")
+    prep.add_argument("--robots", default=None,
+                      help="parquet of fetched robots.txt files (columns "
+                      "domain, robots_txt); enables the RFC 9309 "
+                      "politeness gate between the blocklist and the "
+                      "per-domain cap (requires --url-col)")
+    prep.add_argument("--robots-agent", default="*",
+                      help="crawler product token for robots group "
+                      "selection (default '*'; a specific agent's group "
+                      "shadows '*' per RFC 9309)")
     _add_spark_args(prep)
     prep.set_defaults(fn=cmd_prepare)
 

@@ -430,47 +430,57 @@ def apply_robots(
     first — this function expects the 3-column (domain, rule_type,
     path_prefix) shape.
 
-    Rules are a curation artifact (a few rules per domain) so the join
-    BROADCASTS — the corpus never shuffles for it; the only per-page
-    work is one broadcast join plus a doc-keyed window over that doc's
-    own matches (bounded by its domain's rule count, an input
-    invariant). Returns the pages with `allowed` + the deciding
-    `matched_rule`/`matched_prefix` (NULL when nothing matched).
+    Scale shape (r8 rewrite): the rules collapse to ONE row per domain
+    holding an ARRAY of rule structs (the groupBy shuffles only the
+    tiny rules side), that table broadcasts, and the whole evaluation —
+    filter the array to matching rules, pick the winner — is
+    higher-order-function expressions riding the scan. The CORPUS
+    never shuffles at all (the r7 version ranked matches with a
+    doc-keyed window, i.e. one full-corpus shuffle per robots pass;
+    ``id_col`` is kept for signature stability but the per-row form no
+    longer needs a doc key). The winner is ``array_max`` over structs
+    keyed (octet length, is_allow): longest rule wins, a length tie
+    goes to allow — §2.2.2 without a sort. Returns the pages with
+    `allowed` + the deciding `matched_rule`/`matched_prefix` (NULL
+    when nothing matched).
     """
-    r = F.broadcast(
-        rules.select(
+    del id_col  # per-row evaluation: no doc key needed since r8
+    per_dom = F.broadcast(
+        rules.filter(F.col("path_prefix") != "")
+        .select(
             F.col("domain").alias("__rdom__"),
-            F.col("rule_type").alias("__rtype__"),
-            F.col("path_prefix").alias("__rpath__"),
-            (
-                F.col("path_prefix").contains("*")
-                | F.col("path_prefix").contains("$")
-            ).alias("__rmeta__"),
-            robots_rule_pattern(F.col("path_prefix")).alias("__rre__"),
-        ).filter(F.col("__rpath__") != "")
+            F.struct(
+                F.length("path_prefix").alias("plen"),
+                (F.col("rule_type") == "allow").cast("int").alias(
+                    "is_allow"
+                ),
+                F.col("rule_type").alias("rule_type"),
+                F.col("path_prefix").alias("path_prefix"),
+                (
+                    F.col("path_prefix").contains("*")
+                    | F.col("path_prefix").contains("$")
+                ).alias("has_meta"),
+                robots_rule_pattern(F.col("path_prefix")).alias("pattern"),
+            ).alias("__rule__"),
+        )
+        .groupBy("__rdom__")
+        .agg(F.collect_list("__rule__").alias("__rules__"))
     )
     page_path = F.col(path_col)
-    matches = F.when(
-        F.col("__rmeta__"), F.rlike(page_path, F.col("__rre__"))
-    ).otherwise(page_path.startswith(F.col("__rpath__")))
-    j = pages.join(
-        r,
-        (F.col(host_col) == F.col("__rdom__")) & matches,
-        "left",
+    matched = F.filter(
+        F.col("__rules__"),
+        lambda r: F.when(
+            r["has_meta"], F.rlike(page_path, r["pattern"])
+        ).otherwise(page_path.startswith(r["path_prefix"])),
     )
-    # longest prefix first; on equal length 'allow' < 'disallow'
-    w = Window.partitionBy(id_col).orderBy(
-        F.length("__rpath__").desc(), F.col("__rtype__").asc()
-    )
-    return (
-        j.withColumn("__rank__", F.row_number().over(w))
-        .filter(F.col("__rank__") == 1)
-        .select(
-            *pages.columns,
-            (
-                F.col("__rtype__").isNull() | (F.col("__rtype__") == "allow")
-            ).alias("allowed"),
-            F.col("__rtype__").alias("matched_rule"),
-            F.col("__rpath__").alias("matched_prefix"),
-        )
+    # struct comparison is field-order lexicographic: (plen, is_allow)
+    # leads, so max = longest rule, allow on a length tie
+    best = F.array_max(matched)
+    return pages.join(
+        per_dom, F.col(host_col) == F.col("__rdom__"), "left"
+    ).select(
+        *pages.columns,
+        (best.isNull() | (best["rule_type"] == "allow")).alias("allowed"),
+        best["rule_type"].alias("matched_rule"),
+        best["path_prefix"].alias("matched_prefix"),
     )

@@ -94,8 +94,10 @@ AUDIT = [
     # work; the host-graph rollup is exactly one groupBy exchange
     "web_link_extract",
     "web_link_graph",
-    # robots evaluation: broadcast rules join + one doc-keyed window,
-    # never a corpus shuffle
+    # robots evaluation (r8 rewrite): per-domain rule ARRAYS broadcast
+    # onto the pages, longest-match picked by array_max — the corpus
+    # side must be exchange-free (the r7 doc-keyed window was a full
+    # corpus shuffle per robots pass)
     "web_robots_filter",
     # token-budget mixing: the exact distributed prefix sum — one
     # (source,bucket) window exchange + a tiny broadcast offsets side,
@@ -114,6 +116,10 @@ AUDIT = [
     # (localCheckpoint), so the final plan is one join over two
     # checkpointed rank tables, not a 3^k tree
     "ml_pagerank_converged",
+    # r8: DSIR importance resampling — map-side feature stream, two
+    # tiny bucket aggregates, broadcast log-ratio join; the ONE
+    # corpus-scale exchange is the per-doc groupBy, top-k is a heap
+    "sample_dsir",
 ]
 
 _PY_NODES = (

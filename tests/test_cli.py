@@ -518,13 +518,14 @@ def test_cli_ingest_from_warc(tmp_path):
 def test_cli_prepare_full_web_pipeline_stage_report(tmp_path):
     """VERDICT r7 #6: ONE CLI invocation composes the whole web-curation
     chain — WARC -> readability main-content extraction -> C4 lines ->
-    domain block/cap -> quality -> C4 gate -> Gopher -> exact dedup ->
-    near dedup -> split — and --stage-report emits the stage-by-stage
-    survivor counts, asserted exactly here. The fixture plants one
-    casualty per gate: 2 blocked.net pages (blocklist), a 4th site0.com
-    page (cap 3), an under-50-words page (gopher), an identical-body
-    pair (exact dedup), and a one-word-apart pair (near dedup); nav
-    link bars vanish via --main-content."""
+    domain block / robots / cap -> quality -> C4 gate -> Gopher ->
+    exact dedup -> near dedup -> split — and --stage-report emits the
+    stage-by-stage survivor counts, asserted exactly here. The fixture
+    plants one casualty per gate: 2 blocked.net pages (blocklist), a
+    robots.com /private/ page (--robots politeness gate), a 4th
+    site0.com page (cap 3), an under-50-words page (gopher), an
+    identical-body pair (exact dedup), and a one-word-apart pair (near
+    dedup); nav link bars vanish via --main-content."""
     import json
     from collections import Counter
 
@@ -577,6 +578,9 @@ def test_cli_prepare_full_web_pipeline_stage_report(tmp_path):
         # one-word-apart pair -> near dedup drops one
         page("https://near.com/a", prose(30, tweak="summer")),
         page("https://near.com/b", prose(30, tweak="winter")),
+        # robots.com: /private/ star-disallowed, /public/ allowed
+        page("https://robots.com/private/1", prose(40)),
+        page("https://robots.com/public/1", prose(41)),
         # passes C4 (3 lines of >= 4 words) but < 50 words -> gopher
         page("https://short.com/x",
              "<p>We keep this page very small today. "
@@ -588,39 +592,51 @@ def test_cli_prepare_full_web_pipeline_stage_report(tmp_path):
     (crawl_dir / "seg0.warc.gz").write_bytes(
         W.build_warc_bytes(records, per_record_gzip=True)
     )
+    robots_pq = str(tmp_path / "robots.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT 'robots.com' AS domain, "
+        "'User-agent: *' || chr(10) || 'Disallow: /private/' "
+        f"AS robots_txt) TO '{robots_pq}' (FORMAT PARQUET)"
+    )
+    con.close()
     out_dir = str(tmp_path / "corpus")
     proc = _run_cli(
         "prepare", "--from-warc", "--docs", str(crawl_dir),
         "--out", out_dir, "--min-quality", "0", "--any-lang",
         "--main-content", "--c4-lines", "--gopher",
         "--max-per-domain", "3", "--block-domains", "blocked.net",
-        "--stage-report",
+        "--robots", robots_pq, "--stage-report",
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["stages"] == {
-        "input": 11,
-        "domain_allowed": 9,    # - 2 blocked.net
-        "domain_capped": 8,     # - 1 site0.com over the cap
-        "quality_lang": 8,      # min-quality 0 / any-lang: no casualty
-        "c4_lines": 8,          # front half already line-cleaned
-        "gopher": 7,            # - short.com (< 50 words)
-        "exact_dedup": 6,       # - one of dup.com
-        "near_dedup": 5,        # - one of near.com
+        "input": 13,
+        "domain_allowed": 11,   # - 2 blocked.net
+        "robots_allowed": 10,   # - robots.com/private/1
+        "domain_capped": 9,     # - 1 site0.com over the cap
+        "quality_lang": 9,      # min-quality 0 / any-lang: no casualty
+        "c4_lines": 9,          # front half already line-cleaned
+        "gopher": 8,            # - short.com (< 50 words)
+        "exact_dedup": 7,       # - one of dup.com
+        "near_dedup": 6,        # - one of near.com
     }
-    assert summary["n_out"] == 5
-    assert summary["c4_counts"] == {"total": 8, "kept": 8}
-    assert summary["gopher_counts"]["total"] == 8
-    assert summary["gopher_counts"]["kept"] == 7
+    assert summary["n_out"] == 6
+    assert summary["c4_counts"] == {"total": 9, "kept": 9}
+    assert summary["gopher_counts"]["total"] == 9
+    assert summary["gopher_counts"]["kept"] == 8
     assert summary["gopher_counts"]["r_too_short"] >= 1
+    assert summary["robots"] and summary["robots_agent"] == "*"
     con = duckdb.connect()
     rows = con.execute(
         "SELECT url, text, registered_domain FROM "
         f"read_parquet('{out_dir}/*/*.parquet', hive_partitioning=1)"
     ).fetchall()
     con.close()
-    assert len(rows) == 5
+    assert len(rows) == 6
     # --main-content killed the nav bar in every surviving doc
     assert all("Homelink" not in t for _, t, _ in rows)
     per_dom = Counter(d for *_, d in rows)
     assert per_dom["site0.com"] == 3 and per_dom["blocked.net"] == 0
+    assert per_dom["robots.com"] == 1
+    assert not any("/private/" in u for u, *_ in rows)

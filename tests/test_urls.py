@@ -123,6 +123,72 @@ def test_prepare_corpus_domain_args_require_url_col(spark, tmp_path):
         prepare_corpus(
             spark, docs, str(tmp_path / "x"), max_per_domain=3
         )
+    rules = spark.createDataFrame(
+        [("a.com", "*", "disallow", "/")],
+        "domain string, agent string, rule_type string, "
+        "path_prefix string",
+    )
+    with pytest.raises(ValueError, match="url_col"):
+        prepare_corpus(
+            spark, docs, str(tmp_path / "y"), robots_rules=rules
+        )
+
+
+def test_prepare_corpus_robots_gate(spark, tmp_path):
+    """The RFC 9309 politeness gate inside prepare_corpus: rules are
+    parse_robots-shaped rows, the crawler's specific group SHADOWS '*',
+    longest-match decides within the selected group, and disallowed
+    pages never consume the per-domain cap (the gate runs BEFORE the
+    cap). Hosts carry the canonical form (www./port already stripped by
+    the stage's own derivation)."""
+    from bag_parser_spark.plans.corpus_prep import prepare_corpus
+
+    text = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        # open.com: 4 pages, 2 under /private/ (star-disallowed); the
+        # 2 surviving public pages fit the cap of 2 EXACTLY — if the
+        # gate ran after the cap a private page could burn a slot
+        (1, f"{text} u1", "https://www.Open.COM/public/1"),
+        (2, f"{text} u2", "https://open.com/public/2"),
+        (3, f"{text} u3", "https://open.com/private/1"),
+        (4, f"{text} u4", "https://open.com/private/2"),
+        # shadow.org: '*' disallows everything but the specific agent's
+        # group allows it — both pages survive for that agent
+        (5, f"{text} u5", "https://shadow.org/a"),
+        (6, f"{text} u6", "https://shadow.org/b"),
+        # norules.net: no robots entry at all -> allowed
+        (7, f"{text} u7", "https://norules.net/x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    rules = spark.createDataFrame(
+        [
+            ("open.com", "*", "disallow", "/private/"),
+            ("shadow.org", "*", "disallow", "/"),
+            ("shadow.org", "corpusbot", "allow", "/"),
+        ],
+        "domain string, agent string, rule_type string, "
+        "path_prefix string",
+    )
+    out = str(tmp_path / "corpus")
+    summary = prepare_corpus(
+        spark,
+        docs,
+        out,
+        min_quality=0.0,
+        lang=None,
+        near_dedup=False,
+        url_col="url",
+        max_per_domain=2,
+        robots_rules=rules,
+        robots_agent="CorpusBot",
+        stage_report=True,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 5, 6, 7}
+    assert summary["stages"]["input"] == 7
+    assert summary["stages"]["robots_allowed"] == 5
+    assert summary["stages"]["domain_capped"] == 5
+    assert summary["robots"] and summary["robots_agent"] == "CorpusBot"
 
 
 def test_extract_links_resolution_branches(spark):
