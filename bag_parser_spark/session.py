@@ -42,6 +42,19 @@ def get_spark(
         # Arrow for any pandas_udf / toPandas path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Bound plan-string construction. QueryExecution stringifies the
+        # plan for every action's execution event, and deep multi-stage
+        # pipelines (prepare_corpus: scan -> quality -> c4 -> gopher ->
+        # 2x dedup, each a self-join) print SHARED subtrees once per
+        # reference — measured 2.1 GB / ~90 s PER ACTION at the default
+        # Int.MaxValue cap (five such builds dominated a small e2e run
+        # and OOMed 16 GB drivers). 1 MiB keeps plans debuggable while
+        # making the cost invisible; .explain() output is unaffected for
+        # every plan a human actually reads.
+        .config(
+            "spark.sql.maxPlanStringLength",
+            os.environ.get("SPARK_GRAFT_MAX_PLAN_STR", str(1 << 20)),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
