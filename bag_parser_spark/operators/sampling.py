@@ -776,3 +776,124 @@ def token_budget_sample(
         .filter(F.col(cum_name) <= F.col("__budget__"))
         .drop("__budget__", "__h__", "__bkt__", "__offset__")
     )
+
+
+def _hashed_ngram_feats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    seed: int | str,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Hashed unigram+bigram feature stream: one row per feature
+    occurrence, (id, pos, bucket). ``pos`` is the deterministic
+    1-based feature position (unigrams first, then bigrams) so
+    downstream float folds can run in an engine-independent order.
+    Bucketing is the portable md5 nibble fold (``md5_mod``) — any
+    engine computes the identical bucket. Pure map-side: split,
+    two ``transform``s, one ``explode``; nothing shuffles here."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # unigrams at pos 1..n, bigrams ("w1 w2") at pos n+1..2n-1; Spark
+    # transform's index is 0-based, the DuckDB twin's is 1-based
+    feats = F.expr(
+        "transform(__toks__, (x, i) -> struct(i+1 AS pos, x AS f)) || "
+        "transform(slice(__toks__, 1, size(__toks__)-1), (x, i) -> "
+        "struct(size(__toks__)+i+1 AS pos, "
+        "concat(x, ' ', __toks__[i+1]) AS f))"
+    )
+    return (
+        df.select(
+            F.col(id_col), *[F.col(c) for c in extra_cols],
+            toks.alias("__toks__"),
+        )
+        .select(
+            id_col, *extra_cols, F.explode(feats).alias("b")
+        )
+        .select(
+            id_col,
+            *extra_cols,
+            F.col("b.pos").alias("pos"),
+            md5_mod(F.col("b.f"), seed, n_buckets).alias("bucket"),
+        )
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    seed: int | str = "dsir",
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169) over hashed n-gram features: estimate the
+    target and raw feature-bucket distributions, score every raw
+    document by its importance log-weight
+    ``log w(x) = sum_f [ln p_target(bucket(f)) - ln p_raw(bucket(f))]``
+    (add-one smoothing on both), and attach the Gumbel key
+    ``log w + g`` (g = -ln(-ln(u)), u hash-derived per doc) whose
+    descending top-k IS sampling-without-replacement proportional to
+    w — the paper's resampling step, deterministic here because the
+    Gumbel draw is a pure function of (seed, id).
+
+    Scale shape: the feature stream is map-side (split/transform/
+    explode, ``_hashed_ngram_feats``); both distribution estimates
+    aggregate to ``n_buckets`` rows (tiny — one shuffle each of
+    (bucket, count) partials, map-side combined); the log-ratio table
+    broadcasts back onto the feature stream; and the per-document
+    reduction is the ONE corpus-scale shuffle (groupBy id). The float
+    fold runs position-ordered (sort_array + aggregate) so every
+    engine and every partitioning adds the same numbers in the same
+    order; callers round for display (ln differs in the last ulp
+    across libm implementations).
+
+    Returns (id, n_feats, dsir_logw, sample_key) — unrounded.
+    """
+    raw_feats = _hashed_ngram_feats(docs, id_col, text_col, n_buckets, seed)
+    tgt_feats = _hashed_ngram_feats(
+        target, id_col, text_col, n_buckets, seed
+    )
+    rc = raw_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tc = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    totals_r = rc.agg(F.sum("rc").alias("Tr"))
+    totals_t = tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("Tt"))
+    # every bucket seen in the raw stream exists in rc, so a LEFT join
+    # covers the per-doc probe side; smoothing keeps tc=0 buckets finite
+    lam = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(totals_r))
+        .crossJoin(F.broadcast(totals_t))
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                - F.log(F.col("Tt") + F.lit(float(n_buckets)))
+                - F.log(F.col("rc") + F.lit(1.0))
+                + F.log(F.col("Tr") + F.lit(float(n_buckets)))
+            ).alias("lam"),
+        )
+    )
+    scored = (
+        raw_feats.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "lam"))),
+                    lambda x: x["lam"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("dsir_logw"),
+        )
+    )
+    u = (
+        md5_mod(F.col(id_col), f"{seed}:g").cast("double") + F.lit(0.5)
+    ) / F.lit(float(HASH_SPLIT_MOD))
+    gumbel = -F.log(-F.log(u))
+    return scored.withColumn(
+        "sample_key", F.col("dsir_logw") + gumbel
+    )

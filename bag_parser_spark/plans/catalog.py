@@ -954,7 +954,7 @@ def q_f8(spark, sf_dir):
 # follow in registration order — nothing is dropped.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # — r8 additions lead the window (no driver row can exist yet) —
-    "text_main_content", "ml_pagerank_converged",
+    "text_main_content", "ml_pagerank_converged", "sample_dsir",
     # — r8 rewrites next (stale green rows are not evidence for new code) —
     "a20_ntile_binning", "cust_rfm", "web_robots_filter",
     "web_link_extract", "web_link_graph",
@@ -979,8 +979,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_repeated_substrings", "split_leakage_safe",
     "text_bpe_pair_counts", "ml_pca_power_step", "mm_image_ahash",
     "sample_weighted_reservoir", "text_entropy", "dq_k_anonymity",
+    # (tpch_q13 rotated out to make room for sample_dsir — tpch keeps
+    # three members in-window)
     "tpch_q8_market_share", "tpch_q12_late_lines",
-    "tpch_q13_cust_distribution", "tpch_q15_top_supplier",
+    "tpch_q15_top_supplier",
     "j10_salted_skew_join",
 )
 

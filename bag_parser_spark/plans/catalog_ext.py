@@ -3912,3 +3912,104 @@ def q_sample_token_budget(spark, sf_dir):
         budgets=_TOKBUDGETS,
         seed=_TOKBUDGET_SEED,
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+# ---------------------------------------------------------------------------
+# sample_dsir — DSIR importance resampling (r8: the data-SELECTION half of
+# the mixing family — choose raw docs that LOOK like a target corpus,
+# arXiv:2302.03169; complements sample_token_budget's budget half)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 512
+_DSIR_SEED = "dsir"
+_DSIR_K = 60
+
+
+@register(
+    "sample_dsir",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, b.pos AS pos, b.f AS f FROM (
+        SELECT doc_id, lang,
+               unnest(list_concat(
+                 list_transform(t, (x, i) -> struct_pack(pos := i, f := x)),
+                 list_transform(t[1:len(t)-1], (x, i) ->
+                   struct_pack(pos := len(t) + i, f := x || ' ' || t[i+1]))
+               )) AS b
+        FROM toks) u
+    ),
+    fb AS (
+      SELECT doc_id, lang, pos,
+             {O.md5_mod_sql('f', _DSIR_SEED, _DSIR_BUCKETS)} AS bucket
+      FROM feats
+    ),
+    rc AS (SELECT bucket, COUNT(*) AS rc FROM fb GROUP BY 1),
+    tc AS (SELECT bucket, COUNT(*) AS tc FROM fb WHERE lang = 'en'
+           GROUP BY 1),
+    tr AS (SELECT SUM(rc) AS total_r FROM rc),
+    tt AS (SELECT COALESCE(SUM(tc), 0) AS total_t FROM tc),
+    lam AS (
+      SELECT rc.bucket,
+             ln(COALESCE(tc.tc, 0) + 1.0) - ln(total_t + {_DSIR_BUCKETS}.0)
+             - ln(rc.rc + 1.0) + ln(total_r + {_DSIR_BUCKETS}.0) AS lam
+      FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket, tr, tt
+    ),
+    s AS (
+      SELECT fb.doc_id, COUNT(*) AS n_feats,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lam ORDER BY pos)), (a, b) -> a + b) AS logw
+      FROM fb JOIN lam ON fb.bucket = lam.bucket
+      GROUP BY fb.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_feats, logw,
+             logw + (-ln(-ln(
+               ({O.md5_mod_sql('doc_id', _DSIR_SEED + ':g')} + 0.5)
+               / 10000.0))) AS skey
+      FROM s
+    )
+    SELECT doc_id, n_feats, round(logw, 6) AS dsir_logw,
+           round(skey, 6) AS sample_key
+    FROM keyed
+    ORDER BY round(skey, 6) DESC, doc_id ASC
+    LIMIT {_DSIR_K}
+    """,
+    doc="DSIR importance resampling (Xie et al. 2023): hashed "
+    "unigram+bigram buckets (portable md5 nibble fold), add-one-"
+    "smoothed target ('en' docs as the target-corpus proxy) vs raw "
+    "bucket distributions, per-doc importance log-weight as a "
+    "position-ordered float fold (engine-independent addition order), "
+    "and Gumbel-top-k on log w + g — sampling WITHOUT replacement "
+    "proportional to w, deterministic because the Gumbel uniform is a "
+    "hash of (seed, id). Scale shape: feature stream is map-side; both "
+    "distribution estimates collapse to 512-row aggregates; the "
+    "log-ratio table BROADCASTS back onto the stream; the one "
+    "corpus-scale shuffle is the per-doc groupBy; top-k is "
+    "TakeOrderedAndProject (per-task heaps, no global sort). ln() "
+    "rounds to 6 (libm last-ulp rule).",
+)
+def q_sample_dsir(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    scored = sampling.dsir_logweights(
+        d,
+        d.filter(F.col("lang") == "en"),
+        n_buckets=_DSIR_BUCKETS,
+        seed=_DSIR_SEED,
+    )
+    key = F.round(F.col("sample_key"), 6)
+    return (
+        scored.select(
+            "doc_id",
+            "n_feats",
+            F.round("dsir_logw", 6).alias("dsir_logw"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_K)
+    )

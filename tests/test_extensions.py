@@ -2412,3 +2412,36 @@ def test_main_content_differs_from_strip_on_fixture(spark):
     assert out.filter(F.col("main_text") == F.col("stripped")).count() == 0
     # and every doc keeps SOMETHING (the extractor isn't vacuously empty)
     assert out.filter(F.col("n_kept") < 2).count() == 0
+
+
+def test_dsir_importance_ranks_targetlike_docs(spark):
+    """DSIR semantics (arXiv:2302.03169): pool docs sharing the target
+    corpus's vocabulary must get strictly higher importance log-weights
+    than same-length docs from a disjoint vocabulary, the feature count
+    is 2n-1 (unigrams + bigrams), and the Gumbel sample key is a pure
+    function of (seed, id) — rerunning reproduces it exactly."""
+    from bag_parser_spark.operators import sampling
+
+    tgt_words = "alpha beta gamma delta epsilon zeta eta theta"
+    junk_words = "zork quux blarg wibble frotz grue plugh xyzzy"
+    pool = [(i, tgt_words) for i in range(1, 4)] + [
+        (i, junk_words) for i in range(4, 7)
+    ]
+    docs = spark.createDataFrame(pool, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, tgt_words) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = sampling.dsir_logweights(docs, target, n_buckets=64)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(r["n_feats"] == 15 for r in rows.values())  # 2*8-1
+    worst_tgt = min(rows[i]["dsir_logw"] for i in (1, 2, 3))
+    best_junk = max(rows[i]["dsir_logw"] for i in (4, 5, 6))
+    assert worst_tgt > best_junk
+    rerun = {
+        r["doc_id"]: r["sample_key"]
+        for r in sampling.dsir_logweights(
+            docs, target, n_buckets=64
+        ).collect()
+    }
+    assert rerun == {i: rows[i]["sample_key"] for i in rows}
