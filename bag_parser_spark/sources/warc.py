@@ -349,3 +349,93 @@ def crawl_to_documents(
         min_kept_lines=min_kept_lines,
         main_content=main_content,
     )
+
+
+# WAT (Web Archive Transformation) — CommonCrawl's JSON metadata
+# sidecar: one 'metadata' record per original record, payload an
+# application/json envelope holding the parsed HTTP headers and, for
+# HTML pages, the harvested <a>/<link> targets and <head> fields. The
+# link graph half of a crawl build usually starts HERE instead of
+# re-parsing raw WARC HTML (the extraction already happened once,
+# crawl-side). Layout per the public commoncrawl.org WAT description.
+
+WAT_LINKS_SCHEMA = (
+    "struct<"
+    "`Envelope`: struct<"
+    "`WARC-Header-Metadata`: struct<`WARC-Target-URI`: string>, "
+    "`Payload-Metadata`: struct<"
+    "`HTTP-Response-Metadata`: struct<"
+    "`HTML-Metadata`: struct<"
+    "`Head`: struct<`Title`: string>, "
+    "`Links`: array<struct<`path`: string, `url`: string, "
+    "`text`: string>>"
+    ">>>>>"
+)
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read WAT files under ``path``: the same binaryFile scan +
+    Arrow-batched record parser as ``read_warc`` with the
+    metadata-record filter and no HTTP splitting (the payload is the
+    JSON envelope, not an HTTP message)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wat*")
+        .load(path)
+    )
+    return parse_warc_frame(
+        files, record_types=("metadata",), parse_http=False
+    )
+
+
+def wat_to_links(spark: SparkSession, path: str) -> DataFrame:
+    """WAT → one row per harvested link: (url, title, link_no,
+    link_path, link_href, link_url) where ``link_href`` is the raw
+    attribute value the crawler recorded and ``link_url`` is its
+    RFC 3986-lite resolution against the page URL (same
+    ``urls.resolve_link`` contract as the HTML-side ``extract_links``
+    — fragment-only/pseudo links resolve to NULL and are dropped).
+
+    Scale shape: the JSON envelope parses JVM-side via ``from_json``
+    with a PRUNED schema (only the envelope fields used — Jackson
+    skips the rest), then posexplode + the resolve CASE — all map
+    work riding the record scan; no Python, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators import urls
+
+    recs = read_wat(spark, path).select(
+        F.col("target_uri").alias("url"),
+        F.from_json(
+            F.decode(F.col("payload"), "UTF-8"), WAT_LINKS_SCHEMA
+        ).alias("env"),
+    )
+    html_meta = (
+        "env.Envelope.Payload-Metadata.HTTP-Response-Metadata"
+        ".HTML-Metadata"
+    )
+    pages = recs.select(
+        "url",
+        F.col(f"{html_meta}.Head.Title").alias("title"),
+        F.col(f"{html_meta}.Links").alias("links"),
+    ).filter(F.col("links").isNotNull())
+    u = F.col("url")
+    scheme_raw, hostport, path_raw, _ = urls.split_parts(u)
+    scheme = F.lower(scheme_raw)
+    host = F.split(urls.canonical_host(hostport, scheme), ":", 2).getItem(0)
+    base_path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    out = pages.select(
+        "url",
+        "title",
+        F.posexplode("links").alias("link_no", "l"),
+    ).select(
+        "url",
+        "title",
+        "link_no",
+        F.col("l.path").alias("link_path"),
+        F.col("l.url").alias("link_href"),
+        urls.resolve_link(F.col("l.url"), scheme, host, base_path).alias(
+            "link_url"
+        ),
+    )
+    return out.filter(F.col("link_url").isNotNull())

@@ -250,3 +250,66 @@ def test_read_wet_roundtrip_and_front_half(spark, tmp_path):
     assert docs["https://site2.com/p/2"]["drop_doc"] is True
     # the raw-WARC reader over the same dir sees no response records
     assert warc.read_warc(spark, str(d)).count() == 0
+
+
+def test_read_wat_links_roundtrip(spark, tmp_path):
+    """WAT sidecar: 'metadata' records carrying the crawl-side JSON
+    envelope. wat_to_links parses the envelope JVM-side with the
+    pruned schema, explodes the harvested links, and resolves each
+    href against the page URL with the same resolve_link contract as
+    the HTML path — absolute pass-through, root-relative joins
+    scheme://host, path-relative joins the base directory,
+    fragment-only/javascript: drop; records with no HTML-Metadata
+    (e.g. a robots.txt fetch) and non-metadata records vanish."""
+    import json
+
+    from bag_parser_spark.sources import warc
+
+    env1 = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": "https://www.Site1.com/a/page.html"
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Title": "Page One"},
+                        "Links": [
+                            {"path": "A@/href",
+                             "url": "HTTP://Ext.COM/x", "text": "ext"},
+                            {"path": "A@/href", "url": "/about"},
+                            {"path": "A@/href", "url": "other.html"},
+                            {"path": "A@/href", "url": "#frag"},
+                            {"path": "A@/href", "url": "javascript:void(0)"},
+                        ],
+                    }
+                }
+            },
+        }
+    }
+    env2 = {"Envelope": {"Payload-Metadata": {
+        "HTTP-Response-Metadata": {}}}}  # no HTML-Metadata: dropped
+    records = [
+        ("warcinfo", "", {"Content-Type": "application/warc-fields"},
+         b"software: test"),
+        ("metadata", "https://www.Site1.com/a/page.html",
+         {"Content-Type": "application/json"},
+         json.dumps(env1).encode()),
+        ("metadata", "https://site2.com/robots.txt",
+         {"Content-Type": "application/json"},
+         json.dumps(env2).encode()),
+    ]
+    d = tmp_path / "wat"
+    d.mkdir()
+    (d / "seg0.warc.wat.gz").write_bytes(
+        warc.build_warc_bytes(records, per_record_gzip=True)
+    )
+    rows = warc.wat_to_links(spark, str(d)).collect()
+    got = {r["link_no"]: r for r in rows}
+    assert len(rows) == 3  # fragment + javascript dropped
+    assert all(r["url"] == "https://www.Site1.com/a/page.html"
+               and r["title"] == "Page One" for r in rows)
+    assert got[0]["link_url"] == "HTTP://Ext.COM/x"  # absolute untouched
+    assert got[1]["link_url"] == "https://site1.com/about"
+    assert got[2]["link_url"] == "https://site1.com/a/other.html"
+    assert got[2]["link_href"] == "other.html"
