@@ -821,11 +821,12 @@ def _hashed_ngram_feats(
 
 def dsir_logweights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 512,
     seed: int | str = "dsir",
+    target_flag: str | None = None,
 ) -> DataFrame:
     """DSIR — Data Selection with Importance Resampling (Xie et al.
     2023, arXiv:2302.03169) over hashed n-gram features: estimate the
@@ -839,36 +840,75 @@ def dsir_logweights(
     Gumbel draw is a pure function of (seed, id).
 
     Scale shape: the feature stream is map-side (split/transform/
-    explode, ``_hashed_ngram_feats``); both distribution estimates
-    aggregate to ``n_buckets`` rows (tiny — one shuffle each of
-    (bucket, count) partials, map-side combined); the log-ratio table
-    broadcasts back onto the feature stream; and the per-document
-    reduction is the ONE corpus-scale shuffle (groupBy id). The float
-    fold runs position-ordered (sort_array + aggregate) so every
-    engine and every partitioning adds the same numbers in the same
-    order; callers round for display (ln differs in the last ulp
+    explode, ``_hashed_ngram_feats``) and collapses IMMEDIATELY to
+    per-(doc, bucket) counts — one shuffle whose map-side combine
+    compresses every document to at most ``n_buckets`` rows no matter
+    how long it is; the raw distribution derives from that persisted
+    relation (no second corpus explode), the target distribution
+    aggregates to ``n_buckets`` rows, the log-ratio table broadcasts
+    back, and the per-document reduction folds ``n * lam`` in BUCKET
+    order (sort_array + aggregate — ≤ ``n_buckets`` terms per doc) so
+    every engine and every partitioning adds the same numbers in the
+    same order; callers round for display (ln differs in the last ulp
     across libm implementations).
 
-    Returns (id, n_feats, dsir_logw, sample_key) — unrounded.
+    The target corpus comes in ONE of two ways: ``target`` (a separate
+    DataFrame with ``text_col`` — its own explode pass), or
+    ``target_flag`` (the name of a boolean column ON ``docs`` marking
+    the in-pool target members — zero extra passes: the flag rides the
+    one feature stream, and both distributions derive from the same
+    persisted (doc, bucket) relation; use this whenever target ⊆ pool).
+
+    Returns (id, n_feats, dsir_logw, sample_key) — unrounded. The
+    (doc, bucket) relation is persist()-ed (two consumers); the caller
+    owns cache cleanup per the module convention.
     """
-    raw_feats = _hashed_ngram_feats(docs, id_col, text_col, n_buckets, seed)
-    tgt_feats = _hashed_ngram_feats(
-        target, id_col, text_col, n_buckets, seed
+    if (target is None) == (target_flag is None):
+        raise ValueError(
+            "give exactly one of target (separate corpus) or "
+            "target_flag (boolean column on docs)"
+        )
+    extra = (target_flag,) if target_flag is not None else ()
+    raw_fb = (
+        _hashed_ngram_feats(
+            docs, id_col, text_col, n_buckets, seed, extra_cols=extra
+        )
+        .groupBy(id_col, "bucket", *extra)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
-    rc = raw_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    tc = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
-    totals_r = rc.agg(F.sum("rc").alias("Tr"))
-    totals_t = tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("Tt"))
-    # every bucket seen in the raw stream exists in rc, so a LEFT join
-    # covers the per-doc probe side; smoothing keeps tc=0 buckets finite
+    rc = raw_fb.groupBy("bucket").agg(F.sum("n").alias("rc"))
+    if target_flag is not None:
+        tc = (
+            raw_fb.filter(F.col(target_flag))
+            .groupBy("bucket")
+            .agg(F.sum("n").alias("tc"))
+        )
+    else:
+        tgt_feats = _hashed_ngram_feats(
+            target, id_col, text_col, n_buckets, seed
+        )
+        tc = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    # totals ride the SAME tiny bucket table as unpartitioned window
+    # sums (bounded by n_buckets rows by construction) instead of
+    # separate 1-row broadcast jobs — two fewer jobs per run. FULL
+    # join so Tt counts target buckets absent from the raw stream
+    # (possible with a separate target corpus); the probe side then
+    # keeps only raw buckets — smoothing keeps tc=0 buckets finite.
+    wall = Window.partitionBy()
+    j = rc.join(tc, "bucket", "full").select(
+        "bucket",
+        F.col("rc"),
+        F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
+    )
     lam = (
-        rc.join(tc, "bucket", "left")
-        .crossJoin(F.broadcast(totals_r))
-        .crossJoin(F.broadcast(totals_t))
+        j.withColumn("Tr", F.sum(F.coalesce(F.col("rc"), F.lit(0))).over(wall))
+        .withColumn("Tt", F.sum("tc").over(wall))
+        .filter(F.col("rc").isNotNull())
         .select(
             "bucket",
             (
-                F.log(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                F.log(F.col("tc") + F.lit(1.0))
                 - F.log(F.col("Tt") + F.lit(float(n_buckets)))
                 - F.log(F.col("rc") + F.lit(1.0))
                 + F.log(F.col("Tr") + F.lit(float(n_buckets)))
@@ -876,14 +916,17 @@ def dsir_logweights(
         )
     )
     scored = (
-        raw_feats.join(F.broadcast(lam), "bucket")
+        raw_fb.join(F.broadcast(lam), "bucket")
+        .withColumn("contrib", F.col("n").cast("double") * F.col("lam"))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("n").cast("long").alias("n_feats"),
             F.aggregate(
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "lam"))),
-                    lambda x: x["lam"],
+                    F.sort_array(
+                        F.collect_list(F.struct("bucket", "contrib"))
+                    ),
+                    lambda x: x["contrib"],
                 ),
                 F.lit(0.0),
                 lambda a, b: a + b,

@@ -3942,26 +3942,35 @@ _DSIR_K = 60
                )) AS b
         FROM toks) u
     ),
-    fb AS (
-      SELECT doc_id, lang, pos,
+    fbocc AS (
+      SELECT doc_id, lang,
              {O.md5_mod_sql('f', _DSIR_SEED, _DSIR_BUCKETS)} AS bucket
       FROM feats
     ),
-    rc AS (SELECT bucket, COUNT(*) AS rc FROM fb GROUP BY 1),
-    tc AS (SELECT bucket, COUNT(*) AS tc FROM fb WHERE lang = 'en'
+    fb AS (
+      SELECT doc_id, bucket, COUNT(*) AS n FROM fbocc GROUP BY 1, 2
+    ),
+    rc AS (SELECT bucket, SUM(n) AS rc FROM fb GROUP BY 1),
+    tc AS (SELECT bucket, COUNT(*) AS tc FROM fbocc WHERE lang = 'en'
            GROUP BY 1),
-    tr AS (SELECT SUM(rc) AS total_r FROM rc),
-    tt AS (SELECT COALESCE(SUM(tc), 0) AS total_t FROM tc),
+    jt AS (
+      SELECT COALESCE(rc.bucket, tc.bucket) AS bucket, rc.rc,
+             COALESCE(tc.tc, 0) AS tc,
+             SUM(COALESCE(rc.rc, 0)) OVER () AS total_r,
+             SUM(COALESCE(tc.tc, 0)) OVER () AS total_t
+      FROM rc FULL JOIN tc ON rc.bucket = tc.bucket
+    ),
     lam AS (
-      SELECT rc.bucket,
-             ln(COALESCE(tc.tc, 0) + 1.0) - ln(total_t + {_DSIR_BUCKETS}.0)
-             - ln(rc.rc + 1.0) + ln(total_r + {_DSIR_BUCKETS}.0) AS lam
-      FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket, tr, tt
+      SELECT bucket,
+             ln(tc + 1.0) - ln(total_t + {_DSIR_BUCKETS}.0)
+             - ln(rc + 1.0) + ln(total_r + {_DSIR_BUCKETS}.0) AS lam
+      FROM jt WHERE rc IS NOT NULL
     ),
     s AS (
-      SELECT fb.doc_id, COUNT(*) AS n_feats,
+      SELECT fb.doc_id, CAST(SUM(fb.n) AS BIGINT) AS n_feats,
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(lam ORDER BY pos)), (a, b) -> a + b) AS logw
+               list(CAST(fb.n AS DOUBLE) * lam.lam ORDER BY fb.bucket)),
+               (a, b) -> a + b) AS logw
       FROM fb JOIN lam ON fb.bucket = lam.bucket
       GROUP BY fb.doc_id
     ),
@@ -3985,20 +3994,25 @@ _DSIR_K = 60
     "position-ordered float fold (engine-independent addition order), "
     "and Gumbel-top-k on log w + g — sampling WITHOUT replacement "
     "proportional to w, deterministic because the Gumbel uniform is a "
-    "hash of (seed, id). Scale shape: feature stream is map-side; both "
-    "distribution estimates collapse to 512-row aggregates; the "
-    "log-ratio table BROADCASTS back onto the stream; the one "
-    "corpus-scale shuffle is the per-doc groupBy; top-k is "
+    "hash of (seed, id). Scale shape: the map-side feature stream "
+    "collapses IMMEDIATELY to per-(doc, bucket) counts (every doc <= "
+    "512 rows after the map-side combine, however long it is); the "
+    "raw distribution derives from that persisted relation (one "
+    "corpus explode total); the log-ratio table BROADCASTS back; the "
+    "per-doc fold sums n*lam in BUCKET order (<= 512 terms, same "
+    "addition sequence on every engine/partitioning); top-k is "
     "TakeOrderedAndProject (per-task heaps, no global sort). ln() "
     "rounds to 6 (libm last-ulp rule).",
 )
 def q_sample_dsir(spark, sf_dir):
     from bag_parser_spark.operators import sampling
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__is_tgt__", F.col("lang") == "en"
+    )
     scored = sampling.dsir_logweights(
         d,
-        d.filter(F.col("lang") == "en"),
+        target_flag="__is_tgt__",
         n_buckets=_DSIR_BUCKETS,
         seed=_DSIR_SEED,
     )
