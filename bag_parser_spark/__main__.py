@@ -318,6 +318,12 @@ def cmd_prepare(args) -> int:
             _parse_robots_arg(spark, args.robots) if args.robots else None
         ),
         robots_agent=args.robots_agent,
+        dsir_target=(
+            spark.read.parquet(args.dsir_target)
+            if args.dsir_target
+            else None
+        ),
+        dsir_keep=args.dsir_keep,
     )
     _log(f"prepared {summary['n_out']} docs -> {summary['out']}")
     print(json.dumps(summary, sort_keys=True))
@@ -484,6 +490,13 @@ def build_parser() -> argparse.ArgumentParser:
                       help="crawler product token for robots group "
                       "selection (default '*'; a specific agent's group "
                       "shadows '*' per RFC 9309)")
+    prep.add_argument("--dsir-target", default=None,
+                      help="parquet of target-corpus documents (text "
+                      "column): enables DSIR importance resampling as "
+                      "the last gate — keep --dsir-keep docs drawn "
+                      "proportional to target-likeness")
+    prep.add_argument("--dsir-keep", type=int, default=None,
+                      help="sample size for --dsir-target")
     _add_spark_args(prep)
     prep.set_defaults(fn=cmd_prepare)
 

@@ -53,6 +53,9 @@ def prepare_corpus(
     robots_agent: str = "*",
     gopher: bool = False,
     c4_lines: bool = False,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
+    dsir_buckets: int = 512,
     stage_report: bool = False,
 ) -> dict:
     """Run the curation pipeline and write ``out_dir`` partitioned by
@@ -83,6 +86,11 @@ def prepare_corpus(
     failing C4's three-sentence / drop-phrase rules are rejected, and
     total/kept counts ride the write job as ``c4_counts`` (same
     observe shape as ``gopher_counts`` — no extra scan).
+
+    ``dsir_target``/``dsir_keep`` add DSIR importance resampling as
+    the LAST gate before the split: keep ``dsir_keep`` documents drawn
+    proportional to how target-like their hashed n-gram profile is
+    (deterministic Gumbel-top-k, ``sampling.dsir_logweights``).
 
     ``stage_report`` adds a stage-by-stage count breakdown (``stages``
     in the summary, insertion-ordered along the pipeline): each stage
@@ -350,6 +358,42 @@ def prepare_corpus(
             unique.join(contaminated, id_col, "left_anti"), "decontaminated"
         )
 
+    if (dsir_target is None) != (dsir_keep is None):
+        raise ValueError(
+            "dsir_target and dsir_keep go together: the target corpus "
+            "defines the importance distribution, keep is the sample "
+            "size drawn from it"
+        )
+    if dsir_target is not None:
+        # DSIR selection (Xie et al. 2023) as the LAST gate: from the
+        # clean deduplicated survivors, resample dsir_keep docs
+        # proportional to how target-like their hashed n-gram profile
+        # is (sampling.dsir_logweights — Gumbel-top-k, deterministic).
+        # Runs after dedup so duplicates can't vote themselves in, and
+        # after decontamination so eval text can't define "target-like"
+        # membership of contaminated docs. The chosen-id set is k rows
+        # — the semi join broadcasts.
+        chosen = (
+            sampling.dsir_logweights(
+                unique.select(id_col, text_col),
+                dsir_target.select(
+                    F.monotonically_increasing_id().alias(id_col),
+                    F.col(text_col),
+                ),
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=dsir_buckets,
+                seed=f"{seed}:dsir",
+            )
+            .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+            .limit(dsir_keep)
+            .select(id_col)
+        )
+        unique = _stage(
+            unique.join(F.broadcast(chosen), id_col, "left_semi"),
+            "dsir_selected",
+        )
+
     split_df = sampling.hash_split(
         unique, id_col=id_col, splits=splits or DEFAULT_SPLITS, seed=seed
     ).drop("__content__", "lang_pred")
@@ -388,6 +432,7 @@ def prepare_corpus(
         "domain_blocklist": domain_blocklist is not None,
         "robots": robots_rules is not None,
         "robots_agent": robots_agent if robots_rules is not None else None,
+        "dsir_keep": dsir_keep if dsir_target is not None else None,
         "gopher": gopher,
         "gopher_counts": (
             {k: int(v) for k, v in gopher_obs.get.items()}

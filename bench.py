@@ -70,7 +70,9 @@ HEADLINE = [
     "sim_ivf_topk",
     "ts_gapfill",
     "ts_interval_join",
-    "emb_quantize_int8",
+    # emb_quantize_int8 rotated out r8 for sample_dsir (stdout-window
+    # budget; the embedding family keeps sim_ivf/ivfpq/hard_negatives
+    # and dedup_embedding_cosine on the clock)
     "ml_kmeans_step",
     "lm_doc_score",
     "events_session_window",
@@ -113,6 +115,9 @@ HEADLINE = [
     "cust_rfm",
     "text_main_content",
     "ml_pagerank_converged",
+    # r8 late: DSIR importance resampling (one corpus groupBy +
+    # broadcast log-ratio join — the mixing family's selection half)
+    "sample_dsir",
 ]
 
 

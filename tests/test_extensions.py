@@ -2445,3 +2445,47 @@ def test_dsir_importance_ranks_targetlike_docs(spark):
         ).collect()
     }
     assert rerun == {i: rows[i]["sample_key"] for i in rows}
+
+
+def test_prepare_corpus_dsir_selection_gate(spark, tmp_path):
+    """DSIR as prepare_corpus's last gate: from a pool of target-like
+    and junk-vocabulary docs, --dsir-keep selects exactly k and every
+    selected doc is target-like (the junk docs' importance weights sit
+    far below); the guard rejects a target without a keep size."""
+    import pytest
+
+    from bag_parser_spark.plans.corpus_prep import prepare_corpus
+
+    tgt_words = " ".join(
+        f"alpha{j} beta{j} gamma{j} delta{j}" for j in range(10)
+    )
+    junk_words = " ".join(
+        f"zork{j} quux{j} blarg{j} wibble{j}" for j in range(10)
+    )
+    pool = [(i, f"{tgt_words} tag{i}") for i in range(1, 5)] + [
+        (i, f"{junk_words} tag{i}") for i in range(5, 9)
+    ]
+    docs = spark.createDataFrame(pool, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(i, tgt_words) for i in range(3)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "corpus")
+    summary = prepare_corpus(
+        spark,
+        docs,
+        out,
+        min_quality=0.0,
+        lang=None,
+        near_dedup=False,
+        dsir_target=target,
+        dsir_keep=3,
+        stage_report=True,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert len(kept) == 3 and kept <= {1, 2, 3, 4}
+    assert summary["stages"]["dsir_selected"] == 3
+    assert summary["dsir_keep"] == 3
+    with pytest.raises(ValueError, match="dsir"):
+        prepare_corpus(
+            spark, docs, str(tmp_path / "x"), dsir_target=target
+        )
