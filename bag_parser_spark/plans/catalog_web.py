@@ -523,6 +523,141 @@ def q_web_link_graph(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# web_crawl_frontier — the loop-closer: harvested links minus the seen
+# set, prioritized by host in-degree (r8: extract -> frontier -> fetch
+# is the cycle a crawler actually runs; this is the frontier step)
+# ---------------------------------------------------------------------------
+
+# link-URL canonicalization chain — the SAME steps _CANON_CTES applies
+# to page URLs, parameterized over the resolved link target
+_LCANON_CTE = f"""
+    lparts AS (
+      SELECT doc_id, link_url,
+             lower(regexp_extract(link_url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS lscheme,
+             regexp_extract(link_url, '^[^:/?]+://([^/?]*)', 1)
+               AS lhostport,
+             regexp_extract(link_url, '^[^:/?]+://[^/?]*([^?]*)', 1)
+               AS lpath,
+             regexp_extract(link_url, '\\?(.*)$', 1) AS lquery
+      FROM res WHERE link_url IS NOT NULL
+    ),
+    lhostd AS (
+      SELECT *, regexp_replace(lower(lhostport), '^www\\.', '') AS lh
+      FROM lparts
+    ),
+    lcanon AS (
+      SELECT doc_id, string_split(lh, ':')[1] AS dst_host,
+             lscheme || '://' || lhostc
+               || CASE WHEN lpath = '' THEN '/' ELSE lpath END
+               || CASE WHEN lq = '' THEN '' ELSE '?' || lq END AS url_c
+      FROM (
+        SELECT *,
+               CASE WHEN lscheme = 'http' AND lh LIKE '%:80'
+                      THEN substr(lh, 1, length(lh) - 3)
+                    WHEN lscheme = 'https' AND lh LIKE '%:443'
+                      THEN substr(lh, 1, length(lh) - 4)
+                    ELSE lh END AS lhostc,
+               coalesce(array_to_string(list_filter(
+                 string_split(lquery, '&'),
+                 p -> NOT (string_split(p, '=')[1] IN ({_TRACK_IN})
+                           OR string_split(p, '=')[1] LIKE 'utm_%')
+                      AND p <> ''), '&'), '') AS lq
+        FROM lhostd
+      )
+    )
+"""
+
+_FRONTIER_K = 100
+
+
+@register(
+    "web_crawl_frontier",
+    f"""
+    WITH {_CANON_CTES}, {_LINK_CTES}, {_LCANON_CTE},
+    lagg AS (
+      SELECT url_c, dst_host, CAST(COUNT(*) AS BIGINT) AS n_refs,
+             MIN(doc_id) AS first_doc
+      FROM lcanon GROUP BY 1, 2
+    ),
+    indeg AS (
+      SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS host_in_links
+      FROM lcanon GROUP BY 1
+    )
+    SELECT l.url_c AS frontier_url, l.dst_host, l.n_refs, l.first_doc,
+           i.host_in_links
+    FROM lagg l JOIN indeg i USING (dst_host)
+    LEFT JOIN (SELECT DISTINCT canonical_url FROM canon) s
+      ON l.url_c = s.canonical_url
+    WHERE s.canonical_url IS NULL
+    ORDER BY i.host_in_links DESC, l.n_refs DESC, l.url_c ASC
+    LIMIT {_FRONTIER_K}
+    """,
+    doc="Crawl-frontier construction — the loop-closer between link "
+    "harvest and the next fetch round: resolved links canonicalize "
+    "with the SAME steps as page URLs (so a link to a seen page "
+    "collides with its seen form exactly), aggregate to one candidate "
+    "row per canonical target (n_refs, first discovering doc), "
+    "anti-join the seen set, and rank by host in-degree (the "
+    "authority proxy crawl schedulers use before a full PageRank) "
+    "with n_refs and url as deterministic tiebreaks. Scale shape: "
+    "extract/resolve/canonicalize ride the scan; the candidate "
+    "aggregate and the in-degree rollup shuffle (url)/(host) keys — "
+    "never pages; the seen anti-join shuffles canonical-url keys; "
+    "top-k is TakeOrderedAndProject. At crawl scale the seen set is "
+    "the store this query's output becomes next round — the same "
+    "incremental contract as dedup_incremental.",
+)
+def q_web_crawl_frontier(spark, sf_dir):
+    pages = _link_pages(spark, sf_dir)
+    ex = urls.extract_links(
+        pages,
+        id_col="doc_id",
+        html_col="html",
+        scheme_col="scheme",
+        host_col="host",
+        path_col="npath",
+    )
+    links = ex.select(
+        "doc_id",
+        urls.canonicalize_url(F.col("link_url")).alias("url_c"),
+        urls.host_only(F.col("link_url")).alias("dst_host"),
+    )
+    indeg = links.groupBy("dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("host_in_links")
+    )
+    seen = (
+        _t(spark, sf_dir, "documents")
+        .select(urls.canonicalize_url(F.expr(URL_EXPR)).alias("url_c"))
+        .distinct()
+    )
+    cand = (
+        links.groupBy("url_c", "dst_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_refs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .join(seen, "url_c", "left_anti")
+    )
+    return (
+        cand.join(indeg, "dst_host")
+        .select(
+            F.col("url_c").alias("frontier_url"),
+            "dst_host",
+            "n_refs",
+            "first_doc",
+            "host_in_links",
+        )
+        .orderBy(
+            F.col("host_in_links").desc(),
+            F.col("n_refs").desc(),
+            F.col("frontier_url").asc(),
+        )
+        .limit(_FRONTIER_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # web_robots_filter — RFC 9309 longest-match rule evaluation (r7 late:
 # the crawl-politeness gate between link harvest and fetch)
 # ---------------------------------------------------------------------------
