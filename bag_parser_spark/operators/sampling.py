@@ -438,6 +438,7 @@ def bucketed_rank(
     ascending: bool = True,
     n_buckets: int = 32,
     cache_registry: list | None = None,
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """Exact global rank under ``(value asc|desc, *tiebreaks asc)`` without
     a single-partition sort — the generalization of
@@ -471,31 +472,44 @@ def bucketed_rank(
     handles go to ``cache_registry`` when given, same contract as
     ``text.bpe_train``). If the input is itself expensive (an
     aggregate, a join), persist it before calling.
+
+    ``keys`` generalizes to an INDEPENDENT rank per key group (rank
+    restarts at 1 in each group; ``total_name`` becomes the group
+    total): cut points are sketched per group, the offsets side grows
+    to ≤ ``len(groups) × n_buckets`` rows (still aggregate-sized),
+    and every window gains the keys in front of the bucket. One
+    grouped call replaces N sequential ungrouped calls over an
+    unpivoted metric column — N× fewer passes, one persisted input
+    instead of a persist chain (``q_cust_rfm``).
     """
+    ks = list(keys)
     v = value.cast("double") if ascending else (-value).cast("double")
     with_v = df.withColumn("__v__", v)
     qs = ", ".join(f"{(i + 1) / n_buckets:.6f}" for i in range(n_buckets - 1))
-    cuts = with_v.agg(
-        F.expr(f"approx_percentile(__v__, array({qs}), 10000)").alias(
-            "__cuts__"
-        )
+    cut_expr = F.expr(
+        f"approx_percentile(__v__, array({qs}), 10000)"
+    ).alias("__cuts__")
+    cuts = (
+        with_v.groupBy(*ks).agg(cut_expr) if ks else with_v.agg(cut_expr)
     ).persist()
     if cache_registry is not None:
         cache_registry.append(cuts)
-    b = (
-        with_v.crossJoin(F.broadcast(cuts))
-        .withColumn(
-            "__bkt__",
-            F.size(F.filter("__cuts__", lambda c: c < F.col("__v__"))),
-        )
-        .drop("__cuts__")
+    joined = (
+        with_v.join(F.broadcast(cuts), ks)
+        if ks
+        else with_v.crossJoin(F.broadcast(cuts))
     )
-    # offsets: <= n_buckets rows — the unpartitioned windows below are
-    # bounded by construction (same class as the 256-row window in
-    # token_budget_sample), never the fact
-    w_all = Window.partitionBy().orderBy("__bkt__")
-    counts = b.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    b = joined.withColumn(
+        "__bkt__",
+        F.size(F.filter("__cuts__", lambda c: c < F.col("__v__"))),
+    ).drop("__cuts__")
+    # offsets: <= #groups x n_buckets rows — the windows below run on
+    # the aggregate side only (bounded by construction, same class as
+    # the 256-row window in token_budget_sample), never the fact
+    w_all = Window.partitionBy(*ks).orderBy("__bkt__")
+    counts = b.groupBy(*ks, "__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
     offsets = counts.select(
+        *ks,
         "__bkt__",
         F.coalesce(
             F.sum("__cnt__").over(
@@ -513,10 +527,10 @@ def bucketed_rank(
     ).persist()
     if cache_registry is not None:
         cache_registry.append(offsets)
-    w = Window.partitionBy("__bkt__").orderBy(
+    w = Window.partitionBy(*ks, "__bkt__").orderBy(
         F.col("__v__").asc(), *[t.asc() for t in tiebreaks]
     )
-    out = b.join(F.broadcast(offsets), "__bkt__").withColumn(
+    out = b.join(F.broadcast(offsets), [*ks, "__bkt__"]).withColumn(
         rank_name, (F.col("__off__") + F.row_number().over(w)).cast("long")
     )
     if total_name is not None:

@@ -560,7 +560,9 @@ def test_no_single_partition_ntile_windows(spark):
         for line in plan.splitlines():
             if "Window [" not in line:
                 continue
-            partitioned = ", [__bkt__#" in line
+            # partitioned on the range bucket (optionally behind group
+            # keys, e.g. [metric#X, __bkt__#Y] in grouped bucketed_rank)
+            partitioned = _re.search(r", \[(?:[^\[\]]*, )?__bkt__#", line)
             tiny_offsets = "sum(__cnt__#" in line
             assert partitioned or tiny_offsets, (name, line)
         spark.catalog.clearCache()
@@ -610,4 +612,22 @@ def test_bucketed_rank_matches_single_partition_window(spark):
         assert naive.join(fast, "id").filter(
             F.col("t") != F.col("t2")
         ).count() == 0, (n, k)
+    # grouped form: one call with keys=["g"] must equal the per-group
+    # naive window — rank restarts per group, total is the group total
+    gdf = df.withColumn("g", (F.col("id") % 3).cast("string"))
+    naive_g = gdf.select(
+        "id",
+        F.row_number()
+        .over(W.partitionBy("g").orderBy(F.col("v"), F.col("id")))
+        .alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("g")).alias("n"),
+    )
+    fast_g = sampling.bucketed_rank(
+        gdf, value=F.col("v"), tiebreaks=[F.col("id")],
+        rank_name="r2", total_name="n2", keys=["g"],
+    ).select("id", "r2", "n2")
+    jg = naive_g.join(fast_g, "id")
+    assert jg.filter(
+        (F.col("r") != F.col("r2")) | (F.col("n") != F.col("n2"))
+    ).count() == 0
     spark.catalog.clearCache()
