@@ -203,3 +203,80 @@ def pca_power_step(
             ).alias("direction"),
         )
     )
+
+
+def _centroid_table(stepped: DataFrame, vec_col: str) -> DataFrame:
+    """(cid, vec_col float array) from a kmeans_step output — the shape
+    the next iteration consumes. k·dim rows in, k rows out."""
+    return (
+        stepped.groupBy("cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "centroid_val"))
+            ).alias("__pairs__")
+        )
+        .select(
+            "cid",
+            F.transform(
+                F.col("__pairs__"), lambda p: p["centroid_val"].cast("float")
+            ).alias(vec_col),
+        )
+    )
+
+
+def kmeans_converged(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's loop to a fixed horizon WITH a convergence metric — the
+    ``kmeans`` twin that also reports how far each centroid still moved
+    on the final iteration (the number a training job watches to decide
+    the horizon was enough). Returns the final exploded centroids
+    ``(cid, i, centroid_val, n_members, shift_q)`` where ``shift_q`` is
+    the per-centroid L1 movement of the last step in fixed-point
+    integer units: ``Σ_i |requant(new) − q(old)|`` with requant the
+    exact float-cast round-trip the next iteration would apply — an
+    INTEGER, so the convergence signal is bit-identical on any engine
+    or cluster layout (same discipline as the rank micro-units in
+    ml_pagerank_converged). Iteration state is k·dim rows and is
+    localCheckpoint-truncated per round (the ``kmeans`` contract); the
+    big table is scanned twice per iteration — the algorithm's real
+    cost at any scale.
+    """
+    seeds = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col))
+    )
+    cent = seeds
+    for _ in range(iters - 1):
+        stepped = kmeans_step(vectors, cent, id_col, vec_col, "cid")
+        cent = _centroid_table(stepped, vec_col).localCheckpoint(eager=True)
+    final = kmeans_step(vectors, cent, id_col, vec_col, "cid")
+    old_q = _explode_fixed(cent, "cid", vec_col, "cid").select(
+        "cid", "i", F.col("q").alias("__oldq__")
+    )
+    # requantize exactly as the next round would: double -> float ->
+    # double -> fixed point (one fixed expression tree on both engines)
+    new_q = F.round(
+        F.col("centroid_val")
+        .cast("float")
+        .cast("double")
+        * F.lit(float(FIXED_POINT))
+    ).cast("long")
+    shifts = (
+        final.withColumn("__newq__", new_q)
+        .join(F.broadcast(old_q), ["cid", "i"])
+        .groupBy("cid")
+        .agg(
+            F.sum(F.abs(F.col("__newq__") - F.col("__oldq__")))
+            .cast("long")
+            .alias("shift_q")
+        )
+    )
+    return final.join(F.broadcast(shifts), "cid").select(
+        "cid", "i", "centroid_val", "n_members", "shift_q"
+    )

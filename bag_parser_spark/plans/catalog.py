@@ -955,7 +955,7 @@ def q_f8(spark, sf_dir):
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # — r8 additions lead the window (no driver row can exist yet) —
     "text_main_content", "ml_pagerank_converged", "sample_dsir",
-    "web_crawl_frontier",
+    "web_crawl_frontier", "ml_kmeans_converged",
     # — r8 rewrites next (stale green rows are not evidence for new code) —
     "a20_ntile_binning", "cust_rfm", "web_robots_filter",
     "web_link_extract", "web_link_graph",
@@ -974,9 +974,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #   family members —
     "a25_market_basket", "a26_cube", "dedup_containment",
     "dedup_lsh_recall", "text_bm25_topk", "text_hash_classifier",
-    # (sim_ann_recall rotated out for web_crawl_frontier — similarity
-    # keeps two members in-window)
-    "vocab_build", "text_keywords_topk", "sim_cosine_topk",
+    # (sim_ann_recall / text_keywords_topk rotated out for
+    # web_crawl_frontier / ml_kmeans_converged — similarity keeps two
+    # members in-window, text keeps four)
+    "vocab_build", "sim_cosine_topk",
     "sim_lsh_bucket_topk", "a7_approx_distinct",
     "events_sessionize", "mm_binary_metadata",
     "dedup_repeated_substrings", "split_leakage_safe",

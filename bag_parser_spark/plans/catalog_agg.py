@@ -885,3 +885,98 @@ def q_grouping_sets(spark, sf_dir):
             "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_kmeans_converged — Lloyd's loop to a fixed horizon (r8: the
+# one-step -> converged completion for k-means, mirroring
+# ml_pagerank_converged; the centroids IVF/corpus-clustering actually
+# consume come from the converged loop, not one iteration)
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_FP = 8, 4, 1 << 20
+
+
+def _km_requant_sql(s: str, n: str) -> str:
+    """Fixed-point re-quantization of a centroid mean via the exact
+    float-cast round-trip the Spark loop applies between iterations:
+    double mean -> REAL -> double -> * 2^20 -> round -> BIGINT."""
+    mean = (
+        f"CAST(CAST(CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE) "
+        f"/ CAST({_KM_FP} AS DOUBLE) AS REAL) AS DOUBLE)"
+    )
+    return f"CAST(round({mean} * CAST({_KM_FP} AS DOUBLE), 0) AS BIGINT)"
+
+
+def _km_converged_sql() -> str:
+    """DuckDB twin of clustering.kmeans_converged: the loop unrolled as
+    a CTE chain — every iteration is the SAME integer assignment/update
+    pair as ml_kmeans_step, with the float-cast re-quantization between
+    rounds and the integer L1 shift of the final round."""
+    parts = [
+        "dims AS (SELECT unnest(generate_series(1, 64)) AS i)",
+        "vq AS (SELECT vec_id, i, CAST(round(CAST(embedding[i] AS DOUBLE)"
+        f" * CAST({_KM_FP} AS DOUBLE), 0) AS BIGINT) AS q"
+        " FROM embeddings CROSS JOIN dims)",
+        "cq0 AS (SELECT vec_id AS cid, i, q FROM vq WHERE vec_id IN"
+        f" (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K}))",
+    ]
+    for t in range(_KM_ITERS):
+        parts += [
+            f"d{t} AS (SELECT v.vec_id, c.cid,"
+            f" SUM((v.q - c.q) * (v.q - c.q)) AS d2"
+            f" FROM vq v JOIN cq{t} c USING (i) GROUP BY 1, 2)",
+            f"a{t} AS (SELECT vec_id, cid FROM ("
+            f"SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id"
+            f" ORDER BY d2, cid) AS rn FROM d{t}) t WHERE rn = 1)",
+            f"u{t} AS (SELECT a.cid, v.i, CAST(SUM(v.q) AS BIGINT) AS s,"
+            f" COUNT(*) AS n_members"
+            f" FROM vq v JOIN a{t} a USING (vec_id) GROUP BY 1, 2)",
+        ]
+        if t < _KM_ITERS - 1:
+            parts.append(
+                f"cq{t + 1} AS (SELECT cid, i,"
+                f" {_km_requant_sql('s', 'n_members')} AS q FROM u{t})"
+            )
+    last = _KM_ITERS - 1
+    parts += [
+        f"req AS (SELECT cid, i, {_km_requant_sql('s', 'n_members')} AS nq"
+        f" FROM u{last})",
+        f"shift AS (SELECT r.cid, CAST(SUM(ABS(r.nq - c.q)) AS BIGINT)"
+        f" AS shift_q FROM req r JOIN cq{last} c USING (cid, i)"
+        f" GROUP BY 1)",
+    ]
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT u.cid, CAST(u.i AS BIGINT) AS i,
+           CAST(u.s AS DOUBLE) / CAST(u.n_members AS DOUBLE)
+             / CAST({_KM_FP} AS DOUBLE) AS centroid_val,
+           CAST(u.n_members AS BIGINT) AS n_members, sh.shift_q
+    FROM u{last} u JOIN shift sh USING (cid)"""
+    )
+
+
+@register(
+    "ml_kmeans_converged",
+    _km_converged_sql(),
+    doc="Lloyd's k-means run to a fixed 4-iteration horizon with a "
+    "convergence metric (clustering.kmeans_converged): every "
+    "assignment/update is the same fixed-point integer arithmetic as "
+    "ml_kmeans_step, the inter-round centroid hand-off is an exact "
+    "float-cast round-trip (double mean -> float -> requantize) both "
+    "engines reproduce bit-for-bit, and shift_q — the per-centroid L1 "
+    "movement of the LAST round in fixed-point units — is an INTEGER, "
+    "so the convergence signal itself is engine- and layout-exact "
+    "(the pagerank micro-unit discipline applied to k-means). Scale "
+    "shape per iteration: broadcast k*dim centroid components, n*k "
+    "partial-aggregated distance rows, n*dim update partials — two "
+    "bounded shuffles; iteration state is k*dim rows, localCheckpoint-"
+    "truncated (the bpe_train pattern), so the final plan never "
+    "replays rounds 1..N. The oracle unrolls the loop as a CTE chain.",
+)
+def q_kmeans_converged(spark, sf_dir):
+    from bag_parser_spark.operators import clustering
+
+    return clustering.kmeans_converged(
+        _t(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS
+    )

@@ -2489,3 +2489,35 @@ def test_prepare_corpus_dsir_selection_gate(spark, tmp_path):
         prepare_corpus(
             spark, docs, str(tmp_path / "x"), dsir_target=target
         )
+
+
+def test_kmeans_converged_separates_and_reports_shift(spark):
+    """kmeans_converged on two tight, well-separated blobs: the final
+    centroids land on the blob means, every vector's blob is one
+    cluster (n_members splits exactly), and shift_q — the final
+    round's integer L1 centroid movement — is 0 because assignment
+    stabilizes after round one on separated data. Rerun reproduces
+    bit-identically (no rand anywhere)."""
+    from bag_parser_spark.operators import clustering
+
+    dim = 64
+    rows = []
+    for j in range(6):  # blob A around +0.5, blob B around -0.5
+        base = 0.5 if j % 2 == 0 else -0.5
+        vec = [base + (0.001 * ((j + i) % 3)) for i in range(dim)]
+        rows.append((j, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = clustering.kmeans_converged(df, k=2, iters=3)
+    rows_out = out.collect()
+    by_cid = {}
+    for r in rows_out:
+        by_cid.setdefault(r["cid"], []).append(r)
+    assert len(by_cid) == 2
+    for cid, members in by_cid.items():
+        assert len(members) == dim  # one row per dimension
+        assert all(m["n_members"] == 3 for m in members)
+        assert all(m["shift_q"] == 0 for m in members)
+        sign = 1.0 if members[0]["centroid_val"] > 0 else -1.0
+        assert all(sign * m["centroid_val"] > 0.4 for m in members)
+    rerun = clustering.kmeans_converged(df, k=2, iters=3).collect()
+    assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows_out))
