@@ -62,10 +62,17 @@ def cmd_ingest(args) -> int:
     schema = args.schema
     if args.url_col and not args.from_warc and args.url_col not in schema:
         raise SystemExit(f"--url-col {args.url_col!r} not in --schema")
+    if args.from_warc and args.from_jsonl:
+        raise SystemExit("--from-warc and --from-jsonl are exclusive")
+    fmt = (
+        "warc" if args.from_warc
+        else "jsonl" if args.from_jsonl
+        else "parquet"
+    )
     run_ingest_stream(
         spark, args.source, args.state, args.checkpoint,
         schema=schema,
-        source_format="warc" if args.from_warc else "parquet",
+        source_format=fmt,
         url_col=args.url_col,
         max_per_domain=args.max_per_domain,
         domain_blocklist=(
@@ -76,6 +83,10 @@ def cmd_ingest(args) -> int:
             if args.block_domains
             else None
         ),
+        robots_rules=(
+            _parse_robots_arg(spark, args.robots) if args.robots else None
+        ),
+        robots_agent=args.robots_agent,
     )
     acc = spark.read.parquet(os.path.join(args.state, "accepted"))
     n = acc.count()
@@ -269,6 +280,14 @@ def cmd_prepare(args) -> int:
         docs = front.filter(~F.col("drop_doc")).select("url", "text")
         id_col = "url"
         url_col = url_col or "url"
+    elif args.from_jsonl:
+        # JSONL/JSONL.GZ with an explicit schema: inference would scan
+        # the corpus twice and type-drift across deliveries
+        docs = (
+            spark.read.schema(args.input_schema)
+            .option("pathGlobFilter", "*.json*")
+            .json(args.docs)
+        )
     else:
         docs = spark.read.parquet(args.docs)
     splits = None
@@ -416,6 +435,14 @@ def build_parser() -> argparse.ArgumentParser:
                       help="treat --docs as a directory of WET files "
                       "(CommonCrawl's pre-extracted text sidecar): same "
                       "front half as --from-warc minus the HTML step")
+    prep.add_argument("--from-jsonl", action="store_true",
+                      help="treat --docs as JSONL/JSONL.GZ files read "
+                      "with --input-schema (the interchange format real "
+                      "corpora ship in; .gz decompresses transparently)")
+    prep.add_argument("--input-schema", default="doc_id long, text string",
+                      help="DDL schema for --from-jsonl (explicit, never "
+                      "inferred: inference scans the corpus twice and "
+                      "type-drifts across deliveries)")
     prep.add_argument("--out", required=True,
                       help="output directory (parquet, partitioned by split)")
     prep.add_argument("--min-quality", type=float, default=0.7)
@@ -533,6 +560,17 @@ def build_parser() -> argparse.ArgumentParser:
                      "(C4 filter), keys docs by URL, then enters the "
                      "incremental dedup; implies the streaming domain "
                      "stage keys on url")
+    ing.add_argument("--from-jsonl", action="store_true",
+                     help="treat --source as JSONL/JSONL.GZ files read "
+                     "with --schema (the interchange format real corpora "
+                     "ship in; .gz decompresses transparently)")
+    ing.add_argument("--robots", default=None,
+                     help="parquet of fetched robots.txt files (domain, "
+                     "robots_txt): RFC 9309 politeness gate before dedup "
+                     "(requires --url-col or --from-warc)")
+    ing.add_argument("--robots-agent", default="*",
+                     help="crawler product token for robots group "
+                     "selection (default '*')")
     _add_spark_args(ing)
     ing.set_defaults(fn=cmd_ingest)
     return p

@@ -81,6 +81,8 @@ def ingest_batch(
     url_col: str | None = None,
     max_per_domain: int | None = None,
     domain_blocklist: DataFrame | None = None,
+    robots_rules: DataFrame | None = None,
+    robots_agent: str = "*",
 ) -> int:
     """Run one ingest round (steps 1-5 above) and append survivors to
     the state tables. Returns the number of newly accepted docs.
@@ -128,6 +130,7 @@ def ingest_batch(
             spark, batch, acc_path, sig_path, have_state,
             id_col, text_col, threshold, handles,
             url_col, max_per_domain, domain_blocklist,
+            robots_rules, robots_agent,
         )
     finally:
         # runs on success AND on a mid-batch crash — a failed batch must
@@ -154,6 +157,8 @@ def _ingest_batch_inner(
     url_col: str | None = None,
     max_per_domain: int | None = None,
     domain_blocklist: DataFrame | None = None,
+    robots_rules: DataFrame | None = None,
+    robots_agent: str = "*",
 ) -> int:
     from bag_parser_spark.operators import dedup
 
@@ -164,6 +169,8 @@ def _ingest_batch_inner(
         # to block against — filtering silently NOTHING would be worse
         # than failing (ADVICE r7)
         raise ValueError("domain_blocklist needs url_col")
+    if robots_rules is not None and url_col is None:
+        raise ValueError("robots_rules needs url_col")
     domain_cols: list[str] = []
     if url_col is not None:
         from bag_parser_spark.operators import urls
@@ -173,6 +180,41 @@ def _ingest_batch_inner(
         if domain_blocklist is not None:
             batch = urls.apply_domain_blocklist(
                 batch, "registered_domain", domain_blocklist
+            )
+        if robots_rules is not None:
+            # RFC 9309 politeness gate, streaming twin of
+            # prepare_corpus's: the effective rule table is checkpointed
+            # per batch (tiny; freed by the batch's id-diff finally) so
+            # its subplan enters the batch lineage as one leaf — the
+            # dedup stages below self-join that lineage, and an inline
+            # rules subplan would be copied into every duplicate
+            eff = urls.rules_for_agent(
+                robots_rules, robots_agent
+            ).localCheckpoint(eager=True)
+            u = F.col(url_col)
+            scheme, hostport, path, _ = urls.split_parts(u)
+            paged = batch.withColumn(
+                "__hostname__",
+                F.split(
+                    urls.canonical_host(hostport, F.lower(scheme)), ":", 2
+                ).getItem(0),
+            ).withColumn(
+                "__npath__",
+                F.when(path == "", F.lit("/")).otherwise(path),
+            )
+            batch = (
+                urls.apply_robots(
+                    paged,
+                    eff,
+                    id_col=id_col,
+                    host_col="__hostname__",
+                    path_col="__npath__",
+                )
+                .filter(F.col("allowed"))
+                .drop(
+                    "allowed", "matched_rule", "matched_prefix",
+                    "__hostname__", "__npath__",
+                )
             )
     if have_state:
         acc_cols = spark.read.parquet(acc_path).columns
@@ -457,12 +499,15 @@ def run_ingest_stream(
     max_per_domain: int | None = None,
     domain_blocklist: DataFrame | None = None,
     source_format: str = "parquet",
+    robots_rules: DataFrame | None = None,
+    robots_agent: str = "*",
 ) -> None:
     """Drain a file-source stream of incoming documents through
     ingest_batch with Trigger.AvailableNow (the backfill/test mode; a
     live deployment drops the trigger and runs continuously). The
-    optional URL/domain stage flags pass straight through to
-    ingest_batch (set ``url_col`` in the schema's columns).
+    optional URL/domain stage flags — including the RFC 9309
+    ``robots_rules``/``robots_agent`` politeness gate — pass straight
+    through to ingest_batch (set ``url_col`` in the schema's columns).
 
     ``source_format='warc'`` streams a CRAWL instead of parquet docs:
     `readStream.format("binaryFile")` tails the directory for new
@@ -472,7 +517,10 @@ def run_ingest_stream(
     HTTP 200 text/html → visible text → C4 line gate → canonical URL)
     before entering the incremental dedup; docs are keyed by URL and
     the domain stage defaults to that same column. ``schema`` is
-    ignored in warc mode (the parser owns the record schema)."""
+    ignored in warc mode (the parser owns the record schema).
+    ``source_format='jsonl'`` tails JSONL/JSONL.GZ files with the
+    given ``schema`` (the interchange format real corpora ship in;
+    Spark's json source decompresses .gz transparently)."""
     if source_format == "warc":
         from bag_parser_spark.sources import warc as W
 
@@ -501,6 +549,8 @@ def run_ingest_stream(
                 url_col=warc_url_col,
                 max_per_domain=max_per_domain,
                 domain_blocklist=domain_blocklist,
+                robots_rules=robots_rules,
+                robots_agent=robots_agent,
             )
 
         q = (
@@ -512,7 +562,14 @@ def run_ingest_stream(
         q.awaitTermination()
         return
 
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if source_format == "jsonl":
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.json*")
+            .json(source_dir)
+        )
+    else:
+        stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(
@@ -520,6 +577,8 @@ def run_ingest_stream(
             url_col=url_col,
             max_per_domain=max_per_domain,
             domain_blocklist=domain_blocklist,
+            robots_rules=robots_rules,
+            robots_agent=robots_agent,
         )
 
     q = (

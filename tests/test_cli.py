@@ -640,3 +640,43 @@ def test_cli_prepare_full_web_pipeline_stage_report(tmp_path):
     assert per_dom["site0.com"] == 3 and per_dom["blocked.net"] == 0
     assert per_dom["robots.com"] == 1
     assert not any("/private/" in u for u, *_ in rows)
+
+
+def test_cli_prepare_from_jsonl(tmp_path):
+    """`prepare --from-jsonl` reads gzipped JSONL with the explicit
+    --input-schema (never inference) and runs the same curation
+    pipeline: the exact-dup pair collapses, the split artifact carries
+    the surviving docs."""
+    import gzip
+    import json
+
+    src = tmp_path / "jl"
+    src.mkdir()
+    text = " ".join(f"word{i}" for i in range(40))
+    rows = [
+        {"doc_id": 1, "text": f"{text} one"},
+        {"doc_id": 2, "text": f"{text} two"},
+        {"doc_id": 3, "text": f"{text} one"},  # exact dup of 1
+    ]
+    with gzip.open(src / "docs.jsonl.gz", "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out_dir = str(tmp_path / "corpus")
+    proc = _run_cli(
+        "prepare", "--from-jsonl", "--docs", str(src),
+        "--input-schema", "doc_id long, text string",
+        "--out", out_dir, "--min-quality", "0", "--any-lang",
+        "--no-near-dedup",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_out"] == 2
+    import duckdb
+
+    con = duckdb.connect()
+    ids = {r[0] for r in con.execute(
+        "SELECT doc_id FROM "
+        f"read_parquet('{out_dir}/*/*.parquet', hive_partitioning=1)"
+    ).fetchall()}
+    con.close()
+    assert ids == {1, 2}

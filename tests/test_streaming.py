@@ -829,3 +829,84 @@ def test_ingest_blocklist_without_url_col_raises(spark, tmp_path):
             spark, b, str(tmp_path / "state"),
             domain_blocklist=blocked,
         )
+
+
+def test_ingest_robots_gate_and_jsonl_stream(spark, tmp_path):
+    """Streaming politeness + JSONL source: ingest_batch with
+    robots_rules drops star-disallowed paths (specific agent shadows
+    '*' per RFC 9309) before dedup, the guard rejects robots without
+    url_col, and run_ingest_stream(source_format='jsonl') drains
+    gzipped JSONL files through the same pipeline."""
+    import gzip
+    import json as _json
+    import os
+
+    import pytest
+
+    from bag_parser_spark.streaming.corpus import (
+        ingest_batch,
+        run_ingest_stream,
+    )
+
+    txt = lambda i: " ".join(f"w{j}-{i}" for j in range(30))  # noqa: E731
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "*", "disallow", "/private/"),
+            ("shadow.org", "*", "disallow", "/"),
+            ("shadow.org", "corpusbot", "allow", "/"),
+        ],
+        "domain string, agent string, rule_type string, "
+        "path_prefix string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, txt(1), "https://WWW.a.com/public/1"),
+            (2, txt(2), "https://a.com/private/2"),
+            (3, txt(3), "https://shadow.org/x"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    state = str(tmp_path / "state")
+    n = ingest_batch(
+        spark, b1, state,
+        url_col="url", robots_rules=rules, robots_agent="CorpusBot",
+    )
+    assert n == 2  # /private/2 disallowed; shadow allowed for the agent
+    acc = {r["doc_id"] for r in
+           spark.read.parquet(f"{state}/accepted").collect()}
+    assert acc == {1, 3}
+    with pytest.raises(ValueError, match="url_col"):
+        ingest_batch(
+            spark,
+            b1.select("doc_id", "text"), str(tmp_path / "s2"),
+            robots_rules=rules,
+        )
+    # jsonl stream: two gz files, a cross-file exact dup, robots gate on
+    src = str(tmp_path / "jsonl")
+    os.makedirs(src)
+    def jl(path, rows):
+        with gzip.open(path, "wt") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+    jl(f"{src}/part0.jsonl.gz", [
+        {"doc_id": 11, "text": txt(11), "url": "https://b.org/ok/1"},
+        {"doc_id": 12, "text": txt(12), "url": "https://a.com/private/3"},
+    ])
+    jl(f"{src}/part1.jsonl.gz", [
+        {"doc_id": 13, "text": txt(11), "url": "https://b.org/ok/2"},  # dup
+        {"doc_id": 14, "text": txt(14), "url": "https://b.org/ok/3"},
+    ])
+    st2, ckpt = str(tmp_path / "state2"), str(tmp_path / "ckpt")
+    run_ingest_stream(
+        spark, f"{src}/*", st2, ckpt,
+        schema="doc_id long, text string, url string",
+        source_format="jsonl",
+        url_col="url",
+        robots_rules=rules,
+        robots_agent="CorpusBot",
+    )
+    acc2 = {r["doc_id"] for r in
+            spark.read.parquet(f"{st2}/accepted").collect()}
+    # 12 robots-blocked; 13 exact dup of 11 (either file order wins one)
+    assert 14 in acc2 and 12 not in acc2
+    assert len(acc2 & {11, 13}) == 1 and len(acc2) == 2
