@@ -343,6 +343,7 @@ def cmd_prepare(args) -> int:
             else None
         ),
         dsir_keep=args.dsir_keep,
+        out_format=args.out_format,
     )
     _log(f"prepared {summary['n_out']} docs -> {summary['out']}")
     print(json.dumps(summary, sort_keys=True))
@@ -444,7 +445,12 @@ def build_parser() -> argparse.ArgumentParser:
                       "inferred: inference scans the corpus twice and "
                       "type-drifts across deliveries)")
     prep.add_argument("--out", required=True,
-                      help="output directory (parquet, partitioned by split)")
+                      help="output directory (partitioned by split)")
+    prep.add_argument("--out-format", choices=("parquet", "jsonl"),
+                      default="parquet",
+                      help="artifact format: parquet (default) or "
+                      "gzipped JSONL (the interchange format downstream "
+                      "tokenizer/training jobs consume directly)")
     prep.add_argument("--min-quality", type=float, default=0.7)
     prep.add_argument("--lang", default="en",
                       help="keep docs whose predicted language matches")

@@ -56,6 +56,7 @@ def prepare_corpus(
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     dsir_buckets: int = 512,
+    out_format: str = "parquet",
     stage_report: bool = False,
 ) -> dict:
     """Run the curation pipeline and write ``out_dir`` partitioned by
@@ -398,16 +399,30 @@ def prepare_corpus(
         unique, id_col=id_col, splits=splits or DEFAULT_SPLITS, seed=seed
     ).drop("__content__", "lang_pred")
 
+    if out_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown out_format {out_format!r}")
     obs = Observation("prepare")
     observed = split_df.observe(obs, F.count(F.lit(1)).alias("n_out"))
-    observed.write.partitionBy("split").mode("overwrite").parquet(out_dir)
+    writer = observed.write.partitionBy("split").mode("overwrite")
+    if out_format == "jsonl":
+        # gzipped JSONL artifact — the interchange format downstream
+        # tokenizer/training jobs consume directly; same split
+        # partitioning, same atomic overwrite
+        writer.option("compression", "gzip").json(out_dir)
+    else:
+        writer.parquet(out_dir)
     n_out = obs.get["n_out"]
 
     # Per-split breakdown from the written artifact (#splits output rows;
     # the count re-scans only the freshly written, filtered corpus).
+    artifact = (
+        spark.read.json(out_dir)
+        if out_format == "jsonl"
+        else spark.read.parquet(out_dir)
+    )
     by_split = {
         r["split"]: r["n"]
-        for r in spark.read.parquet(out_dir)
+        for r in artifact
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -433,6 +448,7 @@ def prepare_corpus(
         "robots": robots_rules is not None,
         "robots_agent": robots_agent if robots_rules is not None else None,
         "dsir_keep": dsir_keep if dsir_target is not None else None,
+        "out_format": out_format,
         "gopher": gopher,
         "gopher_counts": (
             {k: int(v) for k, v in gopher_obs.get.items()}

@@ -2521,3 +2521,42 @@ def test_kmeans_converged_separates_and_reports_shift(spark):
         assert all(sign * m["centroid_val"] > 0.4 for m in members)
     rerun = clustering.kmeans_converged(df, k=2, iters=3).collect()
     assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows_out))
+
+
+def test_prepare_corpus_jsonl_artifact(spark, tmp_path):
+    """out_format='jsonl': the artifact is gzipped JSONL partitioned by
+    split, directly readable with stdlib gzip+json (the tokenizer-job
+    contract — no Spark needed downstream), and the summary's split
+    counts match the files."""
+    import glob
+    import gzip
+    import json
+
+    import pytest
+
+    from bag_parser_spark.plans.corpus_prep import prepare_corpus
+
+    text = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, f"{text} u{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "corpus")
+    summary = prepare_corpus(
+        spark, docs, out,
+        min_quality=0.0, lang=None, near_dedup=False,
+        out_format="jsonl",
+    )
+    assert summary["out_format"] == "jsonl"
+    files = glob.glob(f"{out}/split=*/*.json.gz")
+    assert files
+    rows = []
+    for p in files:
+        with gzip.open(p, "rt") as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    assert {r["doc_id"] for r in rows} == set(range(12))
+    assert sum(summary["splits"].values()) == 12
+    with pytest.raises(ValueError, match="out_format"):
+        prepare_corpus(
+            spark, docs, str(tmp_path / "x"), out_format="csvx"
+        )
