@@ -230,6 +230,7 @@ def kmeans_converged(
     iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Lloyd's loop to a fixed horizon WITH a convergence metric — the
     ``kmeans`` twin that also reports how far each centroid still moved
@@ -242,10 +243,15 @@ def kmeans_converged(
     INTEGER, so the convergence signal is bit-identical on any engine
     or cluster layout (same discipline as the rank micro-units in
     ml_pagerank_converged). Iteration state is k·dim rows and is
-    localCheckpoint-truncated per round (the ``kmeans`` contract); the
-    big table is scanned twice per iteration — the algorithm's real
-    cost at any scale.
+    lineage-cut per round (the ``kmeans`` contract): localCheckpoint
+    by default, reliable ``checkpoint()`` under ``checkpoint_dir`` when
+    given — identical output, executor-loss-survivable state (the
+    cluster posture; see ``operators/lineage.py``). The big table is
+    scanned twice per iteration — the algorithm's real cost at any
+    scale.
     """
+    from bag_parser_spark.operators.lineage import cut_lineage
+
     seeds = (
         vectors.orderBy(F.col(id_col).asc())
         .limit(k)
@@ -254,7 +260,9 @@ def kmeans_converged(
     cent = seeds
     for _ in range(iters - 1):
         stepped = kmeans_step(vectors, cent, id_col, vec_col, "cid")
-        cent = _centroid_table(stepped, vec_col).localCheckpoint(eager=True)
+        cent = cut_lineage(
+            _centroid_table(stepped, vec_col), checkpoint_dir
+        )
     final = kmeans_step(vectors, cent, id_col, vec_col, "cid")
     old_q = _explode_fixed(cent, "cid", vec_col, "cid").select(
         "cid", "i", F.col("q").alias("__oldq__")

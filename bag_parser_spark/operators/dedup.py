@@ -942,6 +942,7 @@ def dup_clusters(
     id_b: str = "id_b",
     out_id: str = "doc_id",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters.
 
@@ -962,28 +963,34 @@ def dup_clusters(
     loop still hits ``max_iter`` unconverged it raises rather than return
     wrong labels. Each round shuffles only (node, label) pairs — edges
     carry ids, never document content, so a round costs O(|E|) key-size
-    rows at any corpus scale. ``localCheckpoint`` truncates the plan each
-    round: without it the lineage doubles per iteration and Catalyst
-    re-optimizes an exponentially growing tree (on a cluster prefer
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-    fault-tolerant truncation; localCheckpoint trades executor-loss
-    recovery for speed). Convergence check is one tiny count per round —
-    the same driver-side action pattern as the reference's conditional
-    orphan delete (reference database_sqlite.py:604-612).
+    rows at any corpus scale. The plan is lineage-cut each round: without
+    it the lineage doubles per iteration and Catalyst re-optimizes an
+    exponentially growing tree. ``checkpoint_dir=None`` (default) cuts
+    with ``localCheckpoint`` — fast, but a lost executor after the cut
+    kills the job (fine on local[n]); a path switches to reliable
+    ``checkpoint()`` rooted there, the fault-tolerant posture a real
+    cluster wants for long dedup runs (``operators/lineage.py``).
+    Convergence check is one tiny count per round — the same driver-side
+    action pattern as the reference's conditional orphan delete
+    (reference database_sqlite.py:604-612).
     """
-    edges = (
+    from bag_parser_spark.operators.lineage import cut_lineage
+
+    edges = cut_lineage(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        checkpoint_dir,
+        eager=False,
     )
-    labels = (
+    labels = cut_lineage(
         edges.select(F.col("src").alias("id"))
         .distinct()
-        .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=False)
+        .withColumn("lbl", F.col("id")),
+        checkpoint_dir,
+        eager=False,
     )
     converged = False
     for _ in range(max_iter):
@@ -1013,8 +1020,8 @@ def dup_clusters(
                     stepped["lbl"], F.coalesce(F.col("p_lbl"), stepped["lbl"])
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = cut_lineage(new_labels, checkpoint_dir)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -458,9 +458,14 @@ def bucketed_rank(
     3. rank = broadcast bucket offset + row_number within the bucket
        (window PARTITIONED on bucket — every task sorts only its slice).
 
-    ``value`` must be numeric and non-null (rank of NULL is undefined
-    here — filter first). ``ascending=False`` ranks descending by
-    negating the key (exact for longs < 2^63 and finite doubles).
+    ``value`` must be numeric, non-null, and non-NaN (rank of NULL is
+    undefined here and a NaN would silently compare into bucket 0 —
+    filter both first). The ordering key is evaluated as a DOUBLE, so
+    integer keys are order-exact only up to 2^53: distinct longs above
+    that can collide after the cast and then rank in tiebreak order
+    (ADVICE r8 — the earlier 2^63 claim was wrong). ``ascending=False``
+    ranks descending by negating the key (same 2^53 bound; exact for
+    finite doubles).
     ``total_name`` additionally attaches the total row count to every
     row (needed by :func:`ntile_from_rank`) — it rides the same
     broadcast, no extra pass. Temp columns are dropped; input columns

@@ -1039,6 +1039,7 @@ def bpe_train(
     text_col: str = "text",
     num_iters: int = 4,
     cache_registry: list | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """FULL BPE tokenizer TRAINING, ``num_iters`` iterations — the loop
     ``bpe_merge_step`` is one turn of, run to completion as relational
@@ -1066,13 +1067,29 @@ def bpe_train(
     this list when given, so a scoped caller can unpersist them after
     its action (same contract as dedup.verify_pairs_jaccard — the
     handles are not otherwise caller-visible).
+
+    ``checkpoint_dir``: swap the per-iteration persist for a RELIABLE
+    ``checkpoint()`` rooted there (``operators/lineage.py``) — identical
+    merges, and the word-frequency state survives executor loss
+    mid-training (persist-backed state recomputes from lineage, which
+    persist keeps; the checkpoint variant exists for parity with the
+    other iterative loops and for clusters whose recompute is the cost
+    being avoided).
     """
+    from bag_parser_spark.operators.lineage import cut_lineage
+
+    def _pin(frame):
+        if checkpoint_dir is not None:
+            return cut_lineage(frame, checkpoint_dir)
+        frame = frame.persist()
+        if cache_registry is not None:
+            cache_registry.append(frame)
+        return frame
+
     wf = _word_freqs(df, text_col).withColumn(
         "w", F.translate("w", _BPE_SEP, "")
     )
-    state = wf.select("f", _wrapped_syms("w").alias("s")).persist()
-    if cache_registry is not None:
-        cache_registry.append(state)
+    state = _pin(wf.select("f", _wrapped_syms("w").alias("s")))
     steps = []
     for k in range(num_iters):
         syms = state.select("f", _split_syms("s").alias("__a__"))
@@ -1094,7 +1111,7 @@ def bpe_train(
             )
         )
         if k < num_iters - 1:  # the last iteration's merge feeds nothing
-            state = (
+            state = _pin(
                 state.crossJoin(F.broadcast(top1))
                 .select(
                     "f",
@@ -1102,10 +1119,7 @@ def bpe_train(
                         F.col("s"), F.col("pair_a"), F.col("pair_b")
                     ).alias("s"),
                 )
-                .persist()
             )
-            if cache_registry is not None:
-                cache_registry.append(state)
     out = steps[0]
     for s in steps[1:]:
         out = out.unionAll(s)

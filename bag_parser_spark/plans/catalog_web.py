@@ -569,6 +569,18 @@ _LCANON_CTE = f"""
 """
 
 _FRONTIER_K = 100
+_FRONTIER_WINDOW_SEC = 20.0
+
+# Deterministic per-host crawl delay for the fixture — the shape
+# delay_for_agent() produces from parsed robots.txt Crawl-delay lines
+# (pytest covers the parse; this query exercises the politeness JOIN
+# and budget math). Dual-dialect expression over the host string so
+# both engines derive the identical table. Delays 10/2/5 s against the
+# 20 s window give budgets 2/10/4 — every branch caps some host.
+_DELAY_EXPR = (
+    "CAST(CASE WHEN length(dst_host) % 3 = 0 THEN 10.0 "
+    "WHEN length(dst_host) % 3 = 1 THEN 2.0 ELSE 5.0 END AS DOUBLE)"
+)
 
 
 @register(
@@ -583,14 +595,33 @@ _FRONTIER_K = 100
     indeg AS (
       SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS host_in_links
       FROM lcanon GROUP BY 1
+    ),
+    delays AS (
+      SELECT dst_host, {_DELAY_EXPR} AS crawl_delay,
+             GREATEST(CAST(1 AS BIGINT),
+               CAST(FLOOR({_FRONTIER_WINDOW_SEC} / {_DELAY_EXPR})
+                 AS BIGINT)) AS host_budget
+      FROM (SELECT DISTINCT dst_host FROM lcanon)
+    ),
+    unseen AS (
+      SELECT l.url_c, l.dst_host, l.n_refs, l.first_doc
+      FROM lagg l
+      LEFT JOIN (SELECT DISTINCT canonical_url FROM canon) s
+        ON l.url_c = s.canonical_url
+      WHERE s.canonical_url IS NULL
+    ),
+    budgeted AS (
+      SELECT u.*, d.crawl_delay, d.host_budget,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.dst_host
+               ORDER BY u.n_refs DESC, u.url_c ASC) AS host_rank
+      FROM unseen u JOIN delays d USING (dst_host)
     )
-    SELECT l.url_c AS frontier_url, l.dst_host, l.n_refs, l.first_doc,
-           i.host_in_links
-    FROM lagg l JOIN indeg i USING (dst_host)
-    LEFT JOIN (SELECT DISTINCT canonical_url FROM canon) s
-      ON l.url_c = s.canonical_url
-    WHERE s.canonical_url IS NULL
-    ORDER BY i.host_in_links DESC, l.n_refs DESC, l.url_c ASC
+    SELECT b.url_c AS frontier_url, b.dst_host, b.n_refs, b.first_doc,
+           i.host_in_links, b.crawl_delay, b.host_budget
+    FROM budgeted b JOIN indeg i USING (dst_host)
+    WHERE b.host_rank <= b.host_budget
+    ORDER BY i.host_in_links DESC, b.n_refs DESC, b.url_c ASC
     LIMIT {_FRONTIER_K}
     """,
     doc="Crawl-frontier construction — the loop-closer between link "
@@ -598,17 +629,26 @@ _FRONTIER_K = 100
     "with the SAME steps as page URLs (so a link to a seen page "
     "collides with its seen form exactly), aggregate to one candidate "
     "row per canonical target (n_refs, first discovering doc), "
-    "anti-join the seen set, and rank by host in-degree (the "
-    "authority proxy crawl schedulers use before a full PageRank) "
-    "with n_refs and url as deterministic tiebreaks. Scale shape: "
-    "extract/resolve/canonicalize ride the scan; the candidate "
-    "aggregate and the in-degree rollup shuffle (url)/(host) keys — "
-    "never pages; the seen anti-join shuffles canonical-url keys; "
-    "top-k is TakeOrderedAndProject. At crawl scale the seen set is "
-    "the store this query's output becomes next round — the same "
-    "incremental contract as dedup_incremental.",
+    "anti-join the seen set, BUDGET each host's candidates by its "
+    "robots crawl delay (r9, VERDICT r8 #5: budget = max(1, floor("
+    "window/delay)) — a 10 s-delay host yields at most 2 slots in the "
+    "20 s window no matter its in-degree; the delay table is the "
+    "delay_for_agent shape, derived dual-dialect in the fixture), and "
+    "rank survivors by host in-degree (the authority proxy crawl "
+    "schedulers use before a full PageRank) with n_refs and url as "
+    "deterministic tiebreaks. Scale shape: extract/resolve/"
+    "canonicalize ride the scan; the candidate aggregate and the "
+    "in-degree rollup shuffle (url)/(host) keys — never pages; the "
+    "seen anti-join shuffles canonical-url keys; the budget window "
+    "partitions by host over CANDIDATE rows (already aggregated, "
+    "bounded per host by the page-side explode) with the tiny delay "
+    "table broadcast; top-k is TakeOrderedAndProject. At crawl scale "
+    "the seen set is the store this query's output becomes next "
+    "round — the same incremental contract as dedup_incremental.",
 )
 def q_web_crawl_frontier(spark, sf_dir):
+    from pyspark.sql import Window
+
     pages = _link_pages(spark, sf_dir)
     ex = urls.extract_links(
         pages,
@@ -626,6 +666,14 @@ def q_web_crawl_frontier(spark, sf_dir):
     indeg = links.groupBy("dst_host").agg(
         F.count(F.lit(1)).cast("long").alias("host_in_links")
     )
+    delay = F.expr(_DELAY_EXPR)
+    delays = links.select("dst_host").distinct().select(
+        "dst_host",
+        delay.alias("crawl_delay"),
+        urls.politeness_budget(delay, _FRONTIER_WINDOW_SEC).alias(
+            "host_budget"
+        ),
+    )
     seen = (
         _t(spark, sf_dir, "documents")
         .select(urls.canonicalize_url(F.expr(URL_EXPR)).alias("url_c"))
@@ -639,14 +687,24 @@ def q_web_crawl_frontier(spark, sf_dir):
         )
         .join(seen, "url_c", "left_anti")
     )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_refs").desc(), F.col("url_c").asc()
+    )
+    budgeted = (
+        cand.join(F.broadcast(delays), "dst_host")
+        .withColumn("__hrk__", F.row_number().over(w))
+        .filter(F.col("__hrk__") <= F.col("host_budget"))
+    )
     return (
-        cand.join(indeg, "dst_host")
+        budgeted.join(indeg, "dst_host")
         .select(
             F.col("url_c").alias("frontier_url"),
             "dst_host",
             "n_refs",
             "first_doc",
             "host_in_links",
+            "crawl_delay",
+            "host_budget",
         )
         .orderBy(
             F.col("host_in_links").desc(),
@@ -903,7 +961,9 @@ _PR_SQL = (
     "count) — cost is LINEAR in iterations and edge count; the oracle "
     "unrolls the same iterations as CTEs.",
 )
-def q_ml_pagerank_converged(spark, sf_dir):
+def q_ml_pagerank_converged(spark, sf_dir, checkpoint_dir=None):
+    from bag_parser_spark.operators.lineage import cut_lineage
+
     ex = urls.extract_links(
         _link_pages(spark, sf_dir),
         id_col="doc_id",
@@ -930,16 +990,18 @@ def q_ml_pagerank_converged(spark, sf_dir):
     )
     outd = edges.groupBy("src").agg(F.sum("w").alias("od")).persist()
     nn = nodes.agg(F.count(F.lit(1)).alias("__nn__"))
-    # Lineage is TRUNCATED per iteration (eager localCheckpoint), not
-    # just persisted: rank_k is referenced 3x by rank_k+1 (contribution
+    # Lineage is TRUNCATED per iteration (eager cut), not just
+    # persisted: rank_k is referenced 3x by rank_k+1 (contribution
     # join, dangling mass, delta), so persist alone leaves a logical
     # plan that grows ~3^k — the plan tree itself OOMs the driver long
     # before any data does. Checkpointing is the standard lineage cut
-    # for iterative algorithms (GraphX/ALS do the same); at cluster
-    # scale use a reliable checkpoint dir instead of localCheckpoint.
-    rank = nodes.select(
-        "node", F.lit(_PR_SCALE).cast("long").alias("r")
-    ).localCheckpoint()
+    # for iterative algorithms (GraphX/ALS do the same); pass
+    # checkpoint_dir for the RELIABLE cluster posture (executor loss
+    # after a localCheckpoint cut is unrecoverable — lineage.py).
+    rank = cut_lineage(
+        nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("r")),
+        checkpoint_dir,
+    )
     prev = rank
     for _ in range(_PR_ITERS):
         contrib = (
@@ -958,7 +1020,7 @@ def q_ml_pagerank_converged(spark, sf_dir):
             outd.select(F.col("src").alias("node")), "node", "left_anti"
         ).agg(F.coalesce(F.sum("r"), F.lit(0)).alias("__dm__"))
         prev = rank
-        rank = (
+        rank = cut_lineage(
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .crossJoin(F.broadcast(nn))
@@ -971,8 +1033,8 @@ def q_ml_pagerank_converged(spark, sf_dir):
                 )
                 .cast("long")
                 .alias("r"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
     return rank.join(
         prev.select("node", F.col("r").alias("__rp__")), "node"

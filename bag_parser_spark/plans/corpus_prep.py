@@ -100,9 +100,6 @@ def prepare_corpus(
     stages. Leave it off for production-scale runs where the free
     observe-based c4/gopher counts suffice.
     """
-    from bag_parser_spark.operators import dedup, sampling, urls
-    from bag_parser_spark.operators.text import language_id, quality_score
-
     if (
         max_per_domain is not None
         or domain_blocklist is not None
@@ -111,6 +108,23 @@ def prepare_corpus(
         raise ValueError(
             "max_per_domain / domain_blocklist / robots_rules need "
             "url_col to derive the host and path from"
+        )
+    # Every cheap arg guard runs BEFORE any stage executes (ADVICE r8:
+    # the dsir/out_format checks used to sit mid-pipeline, so a trivially
+    # bad combination burned the whole robots/quality/dedup run first).
+    if (dsir_target is None) != (dsir_keep is None):
+        raise ValueError(
+            "dsir_target and dsir_keep go together: the target corpus "
+            "defines the importance distribution, keep is the sample "
+            "size drawn from it"
+        )
+    if out_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown out_format {out_format!r}")
+    if decontaminate_docs is not None and not 0 <= max_contamination_pct < 100:
+        raise ValueError(
+            "max_contamination_pct must be in [0, 100): "
+            f"{max_contamination_pct} (negative values would drop "
+            "every document, 100+ would drop none)"
         )
     stage_counts: dict[str, int] = {}
     stage_handles: list[DataFrame] = []
@@ -122,6 +136,69 @@ def prepare_corpus(
         stage_handles.append(df)
         stage_counts[name] = df.count()
         return df
+
+    try:
+        return _prepare_corpus_run(
+            spark, docs, out_dir, _stage, stage_counts,
+            id_col=id_col, text_col=text_col, min_quality=min_quality,
+            lang=lang, splits=splits, seed=seed, near_dedup=near_dedup,
+            near_dup_threshold=near_dup_threshold,
+            max_segment_dup_pct=max_segment_dup_pct,
+            decontaminate_docs=decontaminate_docs,
+            max_contamination_pct=max_contamination_pct,
+            decontaminate_shingle_n=decontaminate_shingle_n,
+            url_col=url_col, max_per_domain=max_per_domain,
+            domain_blocklist=domain_blocklist,
+            domain_allowlist=domain_allowlist,
+            robots_rules=robots_rules, robots_agent=robots_agent,
+            gopher=gopher, c4_lines=c4_lines,
+            dsir_target=dsir_target, dsir_keep=dsir_keep,
+            dsir_buckets=dsir_buckets, out_format=out_format,
+        )
+    finally:
+        # unpersist on success AND on a mid-pipeline failure — a failed
+        # prepare must not leak the stage_report caches into a
+        # long-lived session (ADVICE r8)
+        for h in stage_handles:
+            h.unpersist()
+
+
+def _prepare_corpus_run(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    _stage,
+    stage_counts: dict[str, int],
+    *,
+    id_col: str,
+    text_col: str,
+    min_quality: float,
+    lang: str | None,
+    splits: list[tuple[str, float]] | None,
+    seed: int,
+    near_dedup: bool,
+    near_dup_threshold: float,
+    max_segment_dup_pct: int | None,
+    decontaminate_docs: DataFrame | None,
+    max_contamination_pct: int,
+    decontaminate_shingle_n: int,
+    url_col: str | None,
+    max_per_domain: int | None,
+    domain_blocklist: DataFrame | None,
+    domain_allowlist: DataFrame | None,
+    robots_rules: DataFrame | None,
+    robots_agent: str,
+    gopher: bool,
+    c4_lines: bool,
+    dsir_target: DataFrame | None,
+    dsir_keep: int | None,
+    dsir_buckets: int,
+    out_format: str,
+) -> dict:
+    """The pipeline body — args pre-validated, stage caching and
+    cleanup owned by :func:`prepare_corpus`'s try/finally."""
+    from bag_parser_spark.operators import dedup, sampling, urls
+    from bag_parser_spark.operators.text import language_id, quality_score
 
     docs = _stage(docs, "input")
     domain_cols: list = []
@@ -326,12 +403,6 @@ def prepare_corpus(
         # and false negatives are impossible by construction.
         from bag_parser_spark.operators import sketches
 
-        if not 0 <= max_contamination_pct < 100:
-            raise ValueError(
-                "max_contamination_pct must be in [0, 100): "
-                f"{max_contamination_pct} (negative values would drop "
-                "every document, 100+ would drop none)"
-            )
         bloom_k, bloom_m = 3, 1 << 20
         ev_sh = dedup.word_shingle_rows(
             decontaminate_docs.select(
@@ -359,12 +430,6 @@ def prepare_corpus(
             unique.join(contaminated, id_col, "left_anti"), "decontaminated"
         )
 
-    if (dsir_target is None) != (dsir_keep is None):
-        raise ValueError(
-            "dsir_target and dsir_keep go together: the target corpus "
-            "defines the importance distribution, keep is the sample "
-            "size drawn from it"
-        )
     if dsir_target is not None:
         # DSIR selection (Xie et al. 2023) as the LAST gate: from the
         # clean deduplicated survivors, resample dsir_keep docs
@@ -399,8 +464,6 @@ def prepare_corpus(
         unique, id_col=id_col, splits=splits or DEFAULT_SPLITS, seed=seed
     ).drop("__content__", "lang_pred")
 
-    if out_format not in ("parquet", "jsonl"):
-        raise ValueError(f"unknown out_format {out_format!r}")
     obs = Observation("prepare")
     observed = split_df.observe(obs, F.count(F.lit(1)).alias("n_out"))
     writer = observed.write.partitionBy("split").mode("overwrite")
@@ -427,8 +490,6 @@ def prepare_corpus(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    for h in stage_handles:
-        h.unpersist()
     return {
         "out": os.path.abspath(out_dir),
         "n_out": n_out,

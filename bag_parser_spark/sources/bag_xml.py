@@ -418,21 +418,41 @@ def extract_bag_delivery(path: str, dest_dir: str) -> str:
 
 
 def delivery_has_zips(path: str) -> bool:
-    """True when ``path`` is a zip or a directory with top-level zips —
-    i.e. the native backend needs ``extract_bag_delivery`` first."""
+    """True when ``path`` is a zip or a LOCAL directory containing zips
+    at any depth — i.e. the native backend needs ``extract_bag_delivery``
+    first. Local-filesystem only by contract: remote URIs (s3://,
+    hdfs://) are not globbed here — ``read_bag_entity``'s auto mode
+    routes non-local paths to the zip-capable iterparse backend without
+    consulting this check (ADVICE r8)."""
     import glob as _glob
     import os
 
     if os.path.isfile(path):
         return path.lower().endswith(".zip")
-    pats = (
-        [os.path.join(path, "*.zip"), os.path.join(path, "*.ZIP")]
-        if os.path.isdir(path)
-        else [path]
-    )
+    if os.path.isdir(path):
+        # recursive: BAG deliveries sometimes nest per-entity zips in
+        # subdirectories; a top-level-only glob silently routed those
+        # to the zip-incapable native backend (ADVICE r8)
+        pats = [os.path.join(path, "**", "*.zip"),
+                os.path.join(path, "**", "*.ZIP")]
+        return any(
+            p.lower().endswith(".zip")
+            for pat in pats
+            for p in _glob.iglob(pat, recursive=True)
+        )
     return any(
-        p.lower().endswith(".zip") for pat in pats for p in _glob.glob(pat)
+        p.lower().endswith(".zip") for p in _glob.glob(path)
     )
+
+
+def _is_local_path(path: str) -> bool:
+    """Scheme-less or file:// paths are local; anything with another
+    URI scheme (s3://, hdfs://, ...) is remote — the local glob checks
+    cannot see into it."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
+    return m is None or m.group(1).lower() == "file"
 
 
 def read_bag_entity_raw_native(
@@ -613,14 +633,19 @@ def read_bag_entity(
 ) -> DataFrame:
     """Full S2 pipeline: XML files/zips at ``path`` → finalized entity
     DataFrame. ``cfg.xml_backend`` picks the scan: "auto" (default:
-    the JVM-native parse for plain .xml layouts — measured ~6% faster
-    end-to-end and parity-tested per entity — falling back to
-    iterparse when the delivery still contains zip archives),
-    "iterparse" (zip-capable Python scan), or "native" (JVM-side
-    parse, plain .xml only)."""
+    the JVM-native parse for plain LOCAL .xml layouts — measured ~6%
+    faster end-to-end and parity-tested per entity — falling back to
+    iterparse when the delivery still contains zip archives at any
+    depth, or when the path is a remote URI the local zip check cannot
+    inspect, ADVICE r8), "iterparse" (zip-capable Python scan), or
+    "native" (JVM-side parse, plain .xml only)."""
     backend = cfg.xml_backend
     if backend == "auto":
-        backend = "iterparse" if delivery_has_zips(path) else "native"
+        backend = (
+            "native"
+            if _is_local_path(path) and not delivery_has_zips(path)
+            else "iterparse"
+        )
     if backend == "native":
         raw = read_bag_entity_raw_native(spark, path, entity_name)
     elif backend == "iterparse":

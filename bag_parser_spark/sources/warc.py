@@ -422,7 +422,12 @@ def wat_to_links(spark: SparkSession, path: str) -> DataFrame:
     u = F.col("url")
     scheme_raw, hostport, path_raw, _ = urls.split_parts(u)
     scheme = F.lower(scheme_raw)
-    host = F.split(urls.canonical_host(hostport, scheme), ":", 2).getItem(0)
+    # canonical_host keeps a NON-default port (':8080' is part of the
+    # origin, only ':80'/':443' drop) — the same base the HTML-side
+    # extract_links resolves against; stripping the port here would
+    # send root-/path-relative links on a non-default-port page to the
+    # wrong origin (ADVICE r8)
+    host = urls.canonical_host(hostport, scheme)
     base_path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
     out = pages.select(
         "url",

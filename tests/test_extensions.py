@@ -2560,3 +2560,63 @@ def test_prepare_corpus_jsonl_artifact(spark, tmp_path):
         prepare_corpus(
             spark, docs, str(tmp_path / "x"), out_format="csvx"
         )
+
+
+def test_checkpoint_dir_routes_are_output_identical(spark, tmp_path):
+    """VERDICT r8 #3: every iterative loop exposes checkpoint_dir —
+    reliable df.checkpoint() when set, localCheckpoint otherwise — and
+    the two routes are OUTPUT-IDENTICAL (only the executor-loss
+    recovery posture moves; operators/lineage.py). One loop of each
+    operator both ways: dup_clusters, kmeans_converged, bpe_train, and
+    the converged-PageRank catalog query."""
+    from bag_parser_spark.operators import clustering, dedup
+    from bag_parser_spark.operators.text import bpe_train
+    from bag_parser_spark.plans.catalog import registry
+
+    ck = str(tmp_path / "ckpt")
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13)],
+        "id_a long, id_b long",
+    )
+    local = sorted(map(tuple, dedup.dup_clusters(pairs).collect()))
+    reliable = sorted(map(tuple, dedup.dup_clusters(
+        pairs, checkpoint_dir=ck
+    ).collect()))
+    assert local == reliable and len(local) == 9
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 2) * 10 + 0.1 * i, 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    km_local = sorted(map(tuple, clustering.kmeans_converged(
+        vecs, k=2, iters=3
+    ).collect()))
+    km_rel = sorted(map(tuple, clustering.kmeans_converged(
+        vecs, k=2, iters=3, checkpoint_dir=ck
+    ).collect()))
+    assert km_local == km_rel and km_local
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest low low") for i in range(4)],
+        "doc_id long, text string",
+    )
+    bpe_local = sorted(map(tuple, bpe_train(docs, num_iters=3).collect()))
+    bpe_rel = sorted(map(tuple, bpe_train(
+        docs, num_iters=3, checkpoint_dir=ck
+    ).collect()))
+    assert bpe_local == bpe_rel and len(bpe_local) == 3
+
+    pr = registry()["ml_pagerank_converged"].fn
+    pr_local = sorted(map(tuple, pr(
+        spark, "/root/testdata/sf0.001"
+    ).collect()))
+    pr_rel = sorted(map(tuple, pr(
+        spark, "/root/testdata/sf0.001", checkpoint_dir=ck
+    ).collect()))
+    assert pr_local == pr_rel and pr_local
+
+    # the reliable route actually wrote checkpoint state under the dir
+    import os
+
+    assert any(os.scandir(ck))

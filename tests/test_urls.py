@@ -382,3 +382,164 @@ def test_robots_wildcard_and_anchor_rules(spark):
         6: (True, None),
         7: (False, "/p"),
     }
+
+
+def _robots_route_fixture(spark):
+    """(pages, rules) reused by the route-guard tests: the wildcard/
+    anchor fixture above, which exercises every matching branch."""
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "disallow", "/*.php"),
+            ("a.com", "allow", "/shop/*.php"),
+            ("a.com", "disallow", "/exact$"),
+            ("b.com", "disallow", "/p"),
+            ("c.com", "allow", "/pub"),
+            ("c.com", "disallow", "/"),
+        ],
+        "domain string, rule_type string, path_prefix string",
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "a.com", "/index.php"),
+            (2, "a.com", "/shop/x.php"),
+            (3, "a.com", "/exact"),
+            (4, "b.com", "/p/1"),
+            (5, "c.com", "/pub/x"),
+            (6, "c.com", "/secret"),
+            (7, "d.com", "/anything"),
+        ],
+        "doc_id long, hostname string, npath string",
+    )
+    return pages, rules
+
+
+def test_apply_robots_route_identity(spark):
+    """VERDICT r8 #1: the broadcast and shuffle routes of apply_robots
+    are OUTPUT-IDENTICAL — broadcast_domain_limit only picks the join
+    strategy, never the semantics. None forces broadcast (pre-r9
+    behavior), 0 forces the shuffle fallback, and the default threshold
+    (far above this fixture's 4 domains) takes the broadcast route."""
+    from bag_parser_spark.operators import urls as U
+
+    pages, rules = _robots_route_fixture(spark)
+    runs = [
+        U.apply_robots(pages, rules, broadcast_domain_limit=lim)
+        for lim in (None, 0, U.ROBOTS_BROADCAST_DOMAIN_LIMIT)
+    ]
+    got = [sorted(map(tuple, df.collect())) for df in runs]
+    assert got[0] == got[1] == got[2]
+    # and the fixture actually decides something on both sides
+    allowed = {r[0]: r[3] for r in got[0]}
+    assert allowed == {
+        1: False, 2: True, 3: False, 4: False, 5: True, 6: False, 7: True,
+    }
+
+
+def test_apply_robots_threshold_crossing_picks_route(spark):
+    """The size guard routes by the aggregated rules-side domain count:
+    at or under broadcast_domain_limit the STATIC physical plan
+    broadcasts the rule table (corpus never shuffles); above it the
+    static plan joins without a forced broadcast — bounded memory at
+    CommonCrawl-scale politeness tables. Asserted on sparkPlan() (pre-
+    AQE): at runtime AQE may legitimately convert the fallback back to
+    a broadcast when the ACTUAL bytes turn out tiny (as on this
+    fixture) — that conversion is runtime-stat-driven and bounded by
+    spark.sql.adaptive.autoBroadcastJoinThreshold, which is exactly
+    the guarded behavior the static force lacked. Same fixture,
+    thresholds straddling its 3 rule-side domains (a/b/c — d.com
+    appears only on the pages side)."""
+    from bag_parser_spark.operators import urls as U
+
+    pages, rules = _robots_route_fixture(spark)
+
+    def plan_of(limit):
+        df = U.apply_robots(pages, rules, broadcast_domain_limit=limit)
+        return df._jdf.queryExecution().sparkPlan().toString()
+
+    over = plan_of(3)   # 3 domains <= 3: broadcast route
+    under = plan_of(2)  # 3 domains > 2: shuffle fallback
+    assert "BroadcastHashJoin" in over
+    assert "BroadcastHashJoin" not in under
+    assert "ShuffledHashJoin" in under
+
+
+def test_parse_crawl_delay_and_sitemaps(spark):
+    """VERDICT r8 #5: Crawl-delay joins the group machinery (a delay
+    belongs to every agent of its island; an agent in several groups
+    takes the MAX — politeness-conservative; non-numeric values drop;
+    a ua-line AFTER a delay starts a NEW group per the ABNF), and
+    Sitemap lines parse globally, outside any group, case-insensitive
+    key with the URL value intact past its scheme ':'."""
+    from bag_parser_spark.operators import urls as U
+
+    robots = "\n".join([
+        "Sitemap: https://a.com/Sitemap-Main.xml",
+        "User-agent: googlebot",
+        "User-agent: CorpusBot",   # island: delay shared by both
+        "Crawl-delay: 2.5",
+        "Disallow: /private",
+        "",
+        "User-agent: corpusbot",   # NEW group (previous line is a rule)
+        "Crawl-delay: 10",         # same agent again: max(2.5, 10) = 10
+        "User-agent: slowbot",     # new island AFTER the delay rule
+        "Crawl-delay: bogus",      # non-numeric: dropped
+        "sitemap: https://a.com/news.xml  # comment",
+        "User-agent: *",
+        "Crawl-delay: 1",
+    ])
+    src = spark.createDataFrame(
+        [("a.com", robots)], "domain string, robots_txt string"
+    )
+    delays = sorted(map(tuple, U.parse_crawl_delay(src).collect()))
+    assert delays == [
+        ("a.com", "*", 1.0),
+        ("a.com", "corpusbot", 10.0),
+        ("a.com", "googlebot", 2.5),
+    ]
+    maps = sorted(r["sitemap"] for r in U.parse_sitemaps(src).collect())
+    assert maps == [
+        "https://a.com/Sitemap-Main.xml", "https://a.com/news.xml",
+    ]
+
+
+def test_delay_for_agent_and_budget(spark):
+    """delay_for_agent mirrors rules_for_agent's shadow: the agent's own
+    rows win, '*' fills only domains without one, default_delay
+    coalesces; politeness_budget = max(1, floor(window/delay))."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators import urls as U
+
+    delays = spark.createDataFrame(
+        [
+            ("a.com", "*", 1.0),
+            ("a.com", "corpusbot", 10.0),   # shadows the '*' 1.0
+            ("b.com", "*", 4.0),
+            ("c.com", "googlebot", 7.0),    # other agent only: no row
+        ],
+        "domain string, agent string, crawl_delay double",
+    )
+    eff = {
+        r["domain"]: r["crawl_delay"]
+        for r in U.delay_for_agent(delays, "CorpusBot").collect()
+    }
+    assert eff == {"a.com": 10.0, "b.com": 4.0}
+    budgets = (
+        U.delay_for_agent(delays, "corpusbot")
+        .select(
+            "domain",
+            U.politeness_budget(F.col("crawl_delay"), 20.0).alias("b"),
+        )
+        .collect()
+    )
+    assert {r["domain"]: r["b"] for r in budgets} == {
+        "a.com": 2, "b.com": 5,
+    }
+    # a delay longer than the window still yields one fetch
+    slow = spark.createDataFrame(
+        [("s.com", "*", 60.0)], "domain string, agent string, crawl_delay double"
+    )
+    one = U.delay_for_agent(slow, "x", default_delay=3.0).select(
+        U.politeness_budget(F.col("crawl_delay"), 20.0).alias("b")
+    ).collect()
+    assert one[0]["b"] == 1

@@ -289,6 +289,28 @@ def test_read_wat_links_roundtrip(spark, tmp_path):
     }
     env2 = {"Envelope": {"Payload-Metadata": {
         "HTTP-Response-Metadata": {}}}}  # no HTML-Metadata: dropped
+    # a page on a NON-default port: relative links must resolve to the
+    # SAME origin, port included (ADVICE r8 — the base host previously
+    # had its port stripped, sending these to the wrong origin; same
+    # contract as the HTML-side extract_links '8080' test)
+    env3 = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": "https://site3.io:8080/docs/index.html"
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Title": "Ported"},
+                        "Links": [
+                            {"path": "A@/href", "url": "/root.html"},
+                            {"path": "A@/href", "url": "sibling.html"},
+                        ],
+                    }
+                }
+            },
+        }
+    }
     records = [
         ("warcinfo", "", {"Content-Type": "application/warc-fields"},
          b"software: test"),
@@ -298,18 +320,28 @@ def test_read_wat_links_roundtrip(spark, tmp_path):
         ("metadata", "https://site2.com/robots.txt",
          {"Content-Type": "application/json"},
          json.dumps(env2).encode()),
+        ("metadata", "https://site3.io:8080/docs/index.html",
+         {"Content-Type": "application/json"},
+         json.dumps(env3).encode()),
     ]
     d = tmp_path / "wat"
     d.mkdir()
     (d / "seg0.warc.wat.gz").write_bytes(
         warc.build_warc_bytes(records, per_record_gzip=True)
     )
-    rows = warc.wat_to_links(spark, str(d)).collect()
+    all_rows = warc.wat_to_links(spark, str(d)).collect()
+    rows = [r for r in all_rows
+            if r["url"] == "https://www.Site1.com/a/page.html"]
     got = {r["link_no"]: r for r in rows}
     assert len(rows) == 3  # fragment + javascript dropped
-    assert all(r["url"] == "https://www.Site1.com/a/page.html"
-               and r["title"] == "Page One" for r in rows)
+    assert all(r["title"] == "Page One" for r in rows)
     assert got[0]["link_url"] == "HTTP://Ext.COM/x"  # absolute untouched
     assert got[1]["link_url"] == "https://site1.com/about"
     assert got[2]["link_url"] == "https://site1.com/a/other.html"
     assert got[2]["link_href"] == "other.html"
+    ported = {r["link_no"]: r["link_url"] for r in all_rows
+              if r["url"] == "https://site3.io:8080/docs/index.html"}
+    assert ported == {
+        0: "https://site3.io:8080/root.html",
+        1: "https://site3.io:8080/docs/sibling.html",
+    }
