@@ -934,8 +934,24 @@ def dsir_logweights(
             ).alias("lam"),
         )
     )
+    return _dsir_fold_and_key(raw_fb, lam, id_col, seed)
+
+
+def _dsir_fold_and_key(
+    doc_buckets: DataFrame,
+    lam: DataFrame,
+    id_col: str,
+    seed: int | str,
+) -> DataFrame:
+    """(id, n_feats, dsir_logw, sample_key) from per-(doc, bucket)
+    counts and a (bucket, lam) log-ratio table — the shared scoring
+    tail of :func:`dsir_logweights` and :func:`dsir_score_frozen`.
+    The lam table broadcasts; the per-document reduction folds in
+    BUCKET order (sort_array + aggregate) so every engine and every
+    partitioning adds the same doubles in the same order; the Gumbel
+    key is a pure function of (seed, id)."""
     scored = (
-        raw_fb.join(F.broadcast(lam), "bucket")
+        doc_buckets.join(F.broadcast(lam), "bucket")
         .withColumn("contrib", F.col("n").cast("double") * F.col("lam"))
         .groupBy(id_col)
         .agg(
@@ -959,3 +975,92 @@ def dsir_logweights(
     return scored.withColumn(
         "sample_key", F.col("dsir_logw") + gumbel
     )
+
+
+def dsir_lam_table(
+    raw_ref: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 512,
+    seed: int | str = "dsir",
+) -> DataFrame:
+    """FROZEN DSIR importance distribution: the (bucket, lam) log-ratio
+    table computed ONCE from a raw reference corpus and the target
+    corpus — exactly the table :func:`dsir_logweights` derives inline,
+    materialized over the FULL bucket range 0..n_buckets-1 (add-one
+    smoothing gives absent buckets a finite lam, so any future
+    document scores even when its buckets never appeared in either
+    reference). This is the streaming contract (VERDICT r8 #6): a
+    continuous ingest fixes the distribution at init time and scores
+    every micro-batch against the same ``n_buckets`` rows, so
+    selection is independent of how the corpus is split into batches.
+    Output is ``n_buckets`` rows — persist it as a tiny parquet table
+    and broadcast-join it per batch."""
+    spark = raw_ref.sparkSession
+    rid = F.monotonically_increasing_id().alias("__rid__")
+    rc = (
+        _hashed_ngram_feats(
+            raw_ref.select(rid, F.col(text_col)),
+            "__rid__", text_col, n_buckets, seed,
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    tc = (
+        _hashed_ngram_feats(
+            target.select(rid, F.col(text_col)),
+            "__rid__", text_col, n_buckets, seed,
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    wall = Window.partitionBy()
+    j = (
+        buckets.join(rc, "bucket", "left")
+        .join(tc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+        )
+    )
+    return (
+        j.withColumn("Tr", F.sum("rc").over(wall))
+        .withColumn("Tt", F.sum("tc").over(wall))
+        .select(
+            "bucket",
+            (
+                F.log(F.col("tc") + F.lit(1.0))
+                - F.log(F.col("Tt") + F.lit(float(n_buckets)))
+                - F.log(F.col("rc") + F.lit(1.0))
+                + F.log(F.col("Tr") + F.lit(float(n_buckets)))
+            ).alias("lam"),
+        )
+    )
+
+
+def dsir_score_frozen(
+    docs: DataFrame,
+    lam: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    seed: int | str = "dsir",
+) -> DataFrame:
+    """Score documents against a FROZEN lam table
+    (:func:`dsir_lam_table` output): per-doc (id, n_feats, dsir_logw,
+    sample_key) where every number depends only on (document text,
+    id, the frozen table, seed) — NOT on which other documents share
+    the batch. A threshold on ``sample_key`` therefore selects the
+    SAME documents however the corpus is batched — the streaming twin
+    of the batch top-k (which needs the whole corpus to rank).
+    ``n_buckets``/``seed`` must match the values the table was built
+    with (bucket ids are a function of both). One shuffle: the
+    per-(doc, bucket) collapse, capped at n_buckets rows per doc."""
+    doc_buckets = (
+        _hashed_ngram_feats(docs, id_col, text_col, n_buckets, seed)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _dsir_fold_and_key(doc_buckets, lam, id_col, seed)

@@ -1043,3 +1043,142 @@ def q_ml_pagerank_converged(spark, sf_dir, checkpoint_dir=None):
         F.col("r").alias("rank_micro"),
         F.abs(F.col("r") - F.col("__rp__")).cast("long").alias("delta_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# warc_records / wet_records — value-level oracle for the record parser
+# (r9, VERDICT r8 #4): deterministic synthetic WARC/WET where every
+# header, length, OFFSET and payload is closed-form in doc_id, so the
+# DuckDB oracle predicts the REAL parser's full output — the codec-
+# oracle pattern applied to the source layer's last rows-only gap.
+# ---------------------------------------------------------------------------
+
+from bag_parser_spark.sources import warc as _warc
+
+_SYNTH_FILES = 8
+
+# shared per-doc construction (ASCII only: char length == octet length)
+_SYNTH_CTES = f"""
+    sdocs AS (
+      SELECT doc_id, doc_id % {_SYNTH_FILES} AS f,
+             'https://w' || CAST(doc_id % 7 AS STRING) || '.test/p/'
+               || CAST(doc_id AS STRING) AS uri,
+             'Doc ' || CAST(doc_id AS STRING) || ' '
+               || repeat('ab', CAST(1 + doc_id % 40 AS INTEGER)) AS body
+      FROM documents
+    )
+"""
+
+
+def _synth_offsets_sql(hdr_base: int, clen_expr: str) -> str:
+    """Record length = fixed header base + len(uri) + Content-Length
+    digit count + payload + the two CRLFCRLF frames (8); offsets are
+    the running sum in doc_id order inside each file — exactly the
+    parser's cursor arithmetic, derived independently."""
+    return f"""
+    slens AS (SELECT *, {clen_expr} AS clen FROM sdocs),
+    srecs AS (
+      SELECT *, {hdr_base} + length(uri)
+             + length(CAST(clen AS STRING)) + clen + 8 AS rec_len
+      FROM slens
+    ),
+    soff AS (
+      SELECT *,
+             COALESCE(SUM(rec_len) OVER (
+               PARTITION BY f ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS record_offset
+      FROM srecs
+    )
+    """
+
+
+@register(
+    "warc_records",
+    f"""
+    WITH {_SYNTH_CTES},
+    {_synth_offsets_sql(
+        _warc.SYNTH_WARC_HDR_BASE,
+        f"{_warc.SYNTH_HTTP_HEAD_LEN} + 4 + length(body)",
+    )}
+    SELECT 'synthetic/' || lpad(CAST(f AS STRING), 2, '0') || '.warc'
+             AS warc_file,
+           CAST(record_offset AS BIGINT) AS record_offset,
+           '<urn:uuid:' || lpad(CAST(doc_id AS STRING), 8, '0')
+             || '-0000-0000-0000-000000000000>' AS record_id,
+           'response' AS warc_type,
+           uri AS target_uri,
+           CAST(clen AS BIGINT) AS content_length,
+           CAST(200 AS INTEGER) AS http_status,
+           'text/html' AS http_content_type,
+           body AS body_text
+    FROM soff
+    """,
+    doc="Value-level correctness gate for the WARC source (the codec-"
+    "oracle pattern, VERDICT r8 #4): synthetic response records whose "
+    "headers, HTTP message, Content-Length and byte OFFSETS are all "
+    "closed-form in doc_id are built executor-side (applyInPandas, one "
+    "file per doc_id%8 bucket, records in id order), then parsed back "
+    "by the REAL record parser (parse_warc_frame: header scan, "
+    "Content-Length slicing, cursor arithmetic, HTTP split) — and the "
+    "oracle predicts every output column independently, including "
+    "record_offset as a running sum of the derived record lengths. "
+    "Scale shape: generation+parse are map work per file; the only "
+    "shuffle is the id-sized file-bucket groupBy.",
+)
+def q_warc_records(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    files = _warc.generate_synthetic_warc(docs, n_files=_SYNTH_FILES)
+    recs = _warc.parse_warc_frame(
+        files, record_types=("response",), parse_http=True
+    )
+    return recs.select(
+        "warc_file",
+        "record_offset",
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "content_length",
+        "http_status",
+        "http_content_type",
+        F.decode(F.col("payload"), "UTF-8").alias("body_text"),
+    )
+
+
+@register(
+    "wet_records",
+    f"""
+    WITH {_SYNTH_CTES},
+    {_synth_offsets_sql(_warc.SYNTH_WET_HDR_BASE, "length(body)")}
+    SELECT 'synthetic/' || lpad(CAST(f AS STRING), 2, '0') || '.wet'
+             AS warc_file,
+           CAST(record_offset AS BIGINT) AS record_offset,
+           'conversion' AS warc_type,
+           uri AS target_uri,
+           'text/plain' AS content_type,
+           CAST(clen AS BIGINT) AS content_length,
+           body AS body_text
+    FROM soff
+    """,
+    doc="WET twin of warc_records: synthetic conversion records (plain-"
+    "text payload, no HTTP envelope) parsed by the same record parser "
+    "with the conversion filter and no HTTP splitting — offsets, "
+    "lengths and payloads all oracle-predicted from the doc_id formula.",
+)
+def q_wet_records(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    files = _warc.generate_synthetic_warc(
+        docs, n_files=_SYNTH_FILES, wet=True
+    )
+    recs = _warc.parse_warc_frame(
+        files, record_types=("conversion",), parse_http=False
+    )
+    return recs.select(
+        "warc_file",
+        "record_offset",
+        "warc_type",
+        "target_uri",
+        "content_type",
+        "content_length",
+        F.decode(F.col("payload"), "UTF-8").alias("body_text"),
+    )

@@ -278,6 +278,101 @@ def build_warc_bytes(
     return b"".join(out)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic synthetic WARC/WET (r9, VERDICT r8 #4): every record's
+# headers, lengths, OFFSETS and payload are a closed-form function of
+# doc_id, so a DuckDB oracle can predict the full parser output —
+# the codec-oracle pattern (mm_image_features) applied to the record
+# parser, closing the source layer's last rows-only correctness gap.
+# All strings are ASCII, so character length == octet length on both
+# engines; the record id is zero-padded to fixed width so only the URI
+# and the Content-Length digits vary per record.
+# ---------------------------------------------------------------------------
+
+SYNTH_HTTP_HEAD = "HTTP/1.1 200 OK\r\nContent-Type: text/html"
+SYNTH_HTTP_HEAD_LEN = len(SYNTH_HTTP_HEAD)
+
+
+def synth_uri(doc_id: int) -> str:
+    return f"https://w{doc_id % 7}.test/p/{doc_id}"
+
+
+def synth_body(doc_id: int) -> str:
+    return f"Doc {doc_id} " + "ab" * (1 + doc_id % 40)
+
+
+def synth_record(doc_id: int, wet: bool = False) -> bytes:
+    """One synthetic record: a 'response' carrying an HTTP message
+    (WARC), or a 'conversion' carrying plain text (WET)."""
+    uri, body = synth_uri(doc_id), synth_body(doc_id)
+    if wet:
+        payload = body.encode()
+        type_lines = ["WARC-Type: conversion", "Content-Type: text/plain"]
+    else:
+        payload = (SYNTH_HTTP_HEAD + "\r\n\r\n" + body).encode()
+        type_lines = [
+            "WARC-Type: response",
+            "Content-Type: application/http; msgtype=response",
+        ]
+    headers = [
+        "WARC/1.0",
+        type_lines[0],
+        f"WARC-Record-ID: <urn:uuid:{doc_id:08d}-0000-0000-0000-000000000000>",
+        "WARC-Date: 2026-01-01T00:00:00Z",
+        f"WARC-Target-URI: {uri}",
+        type_lines[1],
+        f"Content-Length: {len(payload)}",
+    ]
+    return "\r\n".join(headers).encode() + _CRLF2 + payload + _CRLF2
+
+
+def _synth_hdr_base(wet: bool) -> int:
+    """Fixed byte count of a synthetic record MINUS its per-record
+    variable parts (URI, Content-Length digits, payload, the two
+    CRLFCRLF frames) — measured once from a probe record so the oracle
+    arithmetic and the builder share one truth."""
+    uri, body = synth_uri(0), synth_body(0)
+    clen = len(body) if wet else SYNTH_HTTP_HEAD_LEN + 4 + len(body)
+    return len(synth_record(0, wet)) - len(uri) - len(str(clen)) - clen - 8
+
+
+SYNTH_WARC_HDR_BASE = _synth_hdr_base(False)
+SYNTH_WET_HDR_BASE = _synth_hdr_base(True)
+
+
+def generate_synthetic_warc(
+    docs: DataFrame,
+    n_files: int = 8,
+    wet: bool = False,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """(path, content) rows of synthetic WARC/WET files — one file per
+    ``doc_id % n_files`` bucket, records in doc_id order inside each
+    file, built executor-side via applyInPandas (the only shuffle is
+    the id-sized file-bucket groupBy; payloads are born in the task
+    that writes them). The output feeds ``parse_warc_frame`` directly —
+    the same (path, content) contract a binaryFile scan produces."""
+    from pyspark.sql import functions as F
+
+    ext = "wet" if wet else "warc"
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(doc_id_col)
+        f = int(pdf["__f__"].iloc[0])
+        data = b"".join(
+            synth_record(int(d), wet) for d in pdf[doc_id_col]
+        )
+        return pd.DataFrame(
+            {"path": [f"synthetic/{f:02d}.{ext}"], "content": [data]}
+        )
+
+    return (
+        docs.select(doc_id_col, (F.col(doc_id_col) % n_files).alias("__f__"))
+        .groupBy("__f__")
+        .applyInPandas(build, schema="path string, content binary")
+    )
+
+
 def records_to_documents(
     records: DataFrame,
     min_words: int = 4,

@@ -71,6 +71,49 @@ def _counts_path(acc_path: str) -> str:
     return os.path.join(os.path.dirname(acc_path), "domain_counts")
 
 
+def _dsir_lam_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "dsir_lam")
+
+
+_DSIR_BUCKETS = 512
+_DSIR_SEED = "dsir"
+
+
+def init_dsir_state(
+    spark: SparkSession,
+    state_dir: str,
+    target_docs: DataFrame,
+    raw_reference_docs: DataFrame,
+    text_col: str = "text",
+) -> int:
+    """Freeze the DSIR importance distribution ONCE for a streaming
+    ingest (VERDICT r8 #6): compute the (bucket, lam) log-ratio table
+    from a raw reference corpus and the target corpus
+    (``sampling.dsir_lam_table``) and persist it as the 512-row
+    ``dsir_lam/`` parquet table in the state dir. Every later
+    micro-batch scores against THIS table (``dsir_min_key`` on
+    ``ingest_batch``), so whether 1000 documents arrive as one batch
+    or as twenty, exactly the same documents pass the gate — per-doc
+    scores depend only on (text, id, table, seed), never on
+    batch-mates. Re-running REPLACES the table (a distribution change
+    is a deliberate re-curation, not an append). Returns the row
+    count (= the bucket count). Bucket count and seed are fixed
+    module constants — the table is only meaningful against the same
+    hashing parameters, exactly like the MinHash signature state."""
+    from bag_parser_spark.operators import sampling
+
+    lam = sampling.dsir_lam_table(
+        raw_reference_docs,
+        target_docs,
+        text_col=text_col,
+        n_buckets=_DSIR_BUCKETS,
+        seed=_DSIR_SEED,
+    )
+    path = _dsir_lam_path(state_dir)
+    lam.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
 def ingest_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -83,11 +126,25 @@ def ingest_batch(
     domain_blocklist: DataFrame | None = None,
     robots_rules: DataFrame | None = None,
     robots_agent: str = "*",
+    dsir_min_key: float | None = None,
 ) -> int:
     """Run one ingest round (steps 1-5 above) and append survivors to
     the state tables. Returns the number of newly accepted docs.
     Callable directly for backfills/tests; the stream wires it through
     foreachBatch.
+
+    ``dsir_min_key`` adds the DSIR data-selection gate (the streaming
+    twin of prepare's ``dsir_target``/``dsir_keep``, VERDICT r8 #6):
+    each batch doc is scored against the FROZEN lam table persisted by
+    :func:`init_dsir_state` and dropped unless its Gumbel sample_key
+    reaches the threshold. Because the score is a pure per-doc
+    function of (text, id, frozen table), the kept set is IDENTICAL
+    for any batching of the same corpus — a thresholded selection, not
+    the batch pipeline's corpus-wide top-k (which cannot exist without
+    seeing the whole corpus at once; fix the threshold from a target
+    acceptance quantile measured on the reference corpus). The gate
+    runs before dedup — cheapest first, and per-doc determinism makes
+    the order irrelevant to membership.
 
     Optional URL/domain stage (streaming twin of prepare_corpus's
     ``--url-col`` stages): with ``url_col`` set, each batch doc gets its
@@ -130,7 +187,7 @@ def ingest_batch(
             spark, batch, acc_path, sig_path, have_state,
             id_col, text_col, threshold, handles,
             url_col, max_per_domain, domain_blocklist,
-            robots_rules, robots_agent,
+            robots_rules, robots_agent, dsir_min_key,
         )
     finally:
         # runs on success AND on a mid-batch crash — a failed batch must
@@ -159,6 +216,7 @@ def _ingest_batch_inner(
     domain_blocklist: DataFrame | None = None,
     robots_rules: DataFrame | None = None,
     robots_agent: str = "*",
+    dsir_min_key: float | None = None,
 ) -> int:
     from bag_parser_spark.operators import dedup
 
@@ -216,6 +274,36 @@ def _ingest_batch_inner(
                     "__hostname__", "__npath__",
                 )
             )
+    if dsir_min_key is not None:
+        # DSIR gate against the FROZEN distribution (init_dsir_state):
+        # a per-doc thresholded score — batch-split invariant by
+        # construction, so stream and backfill select identically. The
+        # 512-row lam table broadcasts inside dsir_score_frozen; the
+        # only added shuffle is the per-(doc, bucket) collapse over
+        # THIS batch.
+        from bag_parser_spark.operators import sampling
+
+        lam_path = _dsir_lam_path(os.path.dirname(acc_path))
+        if not os.path.isdir(lam_path):
+            raise ValueError(
+                "dsir_min_key set but dsir_lam/ state is missing — run "
+                "streaming.corpus.init_dsir_state(spark, state_dir, "
+                "target_docs, raw_reference_docs) once before the stream"
+            )
+        lam = spark.read.parquet(lam_path)
+        chosen = (
+            sampling.dsir_score_frozen(
+                batch.select(id_col, text_col),
+                lam,
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=_DSIR_BUCKETS,
+                seed=_DSIR_SEED,
+            )
+            .filter(F.col("sample_key") >= dsir_min_key)
+            .select(id_col)
+        )
+        batch = batch.join(chosen, id_col, "left_semi")
     if have_state:
         acc_cols = spark.read.parquet(acc_path).columns
         if (url_col is not None) != ("registered_domain" in acc_cols):
@@ -501,6 +589,7 @@ def run_ingest_stream(
     source_format: str = "parquet",
     robots_rules: DataFrame | None = None,
     robots_agent: str = "*",
+    dsir_min_key: float | None = None,
 ) -> None:
     """Drain a file-source stream of incoming documents through
     ingest_batch with Trigger.AvailableNow (the backfill/test mode; a
@@ -520,7 +609,9 @@ def run_ingest_stream(
     ignored in warc mode (the parser owns the record schema).
     ``source_format='jsonl'`` tails JSONL/JSONL.GZ files with the
     given ``schema`` (the interchange format real corpora ship in;
-    Spark's json source decompresses .gz transparently)."""
+    Spark's json source decompresses .gz transparently).
+    ``dsir_min_key`` enables the frozen-distribution DSIR gate per
+    batch (requires a prior :func:`init_dsir_state`)."""
     if source_format == "warc":
         from bag_parser_spark.sources import warc as W
 
@@ -551,6 +642,7 @@ def run_ingest_stream(
                 domain_blocklist=domain_blocklist,
                 robots_rules=robots_rules,
                 robots_agent=robots_agent,
+                dsir_min_key=dsir_min_key,
             )
 
         q = (
@@ -579,6 +671,7 @@ def run_ingest_stream(
             domain_blocklist=domain_blocklist,
             robots_rules=robots_rules,
             robots_agent=robots_agent,
+            dsir_min_key=dsir_min_key,
         )
 
     q = (

@@ -910,3 +910,91 @@ def test_ingest_robots_gate_and_jsonl_stream(spark, tmp_path):
     # 12 robots-blocked; 13 exact dup of 11 (either file order wins one)
     assert 14 in acc2 and 12 not in acc2
     assert len(acc2 & {11, 13}) == 1 and len(acc2) == 2
+
+
+def test_ingest_dsir_gate_batch_split_invariant(spark, tmp_path):
+    """VERDICT r8 #6: the DSIR gate in the streaming ingest selects
+    against the FROZEN distribution persisted by init_dsir_state, so
+    the kept set is identical however the corpus is batched — one
+    ingest_batch call vs three over the same docs accept exactly the
+    same documents, and both equal the direct frozen-score threshold
+    applied to the whole corpus at once."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators import sampling
+    from bag_parser_spark.streaming.corpus import (
+        _DSIR_BUCKETS,
+        _DSIR_SEED,
+        ingest_batch,
+        init_dsir_state,
+    )
+
+    # target looks like "alpha beta" text; half the pool matches it
+    def doc(i):
+        if i % 2 == 0:
+            return f"alpha beta gamma delta doc {i} alpha beta unique{i}"
+        return f"zeta eta theta iota doc {i} kappa lambda unique{i}"
+
+    rows = [(i, doc(i)) for i in range(1, 25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(j, "alpha beta gamma alpha beta delta") for j in range(3)],
+        "doc_id long, text string",
+    )
+    # threshold = the 12th-highest frozen score: selects exactly half
+    # the pool (add-one smoothing over 512 buckets pushes every logw
+    # negative on a 24-doc corpus, so a fixed 0.0 would select nobody —
+    # real deployments calibrate the threshold from a reference-corpus
+    # quantile the same way)
+    lam0 = sampling.dsir_lam_table(
+        docs, target, n_buckets=_DSIR_BUCKETS, seed=_DSIR_SEED
+    )
+    keys = sorted(
+        (
+            r["sample_key"]
+            for r in sampling.dsir_score_frozen(
+                docs, lam0, n_buckets=_DSIR_BUCKETS, seed=_DSIR_SEED
+            ).collect()
+        ),
+        reverse=True,
+    )
+    thr = keys[11]
+
+    def run(state_name, batches):
+        state = str(tmp_path / state_name)
+        n = init_dsir_state(spark, state, target, docs)
+        assert n == _DSIR_BUCKETS
+        for lo, hi in batches:
+            b = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            ingest_batch(spark, b, state, dsir_min_key=thr)
+        acc = spark.read.parquet(f"{state}/accepted")
+        return sorted(r["doc_id"] for r in acc.select("doc_id").collect())
+
+    one = run("one", [(1, 25)])
+    three = run("three", [(1, 9), (9, 17), (17, 25)])
+    assert one == three and one  # non-empty and batching-invariant
+
+    # equals the direct whole-corpus frozen-threshold selection
+    lam = spark.read.parquet(str(tmp_path / "one" / "dsir_lam"))
+    direct = sorted(
+        r["doc_id"]
+        for r in sampling.dsir_score_frozen(
+            docs, lam, n_buckets=_DSIR_BUCKETS, seed=_DSIR_SEED
+        )
+        .filter(F.col("sample_key") >= thr)
+        .select("doc_id")
+        .collect()
+    )
+    assert one == direct
+    # the quantile threshold kept exactly half the pool
+    assert len(one) == 12
+
+    # missing state fails loudly with the init pointer
+    import pytest
+
+    with pytest.raises(ValueError, match="init_dsir_state"):
+        ingest_batch(
+            spark, docs, str(tmp_path / "nostate"), dsir_min_key=0.0
+        )
