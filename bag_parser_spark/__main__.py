@@ -64,6 +64,32 @@ def cmd_ingest(args) -> int:
         raise SystemExit(f"--url-col {args.url_col!r} not in --schema")
     if args.from_warc and args.from_jsonl:
         raise SystemExit("--from-warc and --from-jsonl are exclusive")
+    if (args.dsir_target is None) != (args.dsir_reference is None):
+        raise SystemExit(
+            "--dsir-target and --dsir-reference go together (they "
+            "initialize the frozen distribution once)"
+        )
+    if args.dsir_min_key is not None and args.dsir_target is None:
+        # the frozen table may also predate this run (init is a
+        # one-time step) — only fail when it is neither given nor
+        # already in the state dir
+        from bag_parser_spark.streaming.corpus import _dsir_lam_path
+
+        if not os.path.isdir(_dsir_lam_path(args.state)):
+            raise SystemExit(
+                "--dsir-min-key needs a frozen distribution: pass "
+                "--dsir-target/--dsir-reference once, or reuse a state "
+                "dir that already carries dsir_lam/"
+            )
+    if args.dsir_target is not None:
+        from bag_parser_spark.streaming.corpus import init_dsir_state
+
+        init_dsir_state(
+            spark, args.state,
+            spark.read.parquet(args.dsir_target),
+            spark.read.parquet(args.dsir_reference),
+        )
+        _log(f"DSIR distribution frozen -> {args.state}/dsir_lam")
     fmt = (
         "warc" if args.from_warc
         else "jsonl" if args.from_jsonl
@@ -87,6 +113,7 @@ def cmd_ingest(args) -> int:
             _parse_robots_arg(spark, args.robots) if args.robots else None
         ),
         robots_agent=args.robots_agent,
+        dsir_min_key=args.dsir_min_key,
     )
     acc = spark.read.parquet(os.path.join(args.state, "accepted"))
     n = acc.count()
@@ -577,6 +604,19 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--robots-agent", default="*",
                      help="crawler product token for robots group "
                      "selection (default '*')")
+    ing.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                     help="target corpus (doc_id, text) defining the "
+                     "DSIR importance distribution; with "
+                     "--dsir-reference, freezes the 512-row log-ratio "
+                     "table into the state dir ONCE before draining")
+    ing.add_argument("--dsir-reference", default=None, metavar="PARQUET",
+                     help="raw reference corpus for the DSIR "
+                     "denominator (goes with --dsir-target)")
+    ing.add_argument("--dsir-min-key", type=float, default=None,
+                     help="DSIR selection threshold on the per-doc "
+                     "Gumbel sample key, scored against the frozen "
+                     "distribution — batch-split-invariant selection "
+                     "(calibrate from a reference-corpus quantile)")
     _add_spark_args(ing)
     ing.set_defaults(fn=cmd_ingest)
     return p

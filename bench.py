@@ -86,7 +86,6 @@ HEADLINE = [
     "dedup_verified_pairs",
     "dedup_incremental",
     "mm_image_neardup",
-    "dedup_segment_fraction",
     # r7 swaps: sim_pq_encode -> url_domain_cap and dedup_span_stats ->
     # text_gopher_rules (the dropped pair stay oracle-tested in pytest;
     # sim_ivfpq_topk subsumes PQ encoding, dedup_span_rewrite subsumes
@@ -99,8 +98,6 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "text_bpe_encode",
     "decontaminate_bloom",
-    "a27_countmin",
-    "text_gopher_rules",
     "dedup_span_rewrite",
     "sim_hard_negatives",
     "text_ngram_novelty",
@@ -118,6 +115,33 @@ HEADLINE = [
     # r8 late: DSIR importance resampling (one corpus groupBy +
     # broadcast log-ratio join — the mixing family's selection half)
     "sample_dsir",
+    # r9 swaps (stdout-window budget, same pattern as r7/r8): dropped
+    # dedup_segment_fraction (dedup keeps seven members on the clock),
+    # a27_countmin and text_gopher_rules (both stay oracle-tested in
+    # pytest; the core_total/core_med fields below paid for the chars).
+    # Added: the WARC source (synthetic build + real record parse —
+    # the raw-input end of the web pipeline)
+    "warc_records",
+]
+
+# FIXED core (VERDICT r8 #7): the headline total stopped being
+# round-comparable because every rotation moves queries in and out
+# (r7→r8 read as a 65→73 s "regression" that was purely a surface
+# change). These 25 queries have been on the clock every round since
+# r7 and are now PINNED — the rotating wing above can keep churning,
+# while "core_total" tracks the same work round over round. A unit
+# test asserts CORE ⊆ HEADLINE; remove a core member only with a
+# README note recomputing the baseline.
+CORE = [
+    "j1_chained_left_join", "a1_grouped_stats", "w1_last_write_wins",
+    "f6_rd_to_wgs84", "j4_explode_join_lastwins", "dedup_exact_docs",
+    "dedup_minhash_lsh", "dedup_embedding_cosine", "text_quality_metrics",
+    "sim_ivf_topk", "ts_gapfill", "ts_interval_join", "ml_kmeans_step",
+    "lm_doc_score", "events_session_window", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "j10_salted_skew_join",
+    "mm_image_features", "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers", "text_hash_classifier",
+    "dedup_verified_pairs", "dedup_incremental", "mm_image_neardup",
 ]
 
 
@@ -284,11 +308,16 @@ def format_stdout_line(
         ]
     mins = [p[0] for p in timings.values()]
     meds = [p[1] for p in timings.values()]
+    core = [p for n, p in timings.items() if n in CORE]
     return json.dumps(
         {
             "metric": "headline_queries_total",
             "value": round(sum(mins), 3),
             "value_med": round(sum(meds), 3),
+            # round-over-round comparable: the pinned 25-query core
+            # (the rotating wing is value - core_total)
+            "core_total": round(sum(p[0] for p in core), 3),
+            "core_med": round(sum(p[1] for p in core), 3),
             "unit": "sec",
             "queries": {
                 n: [round(p[0], 2), round(p[1], 2)]

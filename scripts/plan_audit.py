@@ -120,6 +120,13 @@ AUDIT = [
     # tiny bucket aggregates, broadcast log-ratio join; the ONE
     # corpus-scale exchange is the per-doc groupBy, top-k is a heap
     "sample_dsir",
+    # r9: politeness-budgeted frontier — candidate/in-degree/seen
+    # exchanges are url/host-keyed; the budget window partitions by
+    # dst_host over candidate rows with the delay table broadcast
+    "web_crawl_frontier",
+    # r9: synthetic-WARC build + real record parse — applyInPandas +
+    # mapInPandas are the only Python nodes; one id-sized groupBy
+    "warc_records",
 ]
 
 _PY_NODES = (

@@ -75,6 +75,25 @@ QUERIES = [
     "text_html_extract",
     "web_link_extract",
     "web_link_graph",
+    # r9 (VERDICT r8 #8 — measured rows for every r8 operator): DSIR's
+    # one corpus exchange is the per-(doc,bucket) collapse (<=512
+    # rows/doc) with fixed 512-row distribution sides; converged
+    # PageRank/k-means run a fixed iteration count over bounded state
+    # (edges/k*dim) so time should track the edge/vector volume;
+    # main-content extraction is a zero-shuffle expression chain; the
+    # frontier budget window is keyed by dst_host over candidate rows;
+    # cust_rfm's grouped bucketed_rank re-sketches per replica-grown
+    # customer population; robots evaluation is broadcast + map
+    # (replicas multiply PAGES, the rules side is fixed); warc_records
+    # builds+parses per file bucket — pure map after one id groupBy
+    "sample_dsir",
+    "ml_pagerank_converged",
+    "ml_kmeans_converged",
+    "text_main_content",
+    "web_crawl_frontier",
+    "cust_rfm",
+    "web_robots_filter",
+    "warc_records",
 ]
 
 
@@ -124,6 +143,24 @@ def derive(base: str, out: str, docs_x: int, emb_x: int) -> None:
                event_type, value, props
         FROM '{base}/events.parquet', range(0, {docs_x}) t(r)
       ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    # orders: re-key BOTH the order and the customer population (more
+    # customers, not deeper per-customer histories — same honesty rule
+    # as events), feeding the cust_rfm probe
+    (max_o,) = con.execute(
+        f"SELECT MAX(o_orderkey) FROM '{base}/orders.parquet'"
+    ).fetchone()
+    (max_c,) = con.execute(
+        f"SELECT MAX(o_custkey) FROM '{base}/orders.parquet'"
+    ).fetchone()
+    o_stride = max(10_000_000, int(max_o) + 1)
+    c_stride = max(1_000_000, int(max_c) + 1)
+    con.execute(f"""
+      COPY (
+        SELECT * REPLACE (o_orderkey + {o_stride} * r AS o_orderkey,
+                          o_custkey + {c_stride} * r AS o_custkey)
+        FROM '{base}/orders.parquet', range(0, {docs_x}) t(r)
+      ) TO '{out}/orders.parquet' (FORMAT PARQUET)
     """)
     (max_ok,) = con.execute(
         f"SELECT MAX(l_orderkey) FROM '{base}/lineitem.parquet'"

@@ -165,6 +165,15 @@ def test_bench_stdout_line_fits_driver_window():
         f"bench stdout line is {len(line)} chars — would overflow the "
         "driver's ~2000-char tail; trim the headline set or the format"
     )
+    # the pinned core must stay a subset of the clocked headline set and
+    # keep its 25 members — core_total is only round-comparable while
+    # the membership is frozen (VERDICT r8 #7)
+    assert set(bench.CORE) <= set(bench.HEADLINE)
+    assert len(bench.CORE) == 25
+    import json as _json
+
+    parsed = _json.loads(line)
+    assert {"core_total", "core_med"} <= parsed.keys()
 
 
 def test_bench_headline_names_resolve():

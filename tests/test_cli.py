@@ -680,3 +680,85 @@ def test_cli_prepare_from_jsonl(tmp_path):
     ).fetchall()}
     con.close()
     assert ids == {1, 2}
+
+
+def test_cli_ingest_dsir_gate(spark, tmp_path):
+    """`ingest --dsir-target/--dsir-reference` freezes the importance
+    distribution into the state dir, `--dsir-min-key` gates each batch
+    against it, and a later drain REUSES the frozen table without
+    re-passing the target (VERDICT r8 #6). The threshold is calibrated
+    from the frozen scores so the gate provably rejects someone."""
+    import json
+
+    from bag_parser_spark.operators import sampling
+    from bag_parser_spark.streaming.corpus import _DSIR_BUCKETS, _DSIR_SEED
+
+    def doc(i):
+        if i % 2 == 0:
+            return f"alpha beta gamma delta doc {i} alpha beta unique{i}"
+        return f"zeta eta theta iota doc {i} kappa lambda unique{i}"
+
+    docs = spark.createDataFrame(
+        [(i, doc(i)) for i in range(1, 13)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(j, "alpha beta gamma alpha beta delta") for j in range(3)],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "d1.parquet"))
+    tdir, rdir = str(tmp_path / "target"), str(tmp_path / "ref")
+    target.coalesce(1).write.parquet(tdir)
+    docs.coalesce(1).write.parquet(rdir)
+    lam = sampling.dsir_lam_table(
+        docs, target, n_buckets=_DSIR_BUCKETS, seed=_DSIR_SEED
+    )
+    keys = sorted(
+        (r["sample_key"] for r in sampling.dsir_score_frozen(
+            docs, lam, n_buckets=_DSIR_BUCKETS, seed=_DSIR_SEED
+        ).collect()),
+        reverse=True,
+    )
+    thr = keys[5]  # keep exactly 6 of 12
+    r = _run_cli(
+        "ingest", "--source", f"{src}/*",
+        "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--dsir-target", tdir, "--dsir-reference", rdir,
+        "--dsir-min-key", str(thr),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_accepted"] == 6
+
+    # second delivery: the frozen table is reused from the state dir —
+    # no --dsir-target needed; same per-doc rule applies to new docs
+    docs2 = spark.createDataFrame(
+        [(i, doc(i)) for i in range(13, 17)], "doc_id long, text string"
+    )
+    docs2.coalesce(1).write.parquet(str(src / "d2.parquet"))
+    expected2 = {
+        row["doc_id"]
+        for row in sampling.dsir_score_frozen(
+            docs2, lam, n_buckets=_DSIR_BUCKETS, seed=_DSIR_SEED
+        ).filter(F.col("sample_key") >= thr).collect()
+    }
+    r = _run_cli(
+        "ingest", "--source", f"{src}/*",
+        "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--dsir-min-key", str(thr),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = json.loads(r.stdout.strip().splitlines()[-1])["n_accepted"]
+    assert got == 6 + len(expected2)
+
+    # min-key without any frozen state fails loudly with the pointer
+    r = _run_cli(
+        "ingest", "--source", f"{src}/*",
+        "--state", str(tmp_path / "nostate"),
+        "--checkpoint", str(tmp_path / "ckpt3"),
+        "--dsir-min-key", "0.0",
+    )
+    assert r.returncode != 0
+    assert "dsir_lam" in (r.stderr + r.stdout)
