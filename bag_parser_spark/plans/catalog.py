@@ -958,6 +958,7 @@ def q_f8(spark, sf_dir):
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # — r9 additions (never driver-validated) —
     "warc_records", "wet_records",
+    "web_robots_parse", "web_crawl_delay", "web_sitemaps",
     # — r9 rewrites (stale green rows are not evidence for new code) —
     "web_robots_filter", "web_crawl_frontier",
     # — the r4-stale dozen (VERDICT r8 #2 names these explicitly) —
@@ -983,9 +984,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "f16_date_pack", "f17_array_pack", "f18_locale_format",
     "j12_runtime_filter_join", "j14_fuzzy_blocked_join",
     "mm_audio_features", "sample_global_shuffle", "sample_negatives",
-    "cohort_retention", "dq_star_schema", "orders_monthly_yoy",
     "quality_quantile_band",
-    # (left for r10: events_hopping_agg, events_session_window,
+    # (left for r10: cohort_retention, dq_star_schema,
+    # orders_monthly_yoy, events_hopping_agg, events_session_window,
     # events_sliding_distinct, events_stream_enrich and the six r5
     # tpch members — tpch already holds seven window slots via the
     # r4 dozen)

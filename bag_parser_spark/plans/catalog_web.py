@@ -1186,3 +1186,170 @@ def q_wet_records(spark, sf_dir):
         "content_length",
         F.decode(F.col("payload"), "UTF-8").alias("body_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# web_robots_parse / web_crawl_delay / web_sitemaps — value-level oracle
+# for the robots.txt PARSE half (r9): the rule-evaluation half has been
+# driver-gated since r7 (web_robots_filter), but the text -> rules
+# grouping (RFC 9309 ua-islands) was pytest-only. The fixture builds one
+# deterministic robots.txt per synthetic domain via a dual-dialect
+# string expression; the oracle re-derives the island semantics
+# independently in SQL (lag/sum windows over the line stream).
+# ---------------------------------------------------------------------------
+
+# Per-domain robots.txt text, branch coverage by domain id d:
+# a pre-group rule (ignored), a comment, a Sitemap record, a mixed-case
+# agent, a two-agent island (d%2=0), a '*' group with a trailing-comment
+# rule, a numeric Crawl-delay in the '*' group (d%4=0), a malformed
+# Crawl-delay (d%4=2, dropped), a post-delay group (d%3=0 — the ua line
+# AFTER a delay rule must OPEN a group per the ABNF), and a trailing
+# EMPTY group (d%5=0 — must still emit the sentinel row).
+_ROBOTS_TXT_EXPR = (
+    "'Disallow: /pre' || chr(10) || "
+    "'# policy comment' || chr(10) || "
+    "'Sitemap: https://d' || CAST(d AS STRING) || '.test/map.xml' || chr(10) || "
+    "'User-agent: GoogleBot' || chr(10) || "
+    "CASE WHEN d % 2 = 0 THEN 'User-agent: corpusbot' || chr(10) "
+    "ELSE '' END || "
+    "'Disallow: /private/' || CAST(d AS STRING) || chr(10) || "
+    "chr(10) || "
+    "'User-agent: *' || chr(10) || "
+    "'Allow: /p/' || CAST(d % 3 AS STRING) || chr(10) || "
+    "'Disallow: /p/   # tail comment' || chr(10) || "
+    "CASE WHEN d % 4 = 0 THEN "
+    "'Crawl-delay: ' || CAST(1 + d % 5 AS STRING) || chr(10) ELSE '' END || "
+    "CASE WHEN d % 4 = 2 THEN 'Crawl-delay: bogus' || chr(10) "
+    "ELSE '' END || "
+    "CASE WHEN d % 3 = 0 THEN "
+    "'User-agent: slowbot' || chr(10) || 'Disallow: /slow' || chr(10) "
+    "ELSE '' END || "
+    "CASE WHEN d % 5 = 0 THEN 'User-agent: emptybot' || chr(10) "
+    "ELSE '' END"
+)
+
+# shared oracle CTEs: domains -> text -> lines -> cleaned key/val ->
+# RFC group numbering (a ua-line opens a group iff the previous
+# RELEVANT line was not a ua-line)
+_ROBOTS_PARSE_CTES = f"""
+    doms AS (SELECT DISTINCT doc_id % 12 AS d FROM documents),
+    rsrc AS (
+      SELECT 'd' || CAST(d AS STRING) || '.test' AS domain,
+             {_ROBOTS_TXT_EXPR} AS content
+      FROM doms
+    ),
+    rlines AS (
+      SELECT domain, i AS pos,
+             trim(regexp_replace(ls[i], '#.*', '')) AS clean
+      FROM (
+        SELECT domain, ls, unnest(range(1, len(ls) + 1)) AS i
+        FROM (SELECT domain, string_split(content, chr(10)) AS ls
+              FROM rsrc)
+      )
+    ),
+    rkv AS (
+      SELECT domain, pos,
+             lower(trim(string_split(clean, ':')[1])) AS k,
+             trim(regexp_extract(clean, '^[^:]*:(.*)$', 1)) AS v
+      FROM rlines
+    ),
+    rrel AS (
+      SELECT * FROM rkv
+      WHERE k IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+    ),
+    rgrp AS (
+      SELECT domain, pos, k, v,
+             SUM(CASE WHEN opens THEN 1 ELSE 0 END) OVER (
+               PARTITION BY domain ORDER BY pos) AS g
+      FROM (
+        SELECT *,
+               is_ua AND NOT coalesce(
+                 lag(is_ua) OVER (PARTITION BY domain ORDER BY pos),
+                 FALSE) AS opens
+        FROM (SELECT *, k = 'user-agent' AS is_ua FROM rrel)
+      )
+    ),
+    rgrouped AS (SELECT * FROM rgrp WHERE g > 0),
+    ragents AS (
+      SELECT DISTINCT domain, g, lower(v) AS agent
+      FROM rgrouped WHERE k = 'user-agent'
+    )
+"""
+
+
+def _robots_src(spark, sf_dir):
+    doms = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 12).alias("d"))
+        .distinct()
+    )
+    return doms.select(
+        F.concat(
+            F.lit("d"), F.col("d").cast("string"), F.lit(".test")
+        ).alias("domain"),
+        F.expr(_ROBOTS_TXT_EXPR).alias("robots_txt"),
+    )
+
+
+@register(
+    "web_robots_parse",
+    f"""
+    WITH {_ROBOTS_PARSE_CTES},
+    rrules AS (
+      SELECT domain, g, k AS rule_type, v AS path_prefix
+      FROM rgrouped WHERE k IN ('allow', 'disallow')
+    )
+    SELECT a.domain, a.agent,
+           coalesce(r.rule_type, 'disallow') AS rule_type,
+           coalesce(r.path_prefix, '') AS path_prefix
+    FROM ragents a LEFT JOIN rrules r USING (domain, g)
+    """,
+    doc="Value-level gate for the robots.txt PARSE half (the text -> "
+    "rules grouping web_robots_filter consumes): deterministic robots "
+    "text per synthetic domain — comments, a pre-group rule, "
+    "multi-agent islands, a Crawl-delay rule that TERMINATES its "
+    "island (the next ua-line opens a new group per the RFC ABNF), "
+    "and a trailing empty group whose sentinel row must survive — "
+    "parsed by parse_robots and re-derived independently by the "
+    "oracle's lag/sum window grouping. Tiny-side work only: robots "
+    "files group within one domain's lines.",
+)
+def q_web_robots_parse(spark, sf_dir):
+    return urls.parse_robots(_robots_src(spark, sf_dir))
+
+
+@register(
+    "web_crawl_delay",
+    f"""
+    WITH {_ROBOTS_PARSE_CTES},
+    rdelays AS (
+      SELECT domain, g, CAST(v AS DOUBLE) AS crawl_delay
+      FROM rgrouped
+      WHERE k = 'crawl-delay' AND try_cast(v AS DOUBLE) IS NOT NULL
+    )
+    SELECT a.domain, a.agent, MAX(d.crawl_delay) AS crawl_delay
+    FROM ragents a JOIN rdelays d USING (domain, g)
+    GROUP BY a.domain, a.agent
+    """,
+    doc="Crawl-delay extraction gate (r9, the politeness half of the "
+    "robots parse): numeric delays attach to every agent of their "
+    "island (max per agent across groups), malformed values drop "
+    "via try_cast — oracle re-derives the same grouping in SQL.",
+)
+def q_web_crawl_delay(spark, sf_dir):
+    return urls.parse_crawl_delay(_robots_src(spark, sf_dir))
+
+
+@register(
+    "web_sitemaps",
+    f"""
+    WITH {_ROBOTS_PARSE_CTES}
+    SELECT DISTINCT domain, v AS sitemap
+    FROM rkv WHERE k = 'sitemap' AND v <> ''
+    """,
+    doc="Sitemap extraction gate (r9): Sitemap records parse globally "
+    "(outside any agent group), URL value kept verbatim past its "
+    "scheme colon.",
+)
+def q_web_sitemaps(spark, sf_dir):
+    return urls.parse_sitemaps(_robots_src(spark, sf_dir))
