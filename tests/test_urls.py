@@ -543,3 +543,16 @@ def test_delay_for_agent_and_budget(spark):
         U.politeness_budget(F.col("crawl_delay"), 20.0).alias("b")
     ).collect()
     assert one[0]["b"] == 1
+
+
+def test_frontier_budget_window_is_group_limited(spark):
+    """The frontier's per-host budget window carries a CONSTANT rank
+    ceiling next to the per-row budget predicate, so Catalyst plans a
+    map-side WindowGroupLimit — a mega-host's candidates are pruned to
+    the ceiling per map partition before the window shuffle ships them
+    (the same viral-key posture as url_domain_cap)."""
+    from bag_parser_spark.plans.catalog import registry
+
+    df = registry()["web_crawl_frontier"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
