@@ -201,6 +201,13 @@ def test_no_rdd_api_and_bounded_driver_actions():
         "streaming/corpus.py",    # ingest_batch: 1-scalar survivor count
                                   # gating the state append (a write-side
                                   # effect decision, inherently driver-side)
+        "operators/urls.py",      # apply_robots broadcast size guard:
+                                  # one count of the AGGREGATED rules
+                                  # side (1 row/domain, the exact thing
+                                  # that would be broadcast) routing
+                                  # broadcast vs shuffle — a plan
+                                  # decision, inherently driver-side
+                                  # (VERDICT r8 #1)
     }
     action_re = re.compile(r"\.collect\(\)|\.count\(\)|\.toPandas\(\)")
     for py in sorted(pkg.rglob("*.py")):
