@@ -29,7 +29,19 @@ moves.
 
 from __future__ import annotations
 
+import posixpath
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
+
+
+def _norm_root(uri: str) -> tuple[str, str, str]:
+    """(scheme, authority, path) with the scheme defaulted to ``file``
+    and trailing slashes dropped, so ``/tmp/ck``, ``file:/tmp/ck`` and
+    ``file:///tmp/ck`` — all spellings Spark itself round-trips through
+    Hadoop Path — compare equal."""
+    p = urlparse(uri)
+    return (p.scheme or "file", p.netloc, (p.path or "").rstrip("/"))
 
 
 def cut_lineage(
@@ -40,15 +52,24 @@ def cut_lineage(
     """Truncate ``df``'s lineage: reliable ``checkpoint()`` under
     ``checkpoint_dir`` when given, else ``localCheckpoint``. ``eager``
     materializes immediately in both modes. The SparkContext checkpoint
-    dir is set once per requested root (Spark appends a UUID subdir on
-    set, so the comparison is containment, not equality); a loop's
-    per-round calls reuse the same root instead of minting a fresh
-    subdir each round. Last caller wins when different roots are
-    requested on one context — SparkContext semantics."""
+    dir is set once per requested root: Spark appends a UUID leaf on
+    set, so the requested root is compared against the CURRENT dir with
+    that leaf stripped, component-wise after scheme normalization
+    (ADVICE r9: substring containment wrongly matched ``/data/ck``
+    against ``/data/ck2/<uuid>`` and never matched ``file:///tmp/ck``
+    against ``file:/tmp/ck/<uuid>``, minting a fresh subdir per call).
+    A loop's per-round calls therefore reuse one root. Last caller wins
+    when different roots are requested on one context — SparkContext
+    semantics."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     current = sc.getCheckpointDir()
-    if current is None or checkpoint_dir.rstrip("/") not in current:
+    if current is not None:
+        scheme, auth, path = _norm_root(current)
+        have = (scheme, auth, posixpath.dirname(path))
+    else:
+        have = None
+    if have != _norm_root(checkpoint_dir):
         sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=eager)

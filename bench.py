@@ -200,10 +200,35 @@ def _median(xs: list[float]) -> float:
     return s[m] if n % 2 else (s[m - 1] + s[m]) / 2.0
 
 
+def _loadavg() -> float | None:
+    """1-minute load average, None where /proc is unavailable."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def max_rep_ratio(runs: dict[str, list[float]]) -> float | None:
+    """Contamination sentinel (VERDICT r9 #1): the worst per-query
+    max/min rep ratio. On an idle box interleaved warm reps sit within
+    ~1.5–2x of each other; the r9 archive's signature defect — a heavy
+    job starting mid-bench — shows up as third reps ballooning to 6–10x
+    their first rep. A large value means the run is dirty and its
+    minimums are upper bounds, not estimates."""
+    ratios = [
+        max(rs) / min(rs)
+        for rs in runs.values()
+        if rs and min(rs) > 0
+    ]
+    return round(max(ratios), 2) if ratios else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_start = _loadavg()
     spark = get_spark(app_name="bag-parser-spark-bench")
     reg = registry()
     _warmup(spark, sf_dir)
@@ -254,6 +279,7 @@ def main() -> None:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    load_end = _loadavg()
     timings = {
         n: (min(rs), round(_median(rs), 3)) for n, rs in runs.items()
     }
@@ -270,13 +296,23 @@ def main() -> None:
             {
                 "sf": sf,
                 "reps": reps,
+                "load": [load_start, load_end],
                 "details": details,
                 "import": import_metrics,
             },
             f,
             indent=1,
         )
-    print(format_stdout_line(timings, sf, reps, import_metrics))
+    print(
+        format_stdout_line(
+            timings,
+            sf,
+            reps,
+            import_metrics,
+            load=(load_start, load_end),
+            mrr=max_rep_ratio(runs),
+        )
+    )
     spark.stop()
 
 
@@ -285,6 +321,8 @@ def format_stdout_line(
     sf: str,
     reps: int,
     import_metrics: list[dict] | None,
+    load: tuple[float | None, float | None] = (None, None),
+    mrr: float | None = None,
 ) -> str:
     """The single machine-parsed stdout line (compact separators). Each
     query maps to a [min, median] PAIR rounded to 2 decimals (full
@@ -309,6 +347,12 @@ def format_stdout_line(
     mins = [p[0] for p in timings.values()]
     meds = [p[1] for p in timings.values()]
     core = [p for n, p in timings.items() if n in CORE]
+    # a dropped/failed core member silently shrinks core_total and
+    # breaks the round-over-round comparison the pinned core exists for
+    # (ADVICE r9) — name the hole in the artifact itself (the key is
+    # OMITTED when the core is complete: stdout-budget economy, and
+    # its presence alone flags the defect)
+    core_missing = sorted(set(CORE) - set(timings))
     return json.dumps(
         {
             "metric": "headline_queries_total",
@@ -318,6 +362,13 @@ def format_stdout_line(
             # (the rotating wing is value - core_total)
             "core_total": round(sum(p[0] for p in core), 3),
             "core_med": round(sum(p[1] for p in core), 3),
+            **({"core_missing": core_missing} if core_missing else {}),
+            # contamination sentinels (VERDICT r9 #1): 1-min loadavg at
+            # start/end and the worst per-query max/min rep ratio — a
+            # dirty run (concurrent load, like the r9 archive) is
+            # visibly dirty in the archived record itself
+            "load": [load[0], load[1]],
+            "max_rep_ratio": mrr,
             "unit": "sec",
             "queries": {
                 n: [round(p[0], 2), round(p[1], 2)]

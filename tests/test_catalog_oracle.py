@@ -159,6 +159,8 @@ def test_bench_stdout_line_fits_driver_window():
         sf="0.1",
         reps=3,
         import_metrics=[worst_import, worst_import],
+        load=(99.99, 99.99),
+        mrr=99.99,
     )
     assert "\n" not in line
     assert len(line) < 1800, (
@@ -173,7 +175,25 @@ def test_bench_stdout_line_fits_driver_window():
     import json as _json
 
     parsed = _json.loads(line)
-    assert {"core_total", "core_med"} <= parsed.keys()
+    # contamination sentinels + core-hole visibility (VERDICT r9 #1,
+    # ADVICE r9): a dirty run or a dropped core member must be visible
+    # in the archived record itself
+    assert {
+        "core_total", "core_med", "load", "max_rep_ratio"
+    } <= parsed.keys()
+    assert "core_missing" not in parsed  # omitted while core is whole
+    assert parsed["load"] == [99.99, 99.99]
+    # a dropped core member is NAMED, not silently absorbed
+    short = dict(timings)
+    dropped = bench.CORE[0]
+    del short[dropped]
+    parsed2 = _json.loads(
+        bench.format_stdout_line(short, "0.1", 3, None)
+    )
+    assert parsed2["core_missing"] == [dropped]
+    # max_rep_ratio flags the r9-style mid-run contamination pattern
+    assert bench.max_rep_ratio({"q": [2.0, 2.2, 14.0]}) == 7.0
+    assert bench.max_rep_ratio({}) is None
 
 
 def test_bench_headline_names_resolve():

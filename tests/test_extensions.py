@@ -2620,3 +2620,34 @@ def test_checkpoint_dir_routes_are_output_identical(spark, tmp_path):
     import os
 
     assert any(os.scandir(ck))
+
+
+def test_cut_lineage_checkpoint_root_comparison(spark, tmp_path):
+    """ADVICE r9: the checkpoint-root reuse check must compare path
+    COMPONENTS after scheme normalization, not substring containment.
+    Two failure modes it guards: (a) a requested root that is a string
+    prefix of the current one (/data/ck vs /data/ck2/<uuid>) must NOT be
+    treated as already set; (b) a scheme-qualified respelling of the
+    SAME root (file:///tmp/ck vs the stored file:/tmp/ck/<uuid>) must
+    NOT mint a fresh UUID subdir per call."""
+    from bag_parser_spark.operators.lineage import cut_lineage
+
+    df = spark.range(3)
+    sc = spark.sparkContext
+    ck2 = str(tmp_path / "ck2")
+    cut_lineage(df, checkpoint_dir=ck2)
+    after_ck2 = sc.getCheckpointDir()
+    assert "/ck2/" in after_ck2 + "/"
+
+    # (a) /…/ck is a substring-prefix of /…/ck2/<uuid> — must reset
+    ck = str(tmp_path / "ck")
+    assert ck in after_ck2  # the old buggy containment would match
+    cut_lineage(df, checkpoint_dir=ck)
+    after_ck = sc.getCheckpointDir()
+    assert after_ck != after_ck2 and "/ck/" in after_ck + "/"
+
+    # (b) same root respelled with a scheme — must REUSE (no new UUID)
+    cut_lineage(df, checkpoint_dir="file://" + ck)
+    assert sc.getCheckpointDir() == after_ck
+    cut_lineage(df, checkpoint_dir=ck + "/")
+    assert sc.getCheckpointDir() == after_ck
