@@ -340,27 +340,108 @@ SYNTH_WARC_HDR_BASE = _synth_hdr_base(False)
 SYNTH_WET_HDR_BASE = _synth_hdr_base(True)
 
 
+# --- synthetic WAT (r10, VERDICT r9 #4): the link-sidecar twin of the
+# WARC/WET fixtures. Every envelope's Title and harvested-link set is
+# closed-form in doc_id so a SQL oracle predicts every RESOLVED edge
+# wat_links_frame emits — including which raw positions drop (fragment)
+# and which pages vanish entirely (no HTML-Metadata, e.g. a robots.txt
+# fetch). The five link slots cover every resolve_link branch: absolute
+# pass-through, root-relative, path-relative (joins the base DIRECTORY),
+# fragment (→ NULL, dropped, its link_no hole preserved), and
+# protocol-relative (inherits the base scheme).
+
+SYNTH_WAT_NO_HTML_MOD = 11  # doc_id % 11 == 5 → envelope w/o HTML-Metadata
+
+
+def synth_wat_links(doc_id: int) -> list[dict]:
+    d = doc_id
+    return [
+        {"path": "A@/href", "url": f"https://ext{d % 5}.test/x/{d}",
+         "text": "ext"},
+        {"path": "A@/href", "url": f"/about/{d}"},
+        {"path": "A@/href", "url": f"rel{d}.html"},
+        {"path": "A@/href", "url": "#frag"},
+        {"path": "L@/href", "url": f"//cdn{d % 3}.test/lib.css"},
+    ]
+
+
+def synth_wat_record(doc_id: int) -> bytes:
+    """One synthetic 'metadata' record: the commoncrawl.org WAT layout —
+    a JSON envelope with the page's WARC header echo, head Title and
+    harvested Links. doc_id % 11 == 5 pages carry no HTML-Metadata
+    (the crawler fetched a non-HTML resource) and must produce zero
+    link rows."""
+    import json
+
+    uri = synth_uri(doc_id)
+    http_meta: dict = {}
+    if doc_id % SYNTH_WAT_NO_HTML_MOD != 5:
+        http_meta["HTML-Metadata"] = {
+            "Head": {"Title": f"Title {doc_id}"},
+            "Links": synth_wat_links(doc_id),
+        }
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {"WARC-Target-URI": uri},
+            "Payload-Metadata": {"HTTP-Response-Metadata": http_meta},
+        }
+    }
+    payload = json.dumps(env, separators=(",", ":")).encode()
+    headers = [
+        "WARC/1.0",
+        "WARC-Type: metadata",
+        f"WARC-Record-ID: <urn:uuid:{doc_id:08d}-0000-0000-0000-000000000000>",
+        "WARC-Date: 2026-01-01T00:00:00Z",
+        f"WARC-Target-URI: {uri}",
+        "Content-Type: application/json",
+        f"Content-Length: {len(payload)}",
+    ]
+    return "\r\n".join(headers).encode() + _CRLF2 + payload + _CRLF2
+
+
 def generate_synthetic_warc(
     docs: DataFrame,
     n_files: int = 8,
     wet: bool = False,
     doc_id_col: str = "doc_id",
+    fmt: str | None = None,
 ) -> DataFrame:
-    """(path, content) rows of synthetic WARC/WET files — one file per
-    ``doc_id % n_files`` bucket, records in doc_id order inside each
+    """(path, content) rows of synthetic WARC/WET/WAT files — one file
+    per ``doc_id % n_files`` bucket, records in doc_id order inside each
     file, built executor-side via applyInPandas (the only shuffle is
     the id-sized file-bucket groupBy; payloads are born in the task
     that writes them). The output feeds ``parse_warc_frame`` directly —
-    the same (path, content) contract a binaryFile scan produces."""
+    the same (path, content) contract a binaryFile scan produces.
+    ``fmt`` selects 'warc' (response records), 'wet' (conversion) or
+    'wat' (metadata + JSON link envelope); the legacy ``wet`` flag is
+    shorthand for fmt='wet'."""
     from pyspark.sql import functions as F
 
-    ext = "wet" if wet else "warc"
+    ext = fmt or ("wet" if wet else "warc")
+    builders = {
+        "warc": lambda d: synth_record(d, wet=False),
+        "wet": lambda d: synth_record(d, wet=True),
+        "wat": synth_wat_record,
+    }
+    make_record = builders[ext]
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(doc_id_col)
+        # Width contract with the DuckDB oracle (ADVICE r9): the record
+        # id is zero-padded to EXACTLY 8 digits on both sides, but the
+        # Python f'{:08d}' GROWS past 10^8 while the oracle's
+        # lpad(..., 8, '0') TRUNCATES — record_id, record_length and
+        # every downstream offset would silently diverge. Fail loudly
+        # instead; a wider fixture needs both formats widened together.
+        top = int(pdf[doc_id_col].max())
+        if top >= 10**8:
+            raise ValueError(
+                f"synthetic WARC fixture doc_id {top} >= 10^8 breaks the "
+                "fixed-width record-id contract with the SQL oracle"
+            )
         f = int(pdf["__f__"].iloc[0])
         data = b"".join(
-            synth_record(int(d), wet) for d in pdf[doc_id_col]
+            make_record(int(d)) for d in pdf[doc_id_col]
         )
         return pd.DataFrame(
             {"path": [f"synthetic/{f:02d}.{ext}"], "content": [data]}
@@ -484,12 +565,23 @@ def read_wat(spark: SparkSession, path: str) -> DataFrame:
 
 
 def wat_to_links(spark: SparkSession, path: str) -> DataFrame:
-    """WAT → one row per harvested link: (url, title, link_no,
+    """Path-level composition: WAT scan (``read_wat``) →
+    ``wat_links_frame``. Kept as the user-facing entry; the frame-level
+    core lets the synthetic value-level oracle (``wat_links`` in the
+    catalog) feed generator output through the REAL parser without a
+    filesystem roundtrip."""
+    return wat_links_frame(read_wat(spark, path))
+
+
+def wat_links_frame(records: DataFrame) -> DataFrame:
+    """WAT records → one row per harvested link: (url, title, link_no,
     link_path, link_href, link_url) where ``link_href`` is the raw
     attribute value the crawler recorded and ``link_url`` is its
     RFC 3986-lite resolution against the page URL (same
     ``urls.resolve_link`` contract as the HTML-side ``extract_links``
-    — fragment-only/pseudo links resolve to NULL and are dropped).
+    — fragment-only/pseudo links resolve to NULL and are dropped;
+    ``link_no`` is the RAW envelope position, so dropped links leave
+    holes rather than renumbering survivors).
 
     Scale shape: the JSON envelope parses JVM-side via ``from_json``
     with a PRUNED schema (only the envelope fields used — Jackson
@@ -499,7 +591,7 @@ def wat_to_links(spark: SparkSession, path: str) -> DataFrame:
 
     from bag_parser_spark.operators import urls
 
-    recs = read_wat(spark, path).select(
+    recs = records.select(
         F.col("target_uri").alias("url"),
         F.from_json(
             F.decode(F.col("payload"), "UTF-8"), WAT_LINKS_SCHEMA

