@@ -944,52 +944,55 @@ def q_f8(spark, sf_dir):
 
 # Driver-verification priority. The correctness driver samples the catalog in
 # dict order with a bounded budget (every round so far recorded exactly the
-# first 50 keys), so the order is re-rotated each round. r9 rotation
-# (VERDICT r8 #2): the cross-round union remains complete (203/203 green
-# after r8), so the window leads with the two r9 additions (warc/wet
-# value-level oracles — no driver row can exist) and the two r9 rewrites
-# (robots broadcast guard, politeness-budgeted frontier), then the FULL
-# r4-stale dozen the verdict names (4 rounds old), then 34 of the 44
-# r5-stale queries — the oldest remaining greens, chosen round-robin so
-# every family keeps a member in-window (the 10 r5 names left out are
-# the events/tpch members whose families are already multiply covered;
-# they lead the r10 rotation). Queries not listed follow in
-# registration order — nothing is dropped.
+# first 50 keys), so the order is re-rotated each round. r10 rotation
+# (VERDICT r9 #2; cohort computed by scripts/rotation_audit.py, #8): the
+# cross-round union remains complete (208/208 green after r9), so the
+# window leads with the one r10 addition (wat_links — no driver row can
+# exist) and the one r10 rewrite (the frontier's derived budget
+# ceiling), then the FULL 13-query r5-stale cohort the verdict names
+# (5 rounds old by r10), then 35 of the 50 r6-stale queries — the
+# next-oldest greens, chosen round-robin so every family keeps a member
+# in-window. The 15 r6 names left out (a27_countmin,
+# dedup_segment_fraction, dedup_span_stats, ml_eval_confusion,
+# mm_resize, sim_ivfpq_recall, sim_pq_adc_topk, sim_pq_encode,
+# sim_pq_recall, text_bpe_merge_step, tpch_q17/q21/q9,
+# ts_asof_tolerance, ts_autocorr) are members of families holding 2+
+# window slots already; they lead the r11 rotation. Queries not listed
+# follow in registration order — nothing is dropped.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # — r9 additions (never driver-validated) —
-    "warc_records", "wet_records",
-    "web_robots_parse", "web_crawl_delay", "web_sitemaps",
-    # — r9 rewrites (stale green rows are not evidence for new code) —
-    "web_robots_filter", "web_crawl_frontier",
-    # — the r4-stale dozen (VERDICT r8 #2 names these explicitly) —
-    "text_keywords_topk", "sim_ann_recall", "text_boilerplate_removal",
-    "a8_approx_quantiles", "split_temporal_embargo",
-    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
-    "tpch_q13_cust_distribution", "tpch_q16_supplier_relationship",
-    "tpch_q19_disjunctive_revenue", "tpch_q20_potential_promotion",
-    "tpch_q22_sales_opportunity",
-    # — 34 of the r5 cohort (next-oldest greens), round-robin across
-    #   families: agg_ext —
-    "a15_heavy_hitters", "a16_mad_outliers", "a17_histogram",
-    "a18_mode", "a19_hll_mergeable", "a21_trimmed_mean",
-    "a22_linreg_suffstats", "a23_pareto", "a24_incremental_rollup",
-    # corpus / dedup / text —
-    "chunk_documents", "dedup_canonical", "lm_doc_score",
-    "dedup_incremental", "dedup_verified_pairs",
-    "docs_vocab_growth", "text_repetition_metrics", "text_source_drift",
-    # events / timeseries —
-    "events_ema", "events_funnel", "events_markov", "events_twa",
-    "ts_scd2_intervals",
-    # scalar packs / joins / multimodal / samples / misc —
-    "f16_date_pack", "f17_array_pack", "f18_locale_format",
-    "j12_runtime_filter_join", "j14_fuzzy_blocked_join",
-    "mm_audio_features", "sample_global_shuffle", "sample_negatives",
-    "quality_quantile_band",
-    # (left for r10: cohort_retention, dq_star_schema,
-    # orders_monthly_yoy, events_hopping_agg, events_session_window,
-    # events_sliding_distinct, events_stream_enrich and the six r5
-    # tpch members — tpch already holds seven window slots via the
-    # r4 dozen)
+    # — r10 addition (never driver-validated) —
+    "wat_links",
+    # — r10 rewrite (stale green rows are not evidence for new code) —
+    "web_crawl_frontier",
+    # — the r5-stale cohort, complete (VERDICT r9 #2 names these) —
+    "cohort_retention", "dq_star_schema", "events_hopping_agg",
+    "events_session_window", "events_sliding_distinct",
+    "events_stream_enrich", "orders_monthly_yoy",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q18_large_volume",
+    # — 35 of the 50 r6-stale queries, round-robin across families:
+    #   agg / dq / layout —
+    "a1_grouped_stats", "a28_grouping_sets", "dq_column_profile",
+    "layout_file_skipping",
+    # corpus / dedup / decontamination —
+    "corpus_datasheet", "decontaminate_bloom", "dedup_embedding_cosine",
+    "dedup_semantic", "dedup_span_rewrite",
+    # events / ml / multimodal —
+    "events_pattern_match", "ml_auc_ranked", "ml_pagerank_step",
+    "mm_frame_sample", "mm_image_neardup",
+    # BAG core (scalar packs, projections, joins, window dedup) —
+    "f1_scalar_pack", "f6_rd_to_wgs84", "j1_chained_left_join",
+    "j4_explode_join_lastwins", "p3_temporal_filter",
+    "w1_last_write_wins",
+    # sampling / similarity —
+    "sample_mixture", "sample_temperature", "sim_hard_negatives",
+    "sim_ivf_topk", "sim_ivfpq_topk", "sim_pq_adc_batch",
+    # text —
+    "text_bpe_encode", "text_bpe_train", "text_ngram_novelty",
+    # tpch / timeseries —
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "ts_asof_join", "ts_gapfill", "ts_interval_join", "ts_ohlc_bars",
 )
 
 # Queries REWRITTEN since their last green driver CORRECTNESS row: a stale
@@ -998,12 +1001,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # Maintained by hand: add a name here when materially changing its query or
 # operator; remove it once a NEWER driver round records a green row.
 _REWRITTEN_SINCE_DRIVER_ROW: tuple[str, ...] = (
-    # r9 (VERDICT r8 "wrong" #1): apply_robots gained the size-guarded
-    # broadcast/shuffle route selection — the r8 green row predates it
-    "web_robots_filter",
-    # r9 (VERDICT r8 #5): the frontier is politeness-budgeted per host
-    # (new crawl_delay/host_budget columns, budget filter before the
-    # global rank)
+    # r10 (VERDICT r9 #5 / ADVICE): the frontier's WindowGroupLimit
+    # ceiling is now DERIVED from the politeness floor
+    # (urls.budget_ceiling) instead of the hand-computed fixture
+    # literal — the r9 green row predates the change
     "web_crawl_frontier",
 )
 
