@@ -127,11 +127,33 @@ def ingest_batch(
     robots_rules: DataFrame | None = None,
     robots_agent: str = "*",
     dsir_min_key: float | None = None,
+    crawl_delays: DataFrame | None = None,
+    batch_window_sec: float | None = None,
 ) -> int:
     """Run one ingest round (steps 1-5 above) and append survivors to
     the state tables. Returns the number of newly accepted docs.
     Callable directly for backfills/tests; the stream wires it through
     foreachBatch.
+
+    ``crawl_delays`` + ``batch_window_sec`` add the delay-derived
+    politeness BUDGET to the domain stage (r10, VERDICT r9 #6 — the
+    streaming twin of the batch frontier's budget): the effective
+    per-domain delay for ``robots_agent`` (``urls.delay_for_agent`` —
+    the same shadow semantics as the robots rule gate) caps each
+    micro-batch's admissions per domain at ``politeness_budget(delay,
+    batch_window_sec)`` = max(1, floor(window/delay)). The budget is
+    PER BATCH (each micro-batch is one crawl window: a 10 s-delay host
+    yields ≤2 slots per 20 s batch window no matter how many of its
+    docs arrive), while ``max_per_domain`` stays the TOTAL quota vs
+    accepted state — both ride one shared fair-draw ranking, so the
+    admitted set is the top-min(budget, remaining-quota) prefix.
+    Domains without a delay row are budget-uncapped (pass a
+    default-delay row in the table to change that). Replay semantics:
+    already-ADMITTED docs never double-admit (content dedup removes
+    them before the ranking), while a budget-REJECTED doc is a
+    deferral, not a drop — a re-offer rides the next window's budget,
+    exactly how a polite crawler requeues beyond-budget URLs (quota
+    rejects, by contrast, stay rejected while the quota is full).
 
     ``dsir_min_key`` adds the DSIR data-selection gate (the streaming
     twin of prepare's ``dsir_target``/``dsir_keep``, VERDICT r8 #6):
@@ -188,6 +210,7 @@ def ingest_batch(
             id_col, text_col, threshold, handles,
             url_col, max_per_domain, domain_blocklist,
             robots_rules, robots_agent, dsir_min_key,
+            crawl_delays, batch_window_sec,
         )
     finally:
         # runs on success AND on a mid-batch crash — a failed batch must
@@ -217,11 +240,22 @@ def _ingest_batch_inner(
     robots_rules: DataFrame | None = None,
     robots_agent: str = "*",
     dsir_min_key: float | None = None,
+    crawl_delays: DataFrame | None = None,
+    batch_window_sec: float | None = None,
 ) -> int:
     from bag_parser_spark.operators import dedup
 
     if max_per_domain is not None and url_col is None:
         raise ValueError("max_per_domain needs url_col")
+    if crawl_delays is not None and url_col is None:
+        raise ValueError("crawl_delays needs url_col")
+    if (crawl_delays is None) != (batch_window_sec is None):
+        # a delay table without a window (or vice versa) cannot define a
+        # budget — silently ignoring half the configuration would admit
+        # unbudgeted batches while the caller believes politeness holds
+        raise ValueError(
+            "crawl_delays and batch_window_sec must be set together"
+        )
     if domain_blocklist is not None and url_col is None:
         # same guard as prepare_corpus: without url_col no domain exists
         # to block against — filtering silently NOTHING would be worse
@@ -409,60 +443,95 @@ def _ingest_batch_inner(
         eager=True
     )
 
-    # 4b. per-domain quota vs accepted state: earlier batches consumed
-    # their slots first (first-arrival), this batch's survivors fill the
-    # REMAINING quota in deterministic md5-fair-draw order (same draw as
-    # sampling.sample_per_group / url_domain_cap). The domain-count
-    # aggregate is |domains| rows — tiny vs the corpus; AQE broadcasts
-    # it into the join. Runs on the checkpointed survivors (post-dedup,
-    # pre-append), then re-checkpoints: the count join reads acc_path,
-    # which step 5 is about to append to, and a lazy plan would
-    # recompute against post-append state during the signature write
-    # (the same observed failure the survivors checkpoint guards).
-    if max_per_domain is not None:
+    # 4b. per-domain admission limits: the TOTAL quota vs accepted state
+    # (max_per_domain — earlier batches consumed their slots first,
+    # first-arrival) and/or the per-BATCH politeness budget
+    # (crawl_delays — one micro-batch is one crawl window). This batch's
+    # survivors fill the remaining slots in deterministic md5-fair-draw
+    # order (same draw as sampling.sample_per_group / url_domain_cap).
+    # The domain-count aggregate and the delay table are |domains| rows
+    # — tiny vs the corpus; broadcast into the join. Runs on the
+    # checkpointed survivors (post-dedup, pre-append), then
+    # re-checkpoints: the count join reads acc_path, which step 5 is
+    # about to append to, and a lazy plan would recompute against
+    # post-append state during the signature write (the same observed
+    # failure the survivors checkpoint guards).
+    if max_per_domain is not None or crawl_delays is not None:
         from pyspark.sql import Window
 
-        # Consumed-quota counts come from the domain_counts PARTIALS
-        # (one tiny (domain, n) file appended per batch, summed on
-        # read — the count-min streaming pattern), NOT from a groupBy
-        # over accepted/: at 100 TB of accepted state a full-state
-        # aggregate per micro-batch would dominate every batch. The
-        # partial dir exists from the first url-mode batch (mode
-        # consistency is enforced above); if it is missing while
-        # accepted state exists (crash in the documented append window,
-        # or a state dir predating counts), fail loudly and point at
-        # the rebuild — silently recounting here would mask the gap.
-        counts_path = _counts_path(acc_path)
-        if os.path.isdir(counts_path):
-            used = (
-                spark.read.parquet(counts_path)
-                .groupBy("registered_domain")
-                .agg(F.sum("n").alias("__used__"))
-            )
-        elif have_state:
-            raise ValueError(
-                "domain_counts/ missing but accepted state exists — run "
-                "streaming.corpus.rebuild_domain_counts(spark, state_dir) "
-                "before resuming the quota stream"
-            )
-        else:
-            used = None
+        from bag_parser_spark.operators import urls
+
         w = Window.partitionBy("registered_domain").orderBy(
             F.md5(F.concat(F.lit("domcap:"), F.col(id_col).cast("string"))),
             F.col(id_col),
         )
         ranked = survivors.withColumn("__rk__", F.row_number().over(w))
-        if used is not None:
-            ranked = ranked.join(used, "registered_domain", "left").withColumn(
-                "__used__", F.coalesce(F.col("__used__"), F.lit(0))
+        admit = F.lit(True)
+        drop_cols = ["__rk__"]
+        if crawl_delays is not None:
+            # per-BATCH politeness budget: the tiny effective-delay
+            # table (delay_for_agent, same agent shadow as the robots
+            # gate) maps to max(1, floor(window/delay)) slots and
+            # broadcasts into the ranked survivors; domains without a
+            # delay row are budget-uncapped (NULL passes). Both this
+            # conjunct and the quota below are monotone prefixes of the
+            # SAME fair-draw rank, so they compose to
+            # top-min(budget, remaining-quota).
+            budgets = urls.delay_for_agent(crawl_delays, robots_agent).select(
+                F.col("domain").alias("registered_domain"),
+                urls.politeness_budget(
+                    F.col("crawl_delay"), batch_window_sec
+                ).alias("__budget__"),
             )
-        else:
-            ranked = ranked.withColumn("__used__", F.lit(0))
-        survivors = (
-            ranked.filter(
+            ranked = ranked.join(
+                F.broadcast(budgets), "registered_domain", "left"
+            )
+            admit = admit & (
+                F.col("__budget__").isNull()
+                | (F.col("__rk__") <= F.col("__budget__"))
+            )
+            drop_cols.append("__budget__")
+        if max_per_domain is not None:
+            # Consumed-quota counts come from the domain_counts PARTIALS
+            # (one tiny (domain, n) file appended per batch, summed on
+            # read — the count-min streaming pattern), NOT from a groupBy
+            # over accepted/: at 100 TB of accepted state a full-state
+            # aggregate per micro-batch would dominate every batch. The
+            # partial dir exists from the first url-mode batch (mode
+            # consistency is enforced above); if it is missing while
+            # accepted state exists (crash in the documented append window,
+            # or a state dir predating counts), fail loudly and point at
+            # the rebuild — silently recounting here would mask the gap.
+            counts_path = _counts_path(acc_path)
+            if os.path.isdir(counts_path):
+                used = (
+                    spark.read.parquet(counts_path)
+                    .groupBy("registered_domain")
+                    .agg(F.sum("n").alias("__used__"))
+                )
+            elif have_state:
+                raise ValueError(
+                    "domain_counts/ missing but accepted state exists — run "
+                    "streaming.corpus.rebuild_domain_counts(spark, state_dir) "
+                    "before resuming the quota stream"
+                )
+            else:
+                used = None
+            if used is not None:
+                ranked = ranked.join(
+                    used, "registered_domain", "left"
+                ).withColumn(
+                    "__used__", F.coalesce(F.col("__used__"), F.lit(0))
+                )
+            else:
+                ranked = ranked.withColumn("__used__", F.lit(0))
+            admit = admit & (
                 F.col("__rk__") + F.col("__used__") <= max_per_domain
             )
-            .drop("__rk__", "__used__")
+            drop_cols.append("__used__")
+        survivors = (
+            ranked.filter(admit)
+            .drop(*drop_cols)
             .localCheckpoint(eager=True)
         )
 
@@ -590,13 +659,17 @@ def run_ingest_stream(
     robots_rules: DataFrame | None = None,
     robots_agent: str = "*",
     dsir_min_key: float | None = None,
+    crawl_delays: DataFrame | None = None,
+    batch_window_sec: float | None = None,
 ) -> None:
     """Drain a file-source stream of incoming documents through
     ingest_batch with Trigger.AvailableNow (the backfill/test mode; a
     live deployment drops the trigger and runs continuously). The
     optional URL/domain stage flags — including the RFC 9309
-    ``robots_rules``/``robots_agent`` politeness gate — pass straight
-    through to ingest_batch (set ``url_col`` in the schema's columns).
+    ``robots_rules``/``robots_agent`` politeness gate and the
+    delay-derived per-batch budget (``crawl_delays`` +
+    ``batch_window_sec``) — pass straight through to ingest_batch (set
+    ``url_col`` in the schema's columns).
 
     ``source_format='warc'`` streams a CRAWL instead of parquet docs:
     `readStream.format("binaryFile")` tails the directory for new
@@ -643,6 +716,8 @@ def run_ingest_stream(
                 robots_rules=robots_rules,
                 robots_agent=robots_agent,
                 dsir_min_key=dsir_min_key,
+                crawl_delays=crawl_delays,
+                batch_window_sec=batch_window_sec,
             )
 
         q = (
@@ -672,6 +747,8 @@ def run_ingest_stream(
             robots_rules=robots_rules,
             robots_agent=robots_agent,
             dsir_min_key=dsir_min_key,
+            crawl_delays=crawl_delays,
+            batch_window_sec=batch_window_sec,
         )
 
     q = (

@@ -94,6 +94,16 @@ QUERIES = [
     "cust_rfm",
     "web_robots_filter",
     "warc_records",
+    # r10 (VERDICT r9 #7 — probe rows for the r9/r10 surfaces): the WET
+    # twin (same build+parse shape, no HTTP split), the robots PARSE
+    # half (per-domain text -> islands: one domain-keyed explode +
+    # window chain over a fixture that grows with the domain universe),
+    # and the WAT link sidecar (record parse + pruned from_json +
+    # posexplode — map work per file). wet/warc absolute THROUGHPUT in
+    # MB/s comes from --warc-mbps below, not these ratio rows.
+    "wet_records",
+    "web_robots_parse",
+    "wat_links",
 ]
 
 
@@ -190,6 +200,13 @@ def main() -> int:
         help="comma-separated subset of the probe set (default: all)",
     )
     ap.add_argument(
+        "--warc-mbps",
+        action="store_true",
+        help="also measure absolute WARC/WET record-parse throughput "
+        "(MB/s aggregate + per-core) on the derived corpus — the "
+        "100 TB ingest entry point (VERDICT r9 #7)",
+    )
+    ap.add_argument(
         "--import-n",
         type=int,
         default=0,
@@ -242,6 +259,48 @@ def main() -> int:
             "time_ratio": round(b / a, 2),
             "rows_ratio": round(rows_b / max(rows_a, 1), 2),
         }), flush=True)
+
+    if args.warc_mbps:
+        # Absolute parse throughput for the WARC/WET record parser —
+        # THE 100 TB entry point (VERDICT r9 #7): generation is
+        # materialized (localCheckpoint) BEFORE timing so the clock
+        # sees only binary-frame -> records parse work; MB/s is
+        # decompressed record bytes over the best-rep wall time on
+        # local[N], with a per-core figure for cluster projection.
+        from pyspark.sql import functions as F
+
+        from bag_parser_spark.sources import warc as W
+
+        cores = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet(
+            f"{args.out}/documents.parquet"
+        ).select("doc_id")
+        for fmt in ("warc", "wet"):
+            files = W.generate_synthetic_warc(
+                docs, n_files=64, fmt=fmt
+            ).localCheckpoint(eager=True)
+            total_b = files.agg(
+                F.sum(F.length("content")).alias("b")
+            ).collect()[0]["b"]
+            kinds = ("response",) if fmt == "warc" else ("conversion",)
+            best = None
+            for _ in range(args.reps):
+                t0 = time.time()
+                W.parse_warc_frame(
+                    files, record_types=kinds, parse_http=fmt == "warc"
+                ).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            mbps = total_b / 1e6 / best
+            print(json.dumps({
+                "query": f"{fmt}_parse_throughput",
+                "bytes": int(total_b),
+                "sec": round(best, 3),
+                "mb_per_s": round(mbps, 1),
+                "mb_per_s_per_core": round(mbps / cores, 2),
+                "cores": cores,
+            }), flush=True)
+            release_cached_blocks(spark)
 
     if args.import_n > 0:
         import shutil

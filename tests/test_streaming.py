@@ -762,6 +762,78 @@ def test_ingest_domain_quota_across_batches(spark, tmp_path):
         ingest_batch(spark, b1, state2, **kw)
 
 
+def test_ingest_politeness_budget_across_batches(spark, tmp_path):
+    """Delay-derived per-BATCH politeness budget (VERDICT r9 #6): with
+    crawl_delays + batch_window_sec, each micro-batch admits at most
+    max(1, floor(window/delay)) docs per domain — a slow-delay host is
+    capped EVERY batch while a fast host fills; domains without a delay
+    row are budget-uncapped; the TOTAL quota (max_per_domain) composes
+    on the same fair-draw rank; replay is idempotent; half-configured
+    budgets fail loudly."""
+    import pytest
+
+    from bag_parser_spark.streaming.corpus import ingest_batch
+
+    state = str(tmp_path / "state")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string, url string"
+    )
+    txt = lambda i: " ".join(f"w{j}-{i}" for j in range(30))  # noqa: E731
+    delays = spark.createDataFrame(
+        [("slow.com", "*", 10.0), ("fast.com", "*", 1.0)],
+        "domain string, agent string, crawl_delay double",
+    )
+    # window 4 s: slow budget = max(1, floor(4/10)) = 1, fast = 4;
+    # c.net has no delay row -> budget-uncapped, only the quota (5) bites
+    kw = dict(
+        url_col="url", max_per_domain=5,
+        crawl_delays=delays, batch_window_sec=4.0,
+    )
+    b1 = mk(
+        [(i, txt(i), f"https://slow.com/p/{i}") for i in range(3)]
+        + [(10 + i, txt(10 + i), f"https://fast.com/p/{i}") for i in range(5)]
+        + [(20 + i, txt(20 + i), f"https://c.net/p/{i}") for i in range(6)]
+    )
+    # slow 3->1 (budget), fast 5->4 (budget), c.net 6->5 (quota)
+    assert ingest_batch(spark, b1, state, **kw) == 10
+    b2 = mk(
+        [(100 + i, txt(100 + i), f"https://slow.com/q/{i}") for i in range(2)]
+        + [(110 + i, txt(110 + i), f"https://fast.com/q/{i}") for i in range(2)]
+        + [(120, txt(120), "https://c.net/q/0")]
+    )
+    # slow capped at 1 AGAIN this batch; fast budget 4 but only 1 quota
+    # slot left (4 of 5 consumed); c.net quota exhausted
+    assert ingest_batch(spark, b2, state, **kw) == 2
+    acc = spark.read.parquet(f"{state}/accepted")
+    by_dom = {
+        r["registered_domain"]: r["n"]
+        for r in acc.groupBy("registered_domain").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_dom == {"slow.com": 2, "fast.com": 5, "c.net": 5}
+    # replay semantics: admitted docs dedup away (never double-admit);
+    # the budget-REJECTED slow doc is a DEFERRAL — the re-offer rides
+    # this window's budget slot (a polite crawler requeues beyond-budget
+    # URLs), while the quota-rejected fast/c.net docs stay rejected
+    assert ingest_batch(spark, b2, state, **kw) == 1
+    acc2 = spark.read.parquet(f"{state}/accepted")
+    assert acc2.count() == 13
+    assert acc2.select("doc_id").distinct().count() == 13  # no dupes
+    # a second replay finds every b2 doc admitted-or-quota-blocked: 0
+    assert ingest_batch(spark, b2, state, **kw) == 0
+    assert spark.read.parquet(f"{state}/accepted").count() == 13
+    # half-configured budget or missing url_col fail loudly
+    with pytest.raises(ValueError, match="together"):
+        ingest_batch(
+            spark, b1, state, url_col="url", crawl_delays=delays
+        )
+    with pytest.raises(ValueError, match="url_col"):
+        ingest_batch(
+            spark, b1.drop("url"), state,
+            crawl_delays=delays, batch_window_sec=4.0,
+        )
+
+
 def test_ingest_domain_counts_partials_and_rebuild(spark, tmp_path):
     """The quota's consumed counts come from per-batch domain_counts
     partials (never a full accepted/ aggregate per batch); deleting the
