@@ -196,6 +196,48 @@ def test_bench_stdout_line_fits_driver_window():
     assert bench.max_rep_ratio({}) is None
 
 
+def test_rotation_audit_reads_archives():
+    """VERDICT r9 #8: the stale-cohort analysis is automated.
+    rotation_audit must parse the in-repo CORRECTNESS archives, count a
+    row as green only when rows+schema match and hash matches (or the
+    round recorded a rows-only check), and surface never-validated
+    names first. Pinned against the known r9 facts: the 13-query
+    r5-stale cohort the r9 verdict names."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(__file__), "..", "scripts"),
+    )
+    import rotation_audit as RA
+
+    latest = RA.latest_green_rounds()
+    # known archive facts (stable: archives are append-only per round)
+    assert latest["warc_records"] >= 9
+    assert latest["cohort_retention"] == 5
+    current, rows = RA.stale_cohort(stale_after=5, current_round=10)
+    assert current == 10
+    names = {n for n, _ in rows}
+    r5_cohort = {
+        "cohort_retention", "dq_star_schema", "events_hopping_agg",
+        "events_session_window", "events_sliding_distinct",
+        "events_stream_enrich", "orders_monthly_yoy",
+        "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+        "tpch_q14_promo_effect", "tpch_q18_large_volume",
+    }
+    assert r5_cohort <= names
+    # a FAIL row is never evidence
+    assert not RA._row_green({"err": "boom", "rows_match": True,
+                              "schema_match": True, "hash_match": True})
+    assert not RA._row_green({"err": None, "rows_match": True,
+                              "schema_match": True, "hash_match": False})
+    # rows-only rounds (hash_match null) still count
+    assert RA._row_green({"err": None, "rows_match": True,
+                          "schema_match": True, "hash_match": None})
+
+
 def test_bench_headline_names_resolve():
     """bench.py is the driver's per-round feedback loop — a renamed
     catalog query must fail HERE, not as a KeyError mid-benchmark. Also
