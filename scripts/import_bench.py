@@ -83,7 +83,32 @@ def generate_fixture(
 ) -> None:
     """``layout="zips"`` mirrors the real delivery (per-entity zip
     archives); ``layout="plain"`` writes the same members as loose .xml
-    files — the post-extract layout the native XML backend reads."""
+    files — the post-extract layout the native XML backend reads.
+
+    Cyclic GC is suspended for the duration (restored in the finally):
+    the builder holds tens of millions of live strings at reference
+    scale (9.6M addresses ≈ 30M records ≈ 20 GB), and CPython's gen2
+    collections rescan the big record lists over and over — the r10
+    9.6M generation spent most of its ~55 min there. The function
+    allocates only strings and flat lists: no reference cycles exist
+    for the collector to find."""
+    import gc
+
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        _generate_fixture_inner(root, n_addresses, objects_per_file, layout)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _generate_fixture_inner(
+    root: str,
+    n_addresses: int,
+    objects_per_file: int,
+    layout: str,
+) -> None:
     os.makedirs(root, exist_ok=True)
     n = n_addresses
     n_wpl = max(2, n // 2000)
