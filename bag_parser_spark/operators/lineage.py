@@ -30,18 +30,40 @@ moves.
 from __future__ import annotations
 
 import posixpath
-from urllib.parse import urlparse
+import re
 
 from pyspark.sql import DataFrame
+
+# A URI (vs a bare filesystem path) starts with an RFC 3986 scheme and
+# a colon: hdfs://..., s3a://..., file:/tmp/ck. Everything after the
+# scheme[//authority] prefix is a RAW path: '?' and '#' are legal in
+# POSIX dirnames and Hadoop Path keeps them literal (verified against
+# sc.getCheckpointDir()), so urlparse — which splits them into
+# query/fragment — made a metachar root never compare equal to itself
+# and re-minted a UUID subdir per call (ADVICE r10).
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
 
 def _norm_root(uri: str) -> tuple[str, str, str]:
     """(scheme, authority, path) with the scheme defaulted to ``file``
     and trailing slashes dropped, so ``/tmp/ck``, ``file:/tmp/ck`` and
     ``file:///tmp/ck`` — all spellings Spark itself round-trips through
-    Hadoop Path — compare equal."""
-    p = urlparse(uri)
-    return (p.scheme or "file", p.netloc, (p.path or "").rstrip("/"))
+    Hadoop Path — compare equal. Hand-split, not urlparse: the path
+    component is taken verbatim so URI metacharacters in dirnames
+    survive on BOTH sides of the comparison (the requested root and the
+    scheme-qualified current dir Spark reports back)."""
+    m = _SCHEME_RE.match(uri)
+    if not m:
+        return ("file", "", uri.rstrip("/"))
+    scheme = uri[: m.end() - 1].lower()
+    rest = uri[m.end():]
+    if rest.startswith("//"):
+        rest = rest[2:]
+        slash = rest.find("/")
+        if slash < 0:
+            return (scheme, rest, "")
+        return (scheme, rest[:slash], rest[slash:].rstrip("/"))
+    return (scheme, "", rest.rstrip("/"))
 
 
 def cut_lineage(

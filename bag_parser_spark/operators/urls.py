@@ -21,6 +21,8 @@ part of the training-data extension surface (VERDICT r6 "next" #4).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -234,10 +236,20 @@ def budget_ceiling(window_sec: float, min_delay: float) -> int:
     WindowGroupLimit that prunes a mega-host's candidates per map
     partition before the window shuffle ships them. Deriving it here
     (VERDICT r9 #5 / ADVICE) replaces the hand-computed fixture literal
-    that silently dropped rows under a different delay distribution."""
+    that silently dropped rows under a different delay distribution.
+
+    The floor MUST be computed as divide-then-floor — the same IEEE-754
+    sequence ``politeness_budget``'s Spark expression evaluates — not
+    Python's ``//``. The two disagree on exact decimal ratios (``1.0 //
+    0.1 == 9.0`` because ``//`` floors the correctly-rounded quotient
+    of the BINARY operands, while ``floor(1.0 / 0.1) == 10``): with
+    ``//``, a host whose delay equals the floor gets ``budget ==
+    ceiling + 1`` and the WindowGroupLimit conjunct silently drops its
+    top-budget row — the exact defect class this constant exists to
+    eliminate (ADVICE r10)."""
     if not min_delay > 0:
         raise ValueError(f"politeness floor must be positive: {min_delay}")
-    return max(1, int(float(window_sec) // float(min_delay)))
+    return max(1, math.floor(float(window_sec) / float(min_delay)))
 
 
 # href extraction pattern — double-quoted attribute values; group 1 is

@@ -26,6 +26,12 @@ import os
 import sys
 import time
 
+# Synthetic HTTP response header for the --warc-mbps probe records; the
+# decompressed-bytes accounting derives from len() of this constant so
+# header edits can never desync the reported MB/s (ADVICE r10: the old
+# hand-counted `+ 47` overstated a 44-byte header).
+_HTTP_HEADER = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+
 QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -292,8 +298,7 @@ def main() -> int:
                     "response",
                     f"https://h{f}.test/p/{i}",
                     {"Content-Type": "application/http; msgtype=response"},
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                    + body,
+                    _HTTP_HEADER + body,
                 ))
             ext = "warc.gz" if gz else "warc"
             return pd.DataFrame({
@@ -315,7 +320,9 @@ def main() -> int:
             file_b = files.agg(
                 F.sum(F.length("content")).alias("b")
             ).collect()[0]["b"]
-            record_b = n_files * recs_per_file * (body_kb * 1024 + 47)
+            record_b = n_files * recs_per_file * (
+                body_kb * 1024 + len(_HTTP_HEADER)
+            )
             best = None
             for _ in range(args.reps):
                 t0 = time.time()

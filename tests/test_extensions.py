@@ -2651,3 +2651,33 @@ def test_cut_lineage_checkpoint_root_comparison(spark, tmp_path):
     assert sc.getCheckpointDir() == after_ck
     cut_lineage(df, checkpoint_dir=ck + "/")
     assert sc.getCheckpointDir() == after_ck
+
+
+def test_cut_lineage_raw_paths_with_uri_metachars(spark, tmp_path):
+    """ADVICE r10: a scheme-less checkpoint root is a RAW filesystem
+    path — '?' and '#' are legal POSIX dirname characters, not URI
+    query/fragment separators. urlparse-ing such a path split it and
+    made the root never compare equal to itself, minting a fresh UUID
+    subdir per call (disk growth). The normalizer must only urlparse
+    strings that actually carry a scheme."""
+    from bag_parser_spark.operators.lineage import _norm_root, cut_lineage
+
+    # component identity: raw path with metachars survives intact
+    weird = str(tmp_path / "ck?v=1#frag")
+    assert _norm_root(weird) == ("file", "", weird)
+    assert _norm_root(weird + "/") == ("file", "", weird)
+    # scheme-qualified spellings still normalize
+    assert _norm_root("file://" + str(tmp_path / "a"))[2] == str(
+        tmp_path / "a"
+    )
+
+    # behavioral: two calls on a metachar root reuse ONE UUID subdir
+    import os
+
+    df = spark.range(3)
+    sc = spark.sparkContext
+    os.makedirs(weird, exist_ok=True)
+    cut_lineage(df, checkpoint_dir=weird)
+    first = sc.getCheckpointDir()
+    cut_lineage(df, checkpoint_dir=weird)
+    assert sc.getCheckpointDir() == first

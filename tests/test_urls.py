@@ -575,6 +575,10 @@ def test_budget_ceiling_derivation_and_route_identity(spark):
     assert U.budget_ceiling(6.0, 0.9) == 6
     assert U.budget_ceiling(20.0, 60.0) == 1  # slower-than-window floor
     assert U.budget_ceiling(60.0, 0.5) == 120
+    # ADVICE r10: divide-then-floor, not Python '//' (1.0 // 0.1 == 9.0
+    # but IEEE floor(1.0 / 0.1) == 10 — what politeness_budget computes)
+    assert U.budget_ceiling(1.0, 0.1) == 10
+    assert U.budget_ceiling(2.0, 0.2) == 10
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
@@ -606,3 +610,29 @@ def test_budget_ceiling_derivation_and_route_identity(spark):
     assert len(rows_two) == 8
     plan = two._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_budget_ceiling_dominates_spark_budget_at_the_floor(spark):
+    """ADVICE r10 regression: for a host whose crawl delay EQUALS the
+    politeness floor, the driver-side ceiling must be >= the Spark-side
+    politeness_budget for the same (window, delay) — otherwise the
+    WindowGroupLimit conjunct silently drops the host's top-budget row.
+    Python ``//`` breaks this at sub-second decimal floors (1.0 // 0.1
+    == 9.0); divide-then-floor matches Spark's expression exactly.
+    Sweep the decimal floors whose binary representation under-shoots."""
+    import pyspark.sql.functions as F
+
+    from bag_parser_spark.operators import urls as U
+
+    cases = [(1.0, d) for d in (0.1, 0.2, 0.3, 0.4, 0.6, 0.7)] + [
+        (6.0, 0.6), (3.0, 0.3), (10.0, 0.1)
+    ]
+    for w, d in cases:
+        spark_budget = (
+            spark.createDataFrame([(d,)], "crawl_delay double")
+            .select(
+                U.politeness_budget(F.col("crawl_delay"), w).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        assert U.budget_ceiling(w, d) >= spark_budget, (w, d, spark_budget)
