@@ -944,55 +944,55 @@ def q_f8(spark, sf_dir):
 
 # Driver-verification priority. The correctness driver samples the catalog in
 # dict order with a bounded budget (every round so far recorded exactly the
-# first 50 keys), so the order is re-rotated each round. r10 rotation
-# (VERDICT r9 #2; cohort computed by scripts/rotation_audit.py, #8): the
-# cross-round union remains complete (208/208 green after r9), so the
-# window leads with the one r10 addition (wat_links — no driver row can
-# exist) and the one r10 rewrite (the frontier's derived budget
-# ceiling), then the FULL 13-query r5-stale cohort the verdict names
-# (5 rounds old by r10), then 35 of the 50 r6-stale queries — the
-# next-oldest greens, chosen round-robin so every family keeps a member
-# in-window. The 15 r6 names left out (a27_countmin,
-# dedup_segment_fraction, dedup_span_stats, ml_eval_confusion,
-# mm_resize, sim_ivfpq_recall, sim_pq_adc_topk, sim_pq_encode,
-# sim_pq_recall, text_bpe_merge_step, tpch_q17/q21/q9,
-# ts_asof_tolerance, ts_autocorr) are members of families holding 2+
-# window slots already; they lead the r11 rotation. Queries not listed
+# first 50 keys), so the order is re-rotated each round. r11 rotation
+# (VERDICT r10 #2; cohort from `scripts/rotation_audit.py --stale-after 4
+# --current-round 11`: 15 names at r6 greens, 47 at r7): the window
+# leads with the two r11 rewrites (the frontier's ceiling floor-math
+# fix and mm_image_neardup's bit_count hamming refine — their r10
+# greens predate the changes), then the COMPLETE 15-query r6-stale
+# cohort the r10 verdict queues, then 33 of the 47 r7-stale queries
+# chosen round-robin so every operator family holds a first-50 slot —
+# including the corpus family (`tfidf_vectors`, r7-stale AND the
+# family member VERDICT r10 #1 requires; `f14_null_semantics` and
+# `j11_merge_apply` likewise double as the scalar-pack / join-ext
+# members). The 14 r7 names deferred to r12 (a3_latest_date,
+# a4_distinct, a5_dedup_scan, j3_plaats_overlay, j5_explode_self_join,
+# j6_coalesce_override, j8_semi_join, p6_conditional_name,
+# p7_geometry_roundtrip, text_gopher_summary, text_pii_redact,
+# url_canonical_dedup, url_domain_stats, w3_rank_battery) are members
+# of families holding 2+ window slots already. Queries not listed
 # follow in registration order — nothing is dropped.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # — r10 addition (never driver-validated) —
-    "wat_links",
-    # — r10 rewrite (stale green rows are not evidence for new code) —
-    "web_crawl_frontier",
-    # — the r5-stale cohort, complete (VERDICT r9 #2 names these) —
-    "cohort_retention", "dq_star_schema", "events_hopping_agg",
-    "events_session_window", "events_sliding_distinct",
-    "events_stream_enrich", "orders_monthly_yoy",
-    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
-    "tpch_q14_promo_effect", "tpch_q18_large_volume",
-    # — 35 of the 50 r6-stale queries, round-robin across families:
-    #   agg / dq / layout —
-    "a1_grouped_stats", "a28_grouping_sets", "dq_column_profile",
-    "layout_file_skipping",
-    # corpus / dedup / decontamination —
-    "corpus_datasheet", "decontaminate_bloom", "dedup_embedding_cosine",
-    "dedup_semantic", "dedup_span_rewrite",
+    # — r11 rewrites (stale green rows are not evidence for new code) —
+    "web_crawl_frontier", "mm_image_neardup",
+    # — the r6-stale cohort, complete (VERDICT r10 #2 names these) —
+    "a27_countmin", "dedup_segment_fraction", "dedup_span_stats",
+    "ml_eval_confusion", "mm_resize", "sim_ivfpq_recall",
+    "sim_pq_adc_topk", "sim_pq_encode", "sim_pq_recall",
+    "text_bpe_merge_step", "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers", "tpch_q9_product_profit",
+    "ts_asof_tolerance", "ts_autocorr",
+    # — 34 of the 47 r7-stale queries, round-robin across families:
+    #   aggregates —
+    "a10_pivot", "a11_exact_moments", "a2_count_battery",
+    # corpus / dedup / embeddings —
+    "tfidf_vectors", "dedup_clusters", "dedup_exact_docs",
+    "dedup_minhash_lsh", "emb_quantize_int8",
     # events / ml / multimodal —
-    "events_pattern_match", "ml_auc_ranked", "ml_pagerank_step",
-    "mm_frame_sample", "mm_image_neardup",
-    # BAG core (scalar packs, projections, joins, window dedup) —
-    "f1_scalar_pack", "f6_rd_to_wgs84", "j1_chained_left_join",
-    "j4_explode_join_lastwins", "p3_temporal_filter",
-    "w1_last_write_wins",
+    "ev_json_extract", "events_windowed_agg", "ml_kmeans_step",
+    "mm_image_features", "mm_jpeg_features",
+    # BAG core (scalar packs, projections, joins) —
+    "f14_null_semantics", "f5_bag_date_parse", "f7_wgs84_to_rd",
+    "f8_geometry_rings", "j11_merge_apply", "j2_update_join",
+    "j7_anti_join", "p11_clean_dummies", "p12_orphan_delete",
     # sampling / similarity —
-    "sample_mixture", "sample_temperature", "sim_hard_negatives",
-    "sim_ivf_topk", "sim_ivfpq_topk", "sim_pq_adc_batch",
+    "sample_token_budget", "sim_knn_join",
     # text —
-    "text_bpe_encode", "text_bpe_train", "text_ngram_novelty",
-    # tpch / timeseries —
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "ts_asof_join", "ts_gapfill", "ts_interval_join", "ts_ohlc_bars",
+    "text_c4_line_filter", "text_gopher_rules", "text_html_extract",
+    "text_quality_metrics",
+    # tpch / timeseries / url —
+    "tpch_q7_volume_shipping", "ts_window_battery",
+    "url_blocklist_filter", "url_canonicalize", "url_domain_cap",
 )
 
 # Queries REWRITTEN since their last green driver CORRECTNESS row: a stale
@@ -1001,11 +1001,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # Maintained by hand: add a name here when materially changing its query or
 # operator; remove it once a NEWER driver round records a green row.
 _REWRITTEN_SINCE_DRIVER_ROW: tuple[str, ...] = (
-    # r10 (VERDICT r9 #5 / ADVICE): the frontier's WindowGroupLimit
-    # ceiling is now DERIVED from the politeness floor
-    # (urls.budget_ceiling) instead of the hand-computed fixture
-    # literal — the r9 green row predates the change
+    # r11 (ADVICE r10): urls.budget_ceiling now floors the IEEE
+    # quotient (math.floor(w / d)) instead of Python's // — identical
+    # at the fixture's (20.0, 2.0) but a material change to the
+    # function the frontier derives its WindowGroupLimit constant
+    # from, so the r10 green row predates the code it vouches for
     "web_crawl_frontier",
+    # r11 (VERDICT r10 #6): the hamming refine now uses JVM
+    # conv/xor/bit_count instead of the nibble-arithmetic emulation
+    # Janino could not compile — values identical (equivalence test +
+    # oracle), but the executing expression is new code
+    "mm_image_neardup",
 )
 
 

@@ -3789,27 +3789,27 @@ def q_mm_neardup(spark, sf_dir):
         .distinct()
     )
 
-    def nib(col, i):
-        return (
-            F.instr(F.lit("0123456789abcdef"), F.substring(col, i, 1)) - 1
-        )
-
     def hamming(ca, cb):
-        total = F.lit(0)
-        for i in range(1, 17):
-            va, vb = nib(ca, i), nib(cb, i)
-            land = sum(
-                ((va / k).cast("int") % 2) * ((vb / k).cast("int") % 2) * k
-                for k in (1, 2, 4, 8)
-            )
-            x = va + vb - 2 * land
-            total = total + (
-                x % 2
-                + (x / 2).cast("int") % 2
-                + (x / 4).cast("int") % 2
-                + (x / 8).cast("int") % 2
-            )
-        return total.cast("long")
+        # JVM bit builtins, NOT the oracle's nibble-arithmetic XOR
+        # emulation (r11, VERDICT r10 #6): the arithmetic form — 16
+        # nibbles x a popcount whose XOR operand is textually
+        # substituted 4x, each re-deriving both hex digits — expands to
+        # a ~600-node tree that Janino cannot compile inside the
+        # broadcast join's doConsume (InternalCompilerException at
+        # ~20k generated lines -> whole-stage fallback to interpreted
+        # for the refine stage, the one codegen ERROR in every bench
+        # run since r6). Only the DuckDB oracle needs the portable
+        # arithmetic (_ahash_hamming_sql keeps it); Spark-side the
+        # 64-bit hamming is two conv/xor/bit_count triples — identical
+        # values (popcount of XOR is the definition), pinned by the
+        # value-level oracle and a dedicated equivalence test.
+        def half(col, start):
+            return F.conv(F.substring(col, start, 8), 16, 10).cast("long")
+
+        return (
+            F.bit_count(half(ca, 1).bitwiseXOR(half(cb, 1)))
+            + F.bit_count(half(ca, 9).bitwiseXOR(half(cb, 9)))
+        ).cast("long")
 
     near_h = cand_h.withColumn(
         "hamming", hamming(F.col("__ha__"), F.col("__hb__"))

@@ -5,9 +5,13 @@ against BOTH itself and everything already accepted, without ever
 re-shingling the accepted corpus (only its stored MinHash signature
 table is read — `dedup.minhash_lsh_pairs_incremental`).
 
-State = two parquet tables the job owns under ``state_dir``:
-  accepted/    accepted documents (doc_id, text, content md5)
-  signatures/  their MinHash signatures (minhash_signatures schema)
+State = parquet tables the job owns under ``state_dir``:
+  accepted/       accepted documents (doc_id, text, content md5)
+  signatures/     their MinHash signatures (minhash_signatures schema)
+  domain_counts/  per-batch (domain, n) quota partials (url mode)
+  deferred/       budget-rejected docs awaiting the next window (budget
+                  mode) — consumed at the start of every batch, so the
+                  ENGINE owns the re-offer; the source never re-sends
 
 Per micro-batch (foreachBatch — stream-side joins against mutable
 parquet state need batch semantics; a stateless stream join would pin
@@ -71,6 +75,10 @@ def _counts_path(acc_path: str) -> str:
     return os.path.join(os.path.dirname(acc_path), "domain_counts")
 
 
+def _deferred_path(acc_path: str) -> str:
+    return os.path.join(os.path.dirname(acc_path), "deferred")
+
+
 def _dsir_lam_path(state_dir: str) -> str:
     return os.path.join(state_dir, "dsir_lam")
 
@@ -129,6 +137,7 @@ def ingest_batch(
     dsir_min_key: float | None = None,
     crawl_delays: DataFrame | None = None,
     batch_window_sec: float | None = None,
+    max_deferred_per_domain: int | None = None,
 ) -> int:
     """Run one ingest round (steps 1-5 above) and append survivors to
     the state tables. Returns the number of newly accepted docs.
@@ -148,12 +157,36 @@ def ingest_batch(
     accepted state — both ride one shared fair-draw ranking, so the
     admitted set is the top-min(budget, remaining-quota) prefix.
     Domains without a delay row are budget-uncapped (pass a
-    default-delay row in the table to change that). Replay semantics:
-    already-ADMITTED docs never double-admit (content dedup removes
-    them before the ranking), while a budget-REJECTED doc is a
-    deferral, not a drop — a re-offer rides the next window's budget,
-    exactly how a polite crawler requeues beyond-budget URLs (quota
-    rejects, by contrast, stay rejected while the quota is full).
+    default-delay row in the table to change that).
+
+    A budget-REJECTED doc is a DEFERRAL the ENGINE owns (VERDICT r10
+    #3): docs that pass every gate and the quota but land beyond their
+    host's per-window budget are persisted to the ``deferred/`` state
+    table at batch end, and every batch starts by prepending the
+    deferred table to its candidates — so the re-offer rides the next
+    window's budget slot with NO re-delivery from the source, exactly
+    how a polite crawler requeues beyond-budget URLs. Quota rejects,
+    by contrast, stay rejected while the quota is full and are never
+    deferred. Deferred rows carry the ORIGINAL input columns (id,
+    text, url), so every gate (blocklist, robots, DSIR, dedup) re-runs
+    on the re-offer — all are deterministic per-doc functions, so the
+    verdicts can only change when the configuration does, which is the
+    desired behavior (an updated blocklist applies to the backlog
+    too). ``deferred/`` is REWRITTEN each batch (consumed docs leave,
+    still-over-budget docs stay), ordered AFTER the state appends: a
+    crash before the rewrite re-offers already-admitted docs, which
+    content dedup removes — over-offering is idempotent, the reverse
+    order could lose admitted docs. Replay semantics: already-ADMITTED
+    docs never double-admit (content dedup removes them before the
+    ranking); a replayed window may admit a doc the original run
+    deferred — the replay IS a next window, so that is the deferral
+    working, not a violation (state stays duplicate-free and each
+    window stays within budget). ``max_deferred_per_domain`` bounds the
+    backlog: only that many fair-draw slots past each host's budget are
+    deferred, the rest are dropped (a real crawl re-discovers them) —
+    without it, a source that keeps out-delivering a slow host's
+    budget grows ``deferred/`` without bound, and the backlog is
+    rewritten every batch, so its size is a recurring per-batch cost.
 
     ``dsir_min_key`` adds the DSIR data-selection gate (the streaming
     twin of prepare's ``dsir_target``/``dsir_keep``, VERDICT r8 #6):
@@ -210,7 +243,7 @@ def ingest_batch(
             id_col, text_col, threshold, handles,
             url_col, max_per_domain, domain_blocklist,
             robots_rules, robots_agent, dsir_min_key,
-            crawl_delays, batch_window_sec,
+            crawl_delays, batch_window_sec, max_deferred_per_domain,
         )
     finally:
         # runs on success AND on a mid-batch crash — a failed batch must
@@ -242,6 +275,7 @@ def _ingest_batch_inner(
     dsir_min_key: float | None = None,
     crawl_delays: DataFrame | None = None,
     batch_window_sec: float | None = None,
+    max_deferred_per_domain: int | None = None,
 ) -> int:
     from bag_parser_spark.operators import dedup
 
@@ -256,6 +290,10 @@ def _ingest_batch_inner(
         raise ValueError(
             "crawl_delays and batch_window_sec must be set together"
         )
+    if max_deferred_per_domain is not None and crawl_delays is None:
+        # the backlog only exists in budget mode — a cap without a
+        # budget caps nothing, and silence would hide the config error
+        raise ValueError("max_deferred_per_domain needs crawl_delays")
     if domain_blocklist is not None and url_col is None:
         # same guard as prepare_corpus: without url_col no domain exists
         # to block against — filtering silently NOTHING would be worse
@@ -263,6 +301,28 @@ def _ingest_batch_inner(
         raise ValueError("domain_blocklist needs url_col")
     if robots_rules is not None and url_col is None:
         raise ValueError("robots_rules needs url_col")
+    # 0. consume the deferral backlog (VERDICT r10 #3): budget rejects
+    # persisted by an earlier batch are PREPENDED to this batch's
+    # candidates, so the engine owns the re-offer. Pinned eagerly — the
+    # end-of-batch rewrite replaces the very files this read points at,
+    # and a lazy plan would re-list them mid-write.
+    defer_path = _deferred_path(acc_path)
+    defer_sel = [id_col, text_col] + (
+        [url_col] if url_col not in (None, id_col, text_col) else []
+    )
+    consumed_deferred = False
+    if os.path.isdir(defer_path):
+        backlog = spark.read.parquet(defer_path)
+        if sorted(backlog.columns) != sorted(defer_sel):
+            raise ValueError(
+                f"deferred/ state carries columns {sorted(backlog.columns)} "
+                f"but this batch's mode expects {sorted(defer_sel)} — the "
+                "url_col configuration must be consistent across the "
+                "stream's lifetime"
+            )
+        backlog = backlog.localCheckpoint(eager=True)
+        batch = batch.select(*defer_sel).unionByName(backlog)
+        consumed_deferred = True
     domain_cols: list[str] = []
     if url_col is not None:
         from bag_parser_spark.operators import urls
@@ -348,8 +408,16 @@ def _ingest_batch_inner(
                 + " registered_domain (a mixed-mode append would fork "
                 "the state schema)"
             )
+    # budget mode carries the raw URL through the dedup stages: a
+    # budget-rejected survivor is persisted to deferred/ in the
+    # ORIGINAL input schema so the next batch re-runs every gate on it
+    carry_url = (
+        [url_col]
+        if crawl_delays is not None and url_col not in (id_col, text_col)
+        else []
+    )
     docs = batch.select(
-        F.col(id_col), F.col(text_col), *domain_cols,
+        F.col(id_col), F.col(text_col), *domain_cols, *carry_url,
         F.md5(text_col).alias("__content__"),
     )
     # 1. exact dedup: within batch (min id per content), then vs accepted
@@ -456,6 +524,7 @@ def _ingest_batch_inner(
     # about to append to, and a lazy plan would recompute against
     # post-append state during the signature write (the same observed
     # failure the survivors checkpoint guards).
+    deferred_new: DataFrame | None = None
     if max_per_domain is not None or crawl_delays is not None:
         from pyspark.sql import Window
 
@@ -466,7 +535,8 @@ def _ingest_batch_inner(
             F.col(id_col),
         )
         ranked = survivors.withColumn("__rk__", F.row_number().over(w))
-        admit = F.lit(True)
+        budget_ok = F.lit(True)
+        quota_ok = F.lit(True)
         drop_cols = ["__rk__"]
         if crawl_delays is not None:
             # per-BATCH politeness budget: the tiny effective-delay
@@ -486,9 +556,8 @@ def _ingest_batch_inner(
             ranked = ranked.join(
                 F.broadcast(budgets), "registered_domain", "left"
             )
-            admit = admit & (
-                F.col("__budget__").isNull()
-                | (F.col("__rk__") <= F.col("__budget__"))
+            budget_ok = F.col("__budget__").isNull() | (
+                F.col("__rk__") <= F.col("__budget__")
             )
             drop_cols.append("__budget__")
         if max_per_domain is not None:
@@ -525,12 +594,35 @@ def _ingest_batch_inner(
                 )
             else:
                 ranked = ranked.withColumn("__used__", F.lit(0))
-            admit = admit & (
+            quota_ok = (
                 F.col("__rk__") + F.col("__used__") <= max_per_domain
             )
             drop_cols.append("__used__")
+        if crawl_delays is not None:
+            # deferral set (VERDICT r10 #3): passed every gate AND the
+            # quota judgment, lost only to this window's budget. Pinned
+            # eagerly BEFORE the step-5 appends — its plan reads
+            # counts_path/acc_path, which those appends mutate.
+            defer_pred = ~budget_ok & quota_ok
+            if max_deferred_per_domain is not None:
+                # bounded backlog: only the next max_deferred_per_domain
+                # fair-draw slots past the budget are kept; the rest are
+                # dropped (the crawl re-discovers them). Without a cap a
+                # source that keeps out-delivering a slow host's budget
+                # grows deferred/ without bound — and the backlog is
+                # REWRITTEN every batch, so its size is a per-batch cost,
+                # not append-only state.
+                defer_pred = defer_pred & (
+                    F.col("__rk__")
+                    <= F.col("__budget__") + F.lit(max_deferred_per_domain)
+                )
+            deferred_new = (
+                ranked.filter(defer_pred)
+                .select(*defer_sel)
+                .localCheckpoint(eager=True)
+            )
         survivors = (
-            ranked.filter(admit)
+            ranked.filter(budget_ok & quota_ok)
             .drop(*drop_cols)
             .localCheckpoint(eager=True)
         )
@@ -554,6 +646,24 @@ def _ingest_batch_inner(
             survivors.groupBy("registered_domain").agg(
                 F.count(F.lit(1)).alias("n")
             ).write.mode("append").parquet(_counts_path(acc_path))
+    # 6. rewrite the deferral backlog LAST: consumed docs leave (they
+    # were admitted, re-deferred, or re-judged away by a gate/quota),
+    # still-over-budget docs stay for the next window. Ordered after
+    # every state append — a crash anywhere earlier leaves the old
+    # backlog intact, and re-offering an already-admitted doc is
+    # removed by content dedup (idempotent); the reverse order could
+    # lose a deferred doc entirely. No repair pass is needed: the worst
+    # a lost rewrite costs is one redundant re-offer, and a lost
+    # backlog dir costs only politeness-deferred docs, never accepted
+    # state (rebuild = nothing; the crawl re-discovers the URLs).
+    if deferred_new is not None and not deferred_new.isEmpty():
+        deferred_new.write.mode("overwrite").parquet(defer_path)
+    elif consumed_deferred and os.path.isdir(defer_path):
+        # backlog fully drained this batch — an empty parquet dir reads
+        # back schemaless, so remove it instead of writing zero rows
+        import shutil
+
+        shutil.rmtree(defer_path)
     return n
 
 
@@ -661,6 +771,7 @@ def run_ingest_stream(
     dsir_min_key: float | None = None,
     crawl_delays: DataFrame | None = None,
     batch_window_sec: float | None = None,
+    max_deferred_per_domain: int | None = None,
 ) -> None:
     """Drain a file-source stream of incoming documents through
     ingest_batch with Trigger.AvailableNow (the backfill/test mode; a
@@ -669,7 +780,11 @@ def run_ingest_stream(
     ``robots_rules``/``robots_agent`` politeness gate and the
     delay-derived per-batch budget (``crawl_delays`` +
     ``batch_window_sec``) — pass straight through to ingest_batch (set
-    ``url_col`` in the schema's columns).
+    ``url_col`` in the schema's columns). Budget-deferred docs ride
+    automatically: ingest_batch persists them to ``deferred/`` and
+    prepends the backlog to the NEXT micro-batch's candidates, so a
+    beyond-budget doc from batch N is admitted in a later window with
+    no re-delivery from the file source (VERDICT r10 #3).
 
     ``source_format='warc'`` streams a CRAWL instead of parquet docs:
     `readStream.format("binaryFile")` tails the directory for new
@@ -718,6 +833,7 @@ def run_ingest_stream(
                 dsir_min_key=dsir_min_key,
                 crawl_delays=crawl_delays,
                 batch_window_sec=batch_window_sec,
+                max_deferred_per_domain=max_deferred_per_domain,
             )
 
         q = (
@@ -749,6 +865,7 @@ def run_ingest_stream(
             dsir_min_key=dsir_min_key,
             crawl_delays=crawl_delays,
             batch_window_sec=batch_window_sec,
+            max_deferred_per_domain=max_deferred_per_domain,
         )
 
     q = (

@@ -12,9 +12,11 @@ r3–r5 records came back "parsed": null because the line (with per-run
 details inline) outgrew that window, losing the front half of the
 headline set from the archived record (VERDICT r5 #2). Per-run raw
 timings, medians, and the full import breakdown now go to the
-BENCH_DETAILS.json side file next to this script; stdout carries only
-the per-query minimum and a compact import summary. A unit test pins
-the line under the window for the current headline set.
+BENCH_DETAILS.json side file next to this script — or to
+$SPARK_GRAFT_BENCH_DETAILS when set, so ad-hoc probe runs never
+clobber the committed round record (VERDICT r10 watch (b)); stdout
+carries only the per-query minimum and a compact import summary. A
+unit test pins the line under the window for the current headline set.
 
 Methodology: every query runs $SPARK_GRAFT_BENCH_REPS (default 3) times in
 interleaved rounds; "queries" maps each name to a [min, median] pair (2
@@ -209,6 +211,19 @@ def _loadavg() -> float | None:
         return None
 
 
+def details_path() -> str:
+    """Where the full per-run record lands. Default: the repo-root
+    BENCH_DETAILS.json the driver archives per round — which means an
+    AD-HOC bench run (a judge's or builder's probe) would clobber the
+    committed clean-run record in the working tree (VERDICT r10 watch
+    (b)). Set $SPARK_GRAFT_BENCH_DETAILS to a scratch path for probe
+    runs; the round's record is whatever the default path held at the
+    builder's last commit."""
+    return os.environ.get("SPARK_GRAFT_BENCH_DETAILS") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+
+
 def max_rep_ratio(runs: dict[str, list[float]]) -> float | None:
     """Contamination sentinel (VERDICT r9 #1): the worst per-query
     max/min rep ratio. On an idle box interleaved warm reps sit within
@@ -288,9 +303,7 @@ def main() -> None:
         for n, rs in runs.items()
     }
     # full record → side file (not stdout: see module docstring)
-    side = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
-    )
+    side = details_path()
     with open(side, "w") as f:
         json.dump(
             {

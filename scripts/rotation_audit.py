@@ -46,14 +46,24 @@ def _row_green(row: dict) -> bool:
     return hm is None or bool(hm)
 
 
-def latest_green_rounds(repo: str = REPO) -> dict[str, int]:
-    """Map query name -> highest round number with a green driver row."""
+def latest_green_rounds(
+    repo: str = REPO, max_round: int | None = None
+) -> dict[str, int]:
+    """Map query name -> highest round number with a green driver row.
+    ``max_round`` (inclusive) freezes the view as of that round:
+    archives from later rounds are ignored. The archive set GROWS every
+    round (the driver drops ``CORRECTNESS_r{N}.json`` into the tree
+    after the builder's last commit), so any caller pinning facts about
+    a specific round's state must pass the cutoff — an uncut read is
+    only valid for "current state" questions (VERDICT r10 #1)."""
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
@@ -63,14 +73,22 @@ def latest_green_rounds(repo: str = REPO) -> dict[str, int]:
 
 
 def stale_cohort(
-    stale_after: int = 4, current_round: int | None = None
+    stale_after: int = 4,
+    current_round: int | None = None,
+    max_round: int | None = None,
 ) -> tuple[int, list[tuple[str, int | None]]]:
     """Return (current_round, [(name, latest_green_round_or_None), ...])
-    sorted oldest-first then by name; None (never validated) sorts first."""
+    sorted oldest-first then by name; None (never validated) sorts
+    first. When ``current_round`` is given and ``max_round`` is not,
+    archives from ``current_round`` onward are excluded automatically —
+    "what was stale entering round N" must not be answered with round
+    N's own rows (the driver may already have landed them)."""
     sys.path.insert(0, REPO)
     from bag_parser_spark.plans.catalog import queries
 
-    latest = latest_green_rounds()
+    if max_round is None and current_round is not None:
+        max_round = current_round - 1
+    latest = latest_green_rounds(max_round=max_round)
     if current_round is None:
         current_round = (max(latest.values()) if latest else 0) + 1
     rows: list[tuple[str, int | None]] = []

@@ -201,8 +201,14 @@ def test_rotation_audit_reads_archives():
     rotation_audit must parse the in-repo CORRECTNESS archives, count a
     row as green only when rows+schema match and hash matches (or the
     round recorded a rows-only check), and surface never-validated
-    names first. Pinned against the known r9 facts: the 13-query
-    r5-stale cohort the r9 verdict names."""
+    names first. Pinned against the known r9 facts FROZEN with an
+    explicit round cutoff (max_round=9): the archive set GROWS every
+    round — the driver lands CORRECTNESS_r{N}.json after the builder's
+    last commit — so an uncut equality here breaks the moment the next
+    archive arrives (VERDICT r10 "what's wrong" #1: the r10 row made
+    cohort_retention's uncut latest jump 5 -> 10 mid-round). Facts about
+    a PAST round go through the cutoff; the live view only gets
+    monotone >= assertions."""
     import os
     import sys as _sys
 
@@ -212,10 +218,17 @@ def test_rotation_audit_reads_archives():
     )
     import rotation_audit as RA
 
-    latest = RA.latest_green_rounds()
-    # known archive facts (stable: archives are append-only per round)
-    assert latest["warc_records"] >= 9
-    assert latest["cohort_retention"] == 5
+    # frozen as-of-r9 facts — stable forever because r10+ archives are
+    # excluded by the cutoff, not because the archive set stops growing
+    frozen = RA.latest_green_rounds(max_round=9)
+    assert frozen["warc_records"] == 9
+    assert frozen["cohort_retention"] == 5
+    # the live (uncut) view can only move forward
+    live = RA.latest_green_rounds()
+    for name, rnd in frozen.items():
+        assert live.get(name, 0) >= rnd, name
+    # "what was stale entering round 10" auto-cuts at round 9, so round
+    # 10's own rows never answer it — the r5 cohort stays visible
     current, rows = RA.stale_cohort(stale_after=5, current_round=10)
     assert current == 10
     names = {n for n, _ in rows}
@@ -236,6 +249,64 @@ def test_rotation_audit_reads_archives():
     # rows-only rounds (hash_match null) still count
     assert RA._row_green({"err": None, "rows_match": True,
                           "schema_match": True, "hash_match": None})
+
+
+def test_rotation_debt_visible_every_run():
+    """VERDICT r10 #7: rotation debt must be VISIBLE on every test run
+    without adding a hard failure mode. Emits the live stale cohort as
+    a pytest warning (shown in the warnings summary of every run); the
+    gate for window packing remains the ordering-contract test above.
+    Always passes — this is a report, not an assertion about debt."""
+    import os
+    import sys as _sys
+    import warnings
+
+    _sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(__file__), "..", "scripts"),
+    )
+    import rotation_audit as RA
+
+    current, rows = RA.stale_cohort(stale_after=4)
+    if rows:
+        head = ", ".join(
+            f"{n} ({'NEVER' if r is None else f'r{r}'})" for n, r in rows[:8]
+        )
+        more = f" … +{len(rows) - 8} more" if len(rows) > 8 else ""
+        warnings.warn(
+            f"rotation debt entering round {current}: {len(rows)} queries "
+            f"never-validated or >=4 rounds stale — {head}{more} "
+            f"(run scripts/rotation_audit.py; pack _DRIVER_PRIORITY)",
+            stacklevel=1,
+        )
+    # the audit's own invariants hold on the live view
+    assert all(r is None or 0 < r < current for _, r in rows)
+
+
+def test_bench_details_path_honors_env_redirect(monkeypatch, tmp_path):
+    """VERDICT r10 watch (b): an ad-hoc bench run must not clobber the
+    committed BENCH_DETAILS.json round record — $SPARK_GRAFT_BENCH_DETAILS
+    redirects the side-file write; unset, the default stays the
+    repo-root path the driver archives (driver compatibility)."""
+    import importlib.util
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "bench_dp", os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_DETAILS", raising=False)
+    assert os.path.normpath(bench.details_path()) == os.path.normpath(
+        os.path.join(root, "BENCH_DETAILS.json")
+    )
+    scratch = str(tmp_path / "probe_details.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAILS", scratch)
+    assert bench.details_path() == scratch
+    # empty value falls back to the default, not to writing at ""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAILS", "")
+    assert bench.details_path().endswith("BENCH_DETAILS.json")
 
 
 def test_bench_headline_names_resolve():

@@ -1214,6 +1214,54 @@ def test_image_ahash_handles_grayscale_and_rgba(spark):
     assert 0 < out[1]["n_ones"] < 64
 
 
+def test_mm_neardup_hamming_builtin_equivalence(spark):
+    """VERDICT r10 #6: mm_image_neardup's hamming refine now uses JVM
+    conv/xor/bit_count instead of the 16-nibble arithmetic emulation
+    whose ~600-node tree Janino could not compile (the one codegen
+    ERROR in every bench run). Pin value equivalence against Python's
+    popcount over adversarial + random 64-bit hex pairs, and that the
+    refine join's generated code actually COMPILES (no interpreted
+    fallback: a fresh run of the query emits no CodeGenerator error —
+    checked via the plan executing with codegen.fallback disabled)."""
+    import random
+
+    from bag_parser_spark.plans.catalog import registry
+
+    rng = random.Random(11)
+    pairs = [
+        ("0" * 16, "f" * 16),
+        ("8000000000000000", "0000000000000001"),
+        ("ffffffffffffffff", "ffffffffffffffff"),
+    ] + [
+        (f"{rng.getrandbits(64):016x}", f"{rng.getrandbits(64):016x}")
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(pairs, "ha string, hb string")
+
+    def half(col, start):
+        return F.conv(F.substring(col, start, 8), 16, 10).cast("long")
+
+    ham = (
+        F.bit_count(half("ha", 1).bitwiseXOR(half("hb", 1)))
+        + F.bit_count(half("ha", 9).bitwiseXOR(half("hb", 9)))
+    ).cast("long")
+    for r in df.withColumn("h", ham).collect():
+        expect = bin(int(r["ha"], 16) ^ int(r["hb"], 16)).count("1")
+        assert r["h"] == expect, (r["ha"], r["hb"], r["h"], expect)
+    # the full query must run with codegen fallback DISABLED — if the
+    # refine expression ever regresses past Janino's limits again, this
+    # raises instead of silently interpreting
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        out = registry()["mm_image_neardup"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
 def test_verify_pairs_jaccard_refines_candidates(spark):
     # doc0/doc1 share 2 of 4 distinct shingles (J=0.5); doc0/doc2 share
     # none — a candidate generator that emitted both pairs must keep only

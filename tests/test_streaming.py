@@ -812,16 +812,31 @@ def test_ingest_politeness_budget_across_batches(spark, tmp_path):
     }
     assert by_dom == {"slow.com": 2, "fast.com": 5, "c.net": 5}
     # replay semantics: admitted docs dedup away (never double-admit);
-    # the budget-REJECTED slow doc is a DEFERRAL — the re-offer rides
-    # this window's budget slot (a polite crawler requeues beyond-budget
-    # URLs), while the quota-rejected fast/c.net docs stay rejected
+    # budget-REJECTED docs are DEFERRALS the engine persisted — each
+    # replayed window is a new crawl window, so one more slow doc rides
+    # its budget slot per call, while the quota-rejected fast/c.net
+    # docs stay rejected (never deferred)
     assert ingest_batch(spark, b2, state, **kw) == 1
     acc2 = spark.read.parquet(f"{state}/accepted")
     assert acc2.count() == 13
     assert acc2.select("doc_id").distinct().count() == 13  # no dupes
-    # a second replay finds every b2 doc admitted-or-quota-blocked: 0
+    # the backlog keeps draining at one slow doc per window — even with
+    # an EMPTY source batch (the engine owns the re-offer) — until all
+    # 5 slow docs are in (quota 5 never bites for slow.com)
+    empty = mk([])
+    assert ingest_batch(spark, empty, state, **kw) == 1
+    assert ingest_batch(spark, empty, state, **kw) == 1
+    acc3 = spark.read.parquet(f"{state}/accepted")
+    assert acc3.count() == 15
+    assert acc3.select("doc_id").distinct().count() == 15
+    # backlog drained: the deferred table is gone and further windows
+    # admit nothing
+    import os as _os
+
+    assert not _os.path.isdir(f"{state}/deferred")
+    assert ingest_batch(spark, empty, state, **kw) == 0
     assert ingest_batch(spark, b2, state, **kw) == 0
-    assert spark.read.parquet(f"{state}/accepted").count() == 13
+    assert spark.read.parquet(f"{state}/accepted").count() == 15
     # half-configured budget or missing url_col fail loudly
     with pytest.raises(ValueError, match="together"):
         ingest_batch(
@@ -831,6 +846,94 @@ def test_ingest_politeness_budget_across_batches(spark, tmp_path):
         ingest_batch(
             spark, b1.drop("url"), state,
             crawl_delays=delays, batch_window_sec=4.0,
+        )
+
+
+def test_ingest_budget_deferral_engine_owned(spark, tmp_path):
+    """VERDICT r10 #3: a budget reject is a deferral the ENGINE owns.
+    ingest_batch persists beyond-budget docs to deferred/ and prepends
+    the backlog to the next batch's candidates — so a slow-host doc
+    rejected in batch N is admitted in batch N+1 with NO re-delivery
+    from the source; quota rejects are never deferred; replay stays
+    idempotent; the backlog schema survives round trips (original
+    input columns, every gate re-runs); mode drift fails loudly."""
+    import os
+
+    import pytest
+
+    from bag_parser_spark.streaming.corpus import ingest_batch
+
+    state = str(tmp_path / "state")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string, url string"
+    )
+    txt = lambda i: " ".join(f"w{j}-{i}" for j in range(30))  # noqa: E731
+    delays = spark.createDataFrame(
+        [("slow.com", "*", 10.0)],
+        "domain string, agent string, crawl_delay double",
+    )
+    kw = dict(url_col="url", crawl_delays=delays, batch_window_sec=4.0)
+    # batch 1: three slow.com docs, budget max(1, floor(4/10)) = 1
+    b1 = mk([(i, txt(i), f"https://slow.com/p/{i}") for i in (1, 2, 3)])
+    assert ingest_batch(spark, b1, state, **kw) == 1
+    # the two beyond-budget docs are PERSISTED, in original input schema
+    backlog = spark.read.parquet(f"{state}/deferred")
+    assert sorted(backlog.columns) == ["doc_id", "text", "url"]
+    assert backlog.count() == 2
+    deferred_ids = {r["doc_id"] for r in backlog.collect()}
+    assert deferred_ids <= {1, 2, 3} and len(deferred_ids) == 2
+    # batch 2: EMPTY source batch — the engine re-offers the backlog
+    # itself; one more slow doc rides this window's budget slot
+    empty = mk([])
+    assert ingest_batch(spark, empty, state, **kw) == 1
+    assert spark.read.parquet(f"{state}/deferred").count() == 1
+    # batch 3: another doc from ANOTHER host arrives; the deferred slow
+    # doc and the new doc both admit (independent budgets)
+    b3 = mk([(9, txt(9), "https://other.org/x")])
+    assert ingest_batch(spark, b3, state, **kw) == 2
+    # backlog drained -> deferred/ removed, accepted complete + unique
+    assert not os.path.isdir(f"{state}/deferred")
+    acc = spark.read.parquet(f"{state}/accepted")
+    assert {r["doc_id"] for r in acc.collect()} == {1, 2, 3, 9}
+    assert acc.count() == 4
+    # replay of batch 1: all three docs content-dedup away; nothing is
+    # re-deferred and no backlog reappears
+    assert ingest_batch(spark, b1, state, **kw) == 0
+    assert not os.path.isdir(f"{state}/deferred")
+    assert spark.read.parquet(f"{state}/accepted").count() == 4
+    # quota rejects are NOT deferred: a fresh state with quota 1 and no
+    # delay row for the host drops the overflow permanently
+    state2 = str(tmp_path / "state2")
+    b = mk([(i, txt(100 + i), f"https://q.com/{i}") for i in (1, 2)])
+    assert ingest_batch(
+        spark, b, state2, url_col="url", max_per_domain=1,
+        crawl_delays=delays, batch_window_sec=4.0,
+    ) == 1
+    assert not os.path.isdir(f"{state2}/deferred")
+    # bounded backlog: max_deferred_per_domain keeps only that many
+    # fair-draw slots past the budget; the overflow is dropped, so the
+    # backlog never outgrows budget + cap per domain
+    state4 = str(tmp_path / "state4")
+    b5 = mk([(i, txt(200 + i), f"https://slow.com/z/{i}") for i in range(5)])
+    assert ingest_batch(
+        spark, b5, state4, url_col="url",
+        crawl_delays=delays, batch_window_sec=4.0,
+        max_deferred_per_domain=2,
+    ) == 1  # budget 1 admitted; 2 deferred; 2 dropped
+    assert spark.read.parquet(f"{state4}/deferred").count() == 2
+    with pytest.raises(ValueError, match="max_deferred_per_domain"):
+        ingest_batch(
+            spark, b5, state4, url_col="url", max_deferred_per_domain=2
+        )
+    # mode drift: a backlog written with url mode cannot be consumed by
+    # a url-less batch — fail loudly, never union mismatched schemas
+    state3 = str(tmp_path / "state3")
+    assert ingest_batch(spark, b1, state3, **kw) == 1
+    with pytest.raises(ValueError, match="deferred/"):
+        ingest_batch(
+            spark,
+            spark.createDataFrame([(7, txt(7))], "doc_id long, text string"),
+            state3,
         )
 
 
