@@ -81,6 +81,16 @@ def cmd_ingest(args) -> int:
                 "--dsir-target/--dsir-reference once, or reuse a state "
                 "dir that already carries dsir_lam/"
             )
+    if (args.crawl_delays is None) != (args.batch_window_sec is None):
+        raise SystemExit(
+            "--crawl-delays and --batch-window-sec go together (the "
+            "per-batch politeness budget is floor(window / delay))"
+        )
+    if args.max_deferred_per_domain is not None and args.crawl_delays is None:
+        raise SystemExit(
+            "--max-deferred-per-domain caps the budget-deferral backlog "
+            "— it needs --crawl-delays/--batch-window-sec"
+        )
     if args.dsir_target is not None:
         from bag_parser_spark.streaming.corpus import init_dsir_state
 
@@ -114,6 +124,13 @@ def cmd_ingest(args) -> int:
         ),
         robots_agent=args.robots_agent,
         dsir_min_key=args.dsir_min_key,
+        crawl_delays=(
+            spark.read.parquet(args.crawl_delays)
+            if args.crawl_delays
+            else None
+        ),
+        batch_window_sec=args.batch_window_sec,
+        max_deferred_per_domain=args.max_deferred_per_domain,
     )
     acc = spark.read.parquet(os.path.join(args.state, "accepted"))
     n = acc.count()
@@ -612,6 +629,21 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--dsir-reference", default=None, metavar="PARQUET",
                      help="raw reference corpus for the DSIR "
                      "denominator (goes with --dsir-target)")
+    ing.add_argument("--crawl-delays", default=None, metavar="PARQUET",
+                     help="parquet of (domain, agent, crawl_delay) "
+                     "rows: per-BATCH politeness budget max(1, "
+                     "floor(window/delay)) per domain; beyond-budget "
+                     "docs are deferred to the next window via the "
+                     "deferred/ state table (goes with "
+                     "--batch-window-sec; requires --url-col or "
+                     "--from-warc)")
+    ing.add_argument("--batch-window-sec", type=float, default=None,
+                     help="crawl-window seconds one micro-batch "
+                     "represents (goes with --crawl-delays)")
+    ing.add_argument("--max-deferred-per-domain", type=int, default=None,
+                     help="bound the deferral backlog: keep only this "
+                     "many fair-draw slots past each domain's budget, "
+                     "drop the rest (requires --crawl-delays)")
     ing.add_argument("--dsir-min-key", type=float, default=None,
                      help="DSIR selection threshold on the per-doc "
                      "Gumbel sample key, scored against the frozen "

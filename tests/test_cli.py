@@ -277,6 +277,58 @@ def test_cli_ingest_incremental_dedup(spark, tmp_path):
     assert json.loads(r.stdout.strip().splitlines()[-1])["n_accepted"] == 3
 
 
+def test_cli_ingest_budget_deferral(spark, tmp_path):
+    """`ingest --crawl-delays/--batch-window-sec` applies the per-batch
+    politeness budget through the CLI, and the engine-owned deferral
+    drains across deliveries: batch-1 overflow docs persist to
+    deferred/ and are admitted by the NEXT delivery's window without
+    the source re-sending them. Half-configured flags exit loudly."""
+    import json
+
+    txt = lambda i: " ".join(f"w{j}-{i}" for j in range(30))  # noqa: E731
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, txt(i), f"https://slow.com/p/{i}") for i in (1, 2)],
+        "doc_id long, text string, url string",
+    ).coalesce(1).write.parquet(str(src / "d1.parquet"))
+    delays = tmp_path / "delays"
+    spark.createDataFrame(
+        [("slow.com", "*", 10.0)],
+        "domain string, agent string, crawl_delay double",
+    ).write.parquet(str(delays))
+    args = [
+        "ingest", "--source", f"{src}/*",
+        "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--schema", "doc_id long, text string, url string",
+        "--url-col", "url",
+        "--crawl-delays", str(delays),
+        "--batch-window-sec", "4.0",
+        "--max-deferred-per-domain", "5",
+    ]
+    r = _run_cli(*args)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # budget 1: one admitted, one deferred
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_accepted"] == 1
+    assert (tmp_path / "state" / "deferred").is_dir()
+    # second delivery (a different host) fires the next window: the
+    # deferred slow doc AND the new doc admit — the source never
+    # re-sent doc 1/2
+    spark.createDataFrame(
+        [(9, txt(9), "https://other.org/x")],
+        "doc_id long, text string, url string",
+    ).coalesce(1).write.parquet(str(src / "d2.parquet"))
+    r = _run_cli(*args)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_accepted"] == 3
+    assert not (tmp_path / "state" / "deferred").exists()
+    # half-configured budget flags exit loudly before draining
+    r = _run_cli(*[a for a in args if a not in ("--batch-window-sec", "4.0")])
+    assert r.returncode != 0
+    assert "--batch-window-sec" in r.stderr
+
+
 def test_cli_import_native_xml_backend(tmp_path):
     """`import --xml-backend native` runs the JVM XML scan end to end on
     a plain (pre-extracted) delivery and produces the same adressen the
