@@ -117,6 +117,87 @@ def pack_sequences(
     )
 
 
+def pack_bins_bucketed(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column,
+    ctx_len: int,
+    shard_col: Column | str,
+) -> DataFrame:
+    """Whole-document bin packing into fixed ``ctx_len`` contexts — the
+    NO-SPLIT complement of ``pack_sequences`` (SFT/instruction corpora
+    pack whole examples and pad, they never straddle a document across
+    contexts the way pretraining chunking does). Exact first-fit is
+    inherently sequential, so this is the scalable length-bucketed
+    approximation: round each doc's length up to its power-of-two class,
+    then within a (class, shard) cell deal docs into bins of exactly
+    ``floor(ctx_len / class_max)`` slots — capacity is guaranteed by
+    construction (bin_cap · class_max ≤ ctx_len), the assignment is one
+    ``row_number`` divmod, and the whole layout is a deterministic
+    function of (class, shard, order), independent of partitioning.
+
+    Per doc: its class (``len_class`` = the power-of-two ceiling),
+    ``shard``, ``bin_no``/``slot`` within the (class, shard) cell, the
+    cell's ``bin_cap``, and an ``oversize`` flag for docs longer than
+    the context (they get a bin of their own — the loader decides
+    truncate-vs-drop; packing must not silently do either). Docs with
+    ``ctx_len/2 < n ≤ ctx_len`` land in a class whose power-of-two
+    exceeds the context — their capacity clamps to 1, which is also the
+    guaranteed-fit bound (two such docs always overflow).
+
+    Waste bound: every doc is > class_max/2, so a full bin is > 50%
+    occupied — plus at most ONE partial bin per (class, shard) cell
+    (≈ classes × shards bins total, corpus-size-independent). Tighter
+    packing exists (FFD reaches ~11/9·OPT) but needs a sequential pass;
+    at 100 TB the trade goes the other way: this shape is ONE shuffle
+    keyed (len_class, shard), and the shard key — any uniform hash —
+    spreads the dominant length class across tasks, so the one real
+    skew axis (most corpora concentrate in 2-3 classes) is bounded by
+    construction rather than by a rescue. The reference has no packing
+    stage (BAG parser); this is the training-data extension surface.
+    """
+    if ctx_len < 1:
+        raise ValueError(f"ctx_len must be positive: {ctx_len}")
+    shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    n = F.greatest(token_count.cast("long"), F.lit(1))
+    # smallest power of two >= n, as a first-match-wins CASE ladder:
+    # integer-exact in every engine (a float log2 rounds 2^k both ways
+    # at the boundaries, and the oracle must compute the same class)
+    cls = F.when(n <= 1, F.lit(1))
+    for p in range(1, 32):
+        cls = cls.when(n <= 2 ** p, F.lit(2 ** p))
+    cls = cls.otherwise(F.lit(2 ** 62))
+    base = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        shard.cast("long").alias("shard"),
+        cls.alias("len_class"),
+    ).withColumn(
+        # floor(ctx/class) slots fit by construction; the clamp to 1
+        # covers the top class (class_max > ctx), where one doc <= ctx
+        # still fits alone
+        "bin_cap",
+        F.greatest(
+            F.floor(F.lit(ctx_len) / F.col("len_class")).cast("long"),
+            F.lit(1).cast("long"),
+        ),
+    )
+    w = Window.partitionBy("len_class", "shard").orderBy(
+        F.col("n_tokens").desc(), F.col(id_col).asc()
+    )
+    rn = F.row_number().over(w) - 1
+    return base.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        "len_class",
+        "bin_cap",
+        F.floor(rn / F.col("bin_cap")).cast("long").alias("bin_no"),
+        (rn % F.col("bin_cap")).cast("long").alias("slot"),
+        (F.col("n_tokens") > ctx_len).alias("oversize"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

@@ -947,22 +947,26 @@ def q_f8(spark, sf_dir):
 # first 50 keys), so the order is re-rotated each round. r11 rotation
 # (VERDICT r10 #2; cohort from `scripts/rotation_audit.py --stale-after 4
 # --current-round 11`: 15 names at r6 greens, 47 at r7): the window
-# leads with the two r11 rewrites (the frontier's ceiling floor-math
-# fix and mm_image_neardup's bit_count hamming refine — their r10
-# greens predate the changes), then the COMPLETE 15-query r6-stale
-# cohort the r10 verdict queues, then 33 of the 47 r7-stale queries
-# chosen round-robin so every operator family holds a first-50 slot —
-# including the corpus family (`tfidf_vectors`, r7-stale AND the
-# family member VERDICT r10 #1 requires; `f14_null_semantics` and
+# leads with the one r11 addition (sample_pack_bins — no driver row
+# can exist) and the two r11 rewrites (the frontier's ceiling
+# floor-math fix and mm_image_neardup's bit_count hamming refine —
+# their r10 greens predate the changes), then the COMPLETE 15-query
+# r6-stale cohort the r10 verdict queues, then 32 of the 47 r7-stale
+# queries chosen round-robin so every operator family holds a first-50
+# slot — including the corpus family (`tfidf_vectors`, r7-stale AND
+# the family member VERDICT r10 #1 requires; `f14_null_semantics` and
 # `j11_merge_apply` likewise double as the scalar-pack / join-ext
-# members). The 14 r7 names deferred to r12 (a3_latest_date,
+# members). The 15 r7 names deferred to r12 (a3_latest_date,
 # a4_distinct, a5_dedup_scan, j3_plaats_overlay, j5_explode_self_join,
 # j6_coalesce_override, j8_semi_join, p6_conditional_name,
 # p7_geometry_roundtrip, text_gopher_summary, text_pii_redact,
-# url_canonical_dedup, url_domain_stats, w3_rank_battery) are members
-# of families holding 2+ window slots already. Queries not listed
-# follow in registration order — nothing is dropped.
+# url_canonical_dedup, url_domain_cap, url_domain_stats,
+# w3_rank_battery) are members of families holding 2+ window slots
+# already. Queries not listed follow in registration order — nothing
+# is dropped.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # — r11 addition (never driver-validated) —
+    "sample_pack_bins",
     # — r11 rewrites (stale green rows are not evidence for new code) —
     "web_crawl_frontier", "mm_image_neardup",
     # — the r6-stale cohort, complete (VERDICT r10 #2 names these) —
@@ -992,7 +996,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_quality_metrics",
     # tpch / timeseries / url —
     "tpch_q7_volume_shipping", "ts_window_battery",
-    "url_blocklist_filter", "url_canonicalize", "url_domain_cap",
+    "url_blocklist_filter", "url_canonicalize",
 )
 
 # Queries REWRITTEN since their last green driver CORRECTNESS row: a stale

@@ -3915,6 +3915,85 @@ def q_sample_token_budget(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# sample_pack_bins — whole-document bin packing (r11: the NO-SPLIT
+# complement of pack_sequences' concatenate-then-chunk — SFT corpora pack
+# whole examples and pad, never straddle)
+# ---------------------------------------------------------------------------
+
+_PACK_CTX = 96  # fixture tokens run 10..99: classes 16..64 (cap 6..1),
+#                the >64 clamp-to-1 class AND the >96 oversize branch all
+#                populate at sf0.01
+_PACK_SHARDS = 4
+_PACK_SHARD_SEED = "packshard"
+
+
+def _pack_bins_oracle_sql() -> str:
+    ladder = " ".join(
+        f"WHEN n <= {2 ** p} THEN {2 ** p}" for p in range(0, 32)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             GREATEST(CAST(len({O.words_sql('text')}) AS BIGINT), 1) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             {O.md5_mod_sql('doc_id', _PACK_SHARD_SEED, _PACK_SHARDS)}
+               AS shard,
+             CAST(CASE {ladder} ELSE {2 ** 62} END AS BIGINT) AS len_class
+      FROM t
+    ),
+    c AS (
+      SELECT *,
+             GREATEST(CAST(FLOOR({_PACK_CTX} / len_class) AS BIGINT),
+                      1) AS bin_cap,
+             ROW_NUMBER() OVER (
+               PARTITION BY len_class, shard ORDER BY n DESC, doc_id ASC
+             ) - 1 AS rn
+      FROM s
+    )
+    SELECT doc_id, n AS n_tokens, CAST(shard AS BIGINT) AS shard,
+           len_class, bin_cap,
+           CAST(FLOOR(rn / bin_cap) AS BIGINT) AS bin_no,
+           CAST(rn % bin_cap AS BIGINT) AS slot,
+           n > {_PACK_CTX} AS oversize
+    FROM c
+    """
+
+
+@register(
+    "sample_pack_bins",
+    _pack_bins_oracle_sql(),
+    doc="Whole-document bin packing into fixed 96-token contexts "
+    "(sampling.pack_bins_bucketed): power-of-two length classes via an "
+    "integer-exact CASE ladder (float log2 rounds 2^k boundaries both "
+    "ways across engines), then one row_number divmod per (class, "
+    "shard) cell deals docs into bins of floor(ctx/class) slots — "
+    "capacity guaranteed by construction, >ctx/2 docs clamp to "
+    "1-per-bin (the guaranteed-fit bound), >ctx docs flagged oversize "
+    "in a bin of their own. Layout is a deterministic function of "
+    "(class, shard, order) — partitioning-independent, so the oracle "
+    "recomputes every assignment exactly. Scale: ONE shuffle keyed "
+    "(len_class, shard); the md5 shard key spreads the dominant "
+    "length class (the real skew axis) across tasks by construction.",
+)
+def q_sample_pack_bins(spark, sf_dir):
+    from bag_parser_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.pack_bins_bucketed(
+        docs,
+        id_col="doc_id",
+        token_count=F.size(F.split(F.trim(F.col("text")), r"\s+")),
+        ctx_len=_PACK_CTX,
+        shard_col=sampling.md5_mod(
+            F.col("doc_id"), _PACK_SHARD_SEED, _PACK_SHARDS
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sample_dsir — DSIR importance resampling (r8: the data-SELECTION half of
 # the mixing family — choose raw docs that LOOK like a target corpus,
 # arXiv:2302.03169; complements sample_token_budget's budget half)

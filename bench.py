@@ -107,10 +107,12 @@ HEADLINE = [
     # sim_cosine_topk (sim_ivf_topk covers the cosine path),
     # ts_ohlc_bars (ts_gapfill/ts_interval_join keep the family on the
     # clock), text_bm25_topk and a9_rollup (families covered below) —
-    # all stay oracle-tested in pytest. Added: the two rewritten ntile
-    # queries (their perf is the point of the rewrite), the 0-exchange
-    # block-scoring extractor, and the iterative PageRank
-    "a20_ntile_binning",
+    # all stay oracle-tested in pytest. Added: the rewritten ntile
+    # query family (their perf is the point of the rewrite — r11 keeps
+    # cust_rfm, the heavier of the two bucketed_rank twins, and rotates
+    # a20_ntile_binning off for sample_pack_bins under the
+    # stdout-window budget; a20 stays oracle-tested in pytest), the
+    # 0-exchange block-scoring extractor, and the iterative PageRank
     "cust_rfm",
     "text_main_content",
     "ml_pagerank_converged",
@@ -124,6 +126,9 @@ HEADLINE = [
     # Added: the WARC source (synthetic build + real record parse —
     # the raw-input end of the web pipeline)
     "warc_records",
+    # r11: whole-document bin packing — one (len_class, shard) window
+    # exchange, zero joins; the no-split half of the packing family
+    "sample_pack_bins",
 ]
 
 # FIXED core (VERDICT r8 #7): the headline total stopped being

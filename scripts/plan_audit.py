@@ -131,6 +131,10 @@ AUDIT = [
     # from_json + posexplode + resolve CASE; the only exchange is the
     # id-sized file-bucket groupBy, the JSON never reaches Python
     "wat_links",
+    # r11: whole-document bin packing — exactly one exchange (the
+    # (len_class, shard) row_number window), zero joins, zero Python;
+    # the CASE ladder and divmod ride the scan in one codegen region
+    "sample_pack_bins",
 ]
 
 _PY_NODES = (

@@ -334,6 +334,75 @@ def test_hash_split_fractions_and_determinism(spark):
         c.select("doc_id", "split")).count() > 0
 
 
+def test_pack_bins_bucketed_invariants(spark):
+    """Whole-document bin packing (r11): every non-oversize bin's token
+    total is <= ctx_len BY CONSTRUCTION (bin_cap * class_max <= ctx, or
+    the clamp-to-1 top class), oversize docs sit alone and flagged,
+    slots are dense 0..bin_cap-1 per bin, the layout is partitioning-
+    independent, and the fill waste stays above the >50%-per-full-bin
+    bound the docstring promises."""
+    from bag_parser_spark.operators import sampling
+
+    # adversarial lengths: power-of-two boundaries (64/65), clamp band
+    # (ctx/2 < n <= ctx), oversize (> ctx), minimum (<=1 clamps to 1)
+    lens = [1, 0, 2, 3, 63, 64, 65, 90, 96, 97, 200, 33, 32, 31] + [
+        17 + (i % 50) for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, ntok long"
+    )
+    out = sampling.pack_bins_bucketed(
+        df, "doc_id", F.col("ntok"), ctx_len=96,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(3)),
+    ).persist()
+    rows = out.collect()
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault(
+            (r["len_class"], r["shard"], r["bin_no"]), []
+        ).append(r)
+    for key, members in by_bin.items():
+        total = sum(m["n_tokens"] for m in members)
+        caps = {m["bin_cap"] for m in members}
+        assert len(caps) == 1
+        if any(m["oversize"] for m in members):
+            assert len(members) == 1  # oversize docs sit alone
+        else:
+            assert total <= 96, (key, total)
+        # dense slots 0..len-1, within capacity
+        slots = sorted(m["slot"] for m in members)
+        assert slots == list(range(len(members)))
+        assert len(members) <= caps.pop()
+    # n<=1 clamps into class 1; boundary docs take their exact class
+    cls = {r["doc_id"]: r["len_class"] for r in rows}
+    assert cls[0] == 1 and cls[1] == 1  # n=1, n=0
+    assert cls[5] == 64 and cls[6] == 128  # n=64 vs n=65
+    over = {r["doc_id"] for r in rows if r["oversize"]}
+    assert over == {9, 10}  # n=97, n=200
+    # >ctx/2 docs (65, 90, 96) clamp to 1-per-bin
+    for d in (6, 7, 8):
+        assert [r["bin_cap"] for r in rows if r["doc_id"] == d] == [1]
+    # partitioning-independent layout
+    out2 = sampling.pack_bins_bucketed(
+        df.repartition(13), "doc_id", F.col("ntok"), ctx_len=96,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(3)),
+    )
+    assert out.exceptAll(out2).count() == 0 and out2.count() == len(rows)
+    # full bins beat the 50% fill bound
+    for key, members in by_bin.items():
+        cap = members[0]["bin_cap"]
+        if len(members) == cap and not members[0]["oversize"] and cap > 1:
+            assert sum(m["n_tokens"] for m in members) > 96 // 2
+    out.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ctx_len"):
+        sampling.pack_bins_bucketed(
+            df, "doc_id", F.col("ntok"), ctx_len=0, shard_col=F.lit(0)
+        )
+
+
 def test_pack_sequences_stream_invariants(spark):
     from bag_parser_spark.operators import sampling
 
