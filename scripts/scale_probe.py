@@ -110,6 +110,11 @@ QUERIES = [
     "wet_records",
     "web_robots_parse",
     "wat_links",
+    # r11: whole-document bin packing — one (len_class, shard) window;
+    # replicas multiply rows inside the SAME few classes (token lengths
+    # are re-keyed copies), so the probe checks the dominant-class
+    # window stays spread by the md5 shard rather than serializing
+    "sample_pack_bins",
 ]
 
 
