@@ -439,3 +439,70 @@ def test_jpeg_general_roundtrip_bounded_error_fuzz(w, h, seed):
     assert (out["width"], out["height"]) == (w, h)
     err = max(abs(a - b) for a, b in zip(out["pixels"], px))
     assert err <= 3, err
+
+
+# r11 — whole-document bin packing: the layout is a closed-form function
+# of (lengths, ids, ctx, shards); a plain-Python model reproduces every
+# assignment exactly, and the capacity invariant holds by construction.
+def _pack_bins_model(rows, ctx, shards):
+    import hashlib
+    import math
+
+    def shard_of(i):
+        h = hashlib.md5(f"packshard:{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % shards
+
+    def cls_of(n):
+        n = max(n, 1)
+        for p in range(0, 32):
+            if n <= 2 ** p:
+                return 2 ** p
+        return 2 ** 62
+
+    out = {}
+    cells = {}
+    for i, n in rows:
+        nn = max(n, 1)
+        cells.setdefault((cls_of(nn), shard_of(i)), []).append((i, nn))
+    for (cls, sh), members in cells.items():
+        cap = max(int(math.floor(ctx / cls)), 1)
+        members.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (i, nn) in enumerate(members):
+            out[i] = (nn, sh, cls, cap, rank // cap, rank % cap, nn > ctx)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=300), min_size=1,
+                  max_size=60),
+    ctx=st.integers(min_value=1, max_value=200),
+    shards=st.integers(min_value=1, max_value=3),
+)
+def test_pack_bins_matches_python_model(spark, lens, ctx, shards):
+    from bag_parser_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, ntok long"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["shard"], r["len_class"], r["bin_cap"],
+            r["bin_no"], r["slot"], r["oversize"],
+        )
+        for r in sampling.pack_bins_bucketed(
+            df, "doc_id", F.col("ntok"), ctx_len=ctx,
+            shard_col=sampling.md5_mod(F.col("doc_id"), "packshard", shards),
+        ).collect()
+    }
+    want = _pack_bins_model(list(enumerate(lens)), ctx, shards)
+    assert got == want
+    # capacity invariant: every non-oversize bin's total fits the context
+    bins = {}
+    for i, (nn, sh, cls, cap, b, s, over) in got.items():
+        bins.setdefault((cls, sh, b), []).append((nn, over))
+    for members in bins.values():
+        if not any(over for _, over in members):
+            assert sum(nn for nn, _ in members) <= ctx
+        else:
+            assert len(members) == 1
