@@ -108,6 +108,11 @@ def test_split_and_pack_shapes(spark):
     pack_plan = _plan(reg["pack_sequences"].fn(spark, SF_CORRECT), "simple")
     # packing = one shuffle (by shard) + in-partition sort for the cumsum
     assert pack_plan.count("Exchange hashpartitioning") == 1
+    # bin packing (r11): one (len_class, shard) window shuffle, zero
+    # joins — the class ladder / md5 fold / divmod all ride the scan
+    bins_plan = _plan(reg["sample_pack_bins"].fn(spark, SF_CORRECT), "simple")
+    assert bins_plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in bins_plan
 
 
 def test_a9_rollup_single_expand_single_exchange(spark):
