@@ -1282,3 +1282,192 @@ def repeated_substring_stats(
             F.count(F.lit(1)).alias("distinct_shared_windows"),
         )
     )
+
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_k: int = 4,
+    window_w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    hash every word ``gram_k``-gram, then for EVERY gram position take the
+    minimum hash over the next ``window_w`` consecutive gram hashes; the
+    distinct set of those minima is the document's fingerprint set. Returns
+    (id, fp) rows. Unlike the single min-hash ``text.fingerprint`` this
+    keeps ~n/w fingerprints per document, so two documents sharing ANY
+    sufficiently long run of text share a fingerprint by construction —
+    the guarantee MinHash only gives probabilistically.
+
+    Tail windows are truncated (min over the remaining < w grams), so
+    documents with fewer than ``window_w`` grams keep every gram hash;
+    documents shorter than ``gram_k`` words fall back to one whole-text
+    gram — mirroring ``word_shingle_rows``'s short-doc contract.
+
+    Relational shape (the codegen-friendly form — see
+    ``minhash_signatures``'s docstring for why nested array expressions
+    lose): posexplode tokens → lead() k-grams → md5 → windowed min over
+    the following w-1 rows. ONE exchange, on the id — and the shuffled
+    payload is (id, pos, 32-byte hash), never document text. At 100 TB
+    the fingerprint table is ~1/w of the gram count; downstream consumers
+    join on fp, an md5-uniform key with no natural skew.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("pos", "tok"),
+    )
+    w_lead = Window.partitionBy("__id__").orderBy("pos")
+    leads = [F.lead("tok", j).over(w_lead) for j in range(1, gram_k)]
+    gram = F.concat_ws(" ", F.col("tok"), *leads)
+    gh = (
+        toks.withColumn(
+            "gh",
+            F.when(
+                leads[-1].isNotNull() | (F.col("pos") == 0), F.md5(gram)
+            ),
+        )
+        .filter(F.col("gh").isNotNull())
+        .select("__id__", "pos", "gh")
+    )
+    w_min = (
+        Window.partitionBy("__id__")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window_w - 1)
+    )
+    return (
+        gh.select("__id__", F.min("gh").over(w_min).alias("fp"))
+        .distinct()
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_k: int = 4,
+    window_w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints: invert the
+    (id, fp) table and equi-join on fp, keeping pairs sharing at least
+    ``min_shared`` distinct fingerprints. Output (id_a, id_b, shared_fps)
+    with id_a < id_b.
+
+    ``max_fp_df`` drops fingerprints present in more than that many
+    documents BEFORE pairing — the boilerplate guard: a header shared by
+    100k docs would otherwise mint a 100k² bucket. With it, per-fp join
+    fanout is bounded by max_fp_df² and the pair count by
+    |fps|·max_fp_df²/2 — the same hot-bucket discipline as the LSH band
+    join. Shuffles carry (fp, id) pairs only, never text.
+
+    The fingerprint table is persisted once: the hot-fp anti-join and
+    both self-join sides would otherwise each re-execute the tokenize →
+    window lineage (Spark self-joins duplicate lineage; persist dedupes
+    it, same convention as ``minhash_lsh_pairs``) — at corpus scale the
+    fingerprint scan IS the dominant cost, so 4× would be the bill.
+    """
+    fps = winnow_fingerprint_rows(
+        df, id_col, text_col, gram_k, window_w
+    ).persist()
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.select(F.col("fp"), F.col("__id__").alias("id_a"))
+    b = fps.select(F.col("fp"), F.col("__id__").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnowing_pairs_incremental(
+    new_df: DataFrame,
+    base_fps: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_k: int = 4,
+    window_w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    base_fp_df: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental winnowing near-dup pairs: a NEW batch against an
+    already-fingerprinted corpus — emits (new × base) and (new × new)
+    pairs, never (base × base). Identical to ``winnowing_pairs(base ∪
+    new)`` minus the base-only pairs (fingerprinting is per-doc, so the
+    identity is exact — unit-tested), at the cost of fingerprinting only
+    the increment.
+
+    ``base_fps`` is the corpus's stored (``__id__``, ``fp``) fingerprint
+    artifact from ``winnow_fingerprint_rows`` — built with the SAME
+    (gram_k, window_w) or buckets never match. Store it bucketed by
+    ``fp`` (``sources.parquet.write_bucketed``) and the pair join reads
+    the corpus side exchange-free, shuffling only the increment. Caller
+    contract: base and new id spaces are disjoint.
+
+    The ``max_fp_df`` boilerplate cap stays EXACT under increments: the
+    hot set is computed from total df = base df + increment df, where
+    base df comes from ``base_fp_df`` (the (fp, __df__) rollup an
+    incremental pipeline maintains alongside the fingerprint artifact;
+    derived from ``base_fps`` here when not supplied). The increment
+    only ever aggregates its own fingerprints and joins the fp-keyed
+    rollup — base text is never rescanned, base fps never re-counted.
+    """
+    fn = winnow_fingerprint_rows(
+        new_df, id_col, text_col, gram_k, window_w
+    ).persist()
+    fb = base_fps.select(F.col("__id__"), F.col("fp"))
+    if max_fp_df is not None:
+        if base_fp_df is None:
+            base_fp_df = fb.groupBy("fp").agg(
+                F.count(F.lit(1)).alias("__df__")
+            )
+        new_counts = fn.groupBy("fp").agg(
+            F.count(F.lit(1)).alias("__dfn__")
+        )
+        hot = (
+            new_counts.join(base_fp_df, "fp", "full_outer")
+            .select(
+                "fp",
+                (
+                    F.coalesce("__dfn__", F.lit(0))
+                    + F.coalesce("__df__", F.lit(0))
+                ).alias("__tot__"),
+            )
+            .filter(F.col("__tot__") > max_fp_df)
+            .select("fp")
+        )
+        fn = fn.join(hot, "fp", "left_anti")
+        fb = fb.join(hot, "fp", "left_anti")
+    a = fn.select(F.col("fp"), F.col("__id__").alias("id_a"))
+    b = fn.select(F.col("fp"), F.col("__id__").alias("id_b"))
+    new_new = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    new_base = (
+        a.join(fb.select("fp", F.col("__id__").alias("__bid__")), "fp")
+        .select(
+            F.least("id_a", "__bid__").alias("id_a"),
+            F.greatest("id_a", "__bid__").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    return new_new.unionAll(new_base).filter(
+        F.col("shared_fps") >= min_shared
+    )

@@ -1299,3 +1299,57 @@ def ngram_novelty(df, id_col: str, text_col: str, ngram_words: int = 5):
             ).alias("novelty"),
         )
     )
+
+
+# Per-language function-word profiles for the multi-class language ID.
+# Deliberately pairwise-disjoint so coverage scores are independent; five
+# words per language keeps the profile a broadcast-literal constant.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "is"],
+    "de": ["der", "und", "nicht", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "dans"],
+    "es": ["el", "los", "que", "una", "para"],
+}
+
+
+def language_profile_scores(
+    text: Column,
+    profiles: dict[str, list[str]] | None = None,
+    min_coverage: float = 0.5,
+) -> list[Column]:
+    """Multi-class language ID by function-word-profile coverage: for each
+    language, score = |profile ∩ doc tokens| / |profile| (presence, not
+    frequency — robust to doc length and to a corpus-wide common token
+    polluting one language's counts). Returns one aliased score column per
+    language (``score_<lang>``) plus a ``lang_pred`` column: the
+    highest-coverage language when its coverage reaches ``min_coverage``,
+    else 'und'. Ties break in profile-dict order (first wins).
+
+    All JVM expressions (lower/split/array_intersect/greatest) — a
+    map-only projection that pipelines with the scan; each profile is a
+    5-element literal array, a per-task constant, so the whole classifier
+    is O(|profiles|·|profile|) comparisons per doc with zero shuffle.
+    """
+    profiles = profiles if profiles is not None else LANG_PROFILES
+    toks = tokens(F.lower(text))
+    scores: dict[str, Column] = {}
+    for lang, words in profiles.items():
+        lit = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.array_intersect(lit, toks)) / F.lit(
+            float(len(words))
+        )
+    mx = F.greatest(*scores.values()) if len(scores) > 1 else next(
+        iter(scores.values())
+    )
+    pred = F.lit("und")
+    # build the when-chain in REVERSE profile order so the first language
+    # in the dict wins ties (outermost when binds first)
+    for lang in reversed(list(profiles)):
+        pred = F.when(
+            (mx >= min_coverage) & (scores[lang] == mx), F.lit(lang)
+        ).otherwise(pred)
+    out = [
+        F.round(scores[lang], 6).alias(f"score_{lang}") for lang in profiles
+    ]
+    out.append(pred.alias("lang_pred"))
+    return out

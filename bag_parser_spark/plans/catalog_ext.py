@@ -4106,3 +4106,142 @@ def q_sample_dsir(spark, sf_dir):
         .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
         .limit(_DSIR_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — guaranteed-overlap near-dup pairs
+# ---------------------------------------------------------------------------
+
+_WN_K, _WN_W, _WN_MIN_SHARED, _WN_MAX_DF = 4, 4, 2, 8
+_WN_GRAM = " || ' ' || ".join(f"ws[i+{j + 1}]" for j in range(_WN_K))
+
+
+@register(
+    "dedup_winnowing",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    t AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM corpus
+    ),
+    g AS (
+      SELECT id,
+             CASE WHEN len(ws) >= {_WN_K} THEN
+               list_transform(range(0, len(ws)-{_WN_K}+1),
+                              i -> md5({_WN_GRAM}))
+             ELSE [md5(array_to_string(ws, ' '))] END AS gh
+      FROM t
+    ),
+    f AS (
+      SELECT DISTINCT id, fp FROM (
+        SELECT id,
+               unnest(list_transform(
+                 range(0, len(gh)),
+                 j -> list_min(list_slice(gh, j+1, j+{_WN_W})))) AS fp
+        FROM g)
+    ),
+    keep AS (
+      SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= {_WN_MAX_DF}
+    ),
+    f2 AS (SELECT f.id, f.fp FROM f JOIN keep USING (fp))
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fps
+    FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WN_MIN_SHARED}
+    """,
+    doc="Winnowing (MOSS) near-dup pairs: md5 word 4-grams → per-position "
+    "min over 4 consecutive gram hashes → distinct fingerprints → invert "
+    "and equi-join on fp, keeping pairs sharing ≥2. Deterministic overlap "
+    "guarantee MinHash lacks: any shared text run ≥ k+w-1 words shares a "
+    "fingerprint by construction. max_fp_df=8 drops boilerplate "
+    "fingerprints BEFORE pairing, bounding every join bucket — the LSH "
+    "hot-band discipline. Shuffles carry (id|fp, 32-byte hash) only; "
+    "document text never leaves the scan stage. Corpus = docs ∪ "
+    "perturbed copies.",
+)
+def q_winnowing(spark, sf_dir):
+    return dedup.winnowing_pairs(
+        _corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        gram_k=_WN_K,
+        window_w=_WN_W,
+        min_shared=_WN_MIN_SHARED,
+        max_fp_df=_WN_MAX_DF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-class language ID by function-word-profile coverage
+# ---------------------------------------------------------------------------
+
+# Inject each labeled language's profile words into its docs so the
+# classifier has real multi-language signal to recover (the synthetic
+# corpus is English-ish vocab for every lang label); 'zh' gets no Latin
+# function words and must land in 'und'.
+_LANG_MARKER_SQL = " ".join(
+    f"WHEN '{lang}' THEN ' {' '.join(words)}'"
+    for lang, words in text.LANG_PROFILES.items()
+)
+_LANG_SCORE_SQL = {
+    lang: (
+        f"(len(list_filter("
+        f"[{', '.join(repr(w) for w in words)}], "
+        f"p -> list_contains(toks, p))) / {float(len(words))})"
+    )
+    for lang, words in text.LANG_PROFILES.items()
+}
+_LANG_MX_SQL = "greatest(" + ", ".join(
+    f"s_{lang}" for lang in text.LANG_PROFILES
+) + ")"
+_LANG_PRED_SQL = "CASE " + " ".join(
+    f"WHEN mx >= 0.5 AND s_{lang} = mx THEN '{lang}'"
+    for lang in text.LANG_PROFILES
+) + " ELSE 'und' END"
+
+
+@register(
+    "text_lang_profile",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, lang,
+             text || CASE lang {_LANG_MARKER_SQL} ELSE '' END AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM corpus
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             {', '.join(f'{sql} AS s_{lang}' for lang, sql in _LANG_SCORE_SQL.items())}
+      FROM t
+    )
+    SELECT doc_id, lang,
+           {', '.join(f'round(s_{lang}, 6) AS score_{lang}' for lang in text.LANG_PROFILES)},
+           {_LANG_PRED_SQL} AS lang_pred
+    FROM (SELECT *, {_LANG_MX_SQL} AS mx FROM s)
+    """,
+    doc="Multi-class language ID: per-language function-word-profile "
+    "coverage (|profile ∩ tokens| / |profile|), argmax with a 0.5 "
+    "coverage floor → 'und'. Profiles are pairwise-disjoint 5-word "
+    "literal arrays (broadcast constants); the whole classifier is a "
+    "map-only JVM projection pipelining with the scan — zero shuffle at "
+    "any corpus size. Fixture injects each doc's labeled profile so the "
+    "confusion diagonal is exact and 'zh' (no Latin profile) lands 'und'.",
+)
+def q_lang_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    marker = F.lit("")
+    for lang in reversed(list(text.LANG_PROFILES)):
+        marker = F.when(
+            F.col("lang") == lang,
+            F.lit(" " + " ".join(text.LANG_PROFILES[lang])),
+        ).otherwise(marker)
+    injected = F.concat(F.col("text"), marker)
+    return d.select(
+        "doc_id",
+        "lang",
+        *text.language_profile_scores(injected),
+    )

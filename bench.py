@@ -102,7 +102,13 @@ HEADLINE = [
     "decontaminate_bloom",
     "dedup_span_rewrite",
     "sim_hard_negatives",
-    "text_ngram_novelty",
+    # r11 swap (stdout-window budget, same pattern as r7-r9): dropped
+    # text_ngram_novelty (text keeps quality_metrics, hash_classifier,
+    # bpe_encode and main_content on the clock; it stays oracle-tested
+    # in pytest) for the new winnowing near-dup join — the guaranteed-
+    # overlap half of the dedup family, whose persisted-fingerprint
+    # self-join is exactly the shape worth watching per round
+    "dedup_winnowing",
     # r8 swaps (stdout-window budget, same pattern as r7): dropped
     # sim_cosine_topk (sim_ivf_topk covers the cosine path),
     # ts_ohlc_bars (ts_gapfill/ts_interval_join keep the family on the

@@ -135,6 +135,8 @@ AUDIT = [
     # (len_class, shard) row_number window), zero joins, zero Python;
     # the CASE ladder and divmod ride the scan in one codegen region
     "sample_pack_bins",
+    "dedup_winnowing",
+    "text_lang_profile",
 ]
 
 _PY_NODES = (

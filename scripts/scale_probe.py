@@ -115,6 +115,15 @@ QUERIES = [
     # are re-keyed copies), so the probe checks the dominant-class
     # window stays spread by the md5 shard rather than serializing
     "sample_pack_bins",
+    # r11 late: winnowing pairs — gram volume grows linearly with docs;
+    # replicas re-key the SAME texts so every fingerprint's df
+    # multiplies by docs_x and the max_fp_df=8 boilerplate guard
+    # engages corpus-wide (the probe measures the guard doing its job:
+    # the pair join stays bounded instead of going quadratic in
+    # replicas); lang profile is a zero-shuffle expression chain,
+    # expected ~linear
+    "dedup_winnowing",
+    "text_lang_profile",
 ]
 
 

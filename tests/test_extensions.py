@@ -2798,3 +2798,161 @@ def test_cut_lineage_raw_paths_with_uri_metachars(spark, tmp_path):
     first = sc.getCheckpointDir()
     cut_lineage(df, checkpoint_dir=weird)
     assert sc.getCheckpointDir() == first
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+
+def _wn_pairs(spark, rows, **kw):
+    from bag_parser_spark.operators import dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in dedup.winnowing_pairs(
+            df, "doc_id", "text", **kw
+        ).collect()
+    }
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """The winnowing contract: two docs sharing ANY run of >= k+w-1 words
+    share a fingerprint deterministically (Schleimer et al. theorem 1) —
+    with k=4, w=4 a 7-word shared run must be detected even when all
+    surrounding context differs."""
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    rows = [
+        (1, f"aa bb cc dd {run} ee ff gg hh"),
+        (2, f"pp qq rr ss tt {run} uu vv"),
+        (3, "unrelated words only here nothing shared at all today"),
+    ]
+    got = _wn_pairs(spark, rows, min_shared=1)
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_winnowing_short_doc_fallback(spark):
+    """Docs shorter than gram_k words collapse to one whole-text
+    fingerprint — identical short docs still pair."""
+    rows = [(1, "tiny doc"), (2, "tiny doc"), (3, "other doc")]
+    got = _wn_pairs(spark, rows, min_shared=1)
+    assert got == {(1, 2): 1}
+
+
+def test_winnowing_max_df_prunes_boilerplate(spark):
+    """A fingerprint present in > max_fp_df docs is boilerplate and must
+    not mint pairs; the same corpus WITHOUT the cap pairs quadratically."""
+    boiler = "copyright header line common to every single page here"
+    rows = [(i, f"{boiler} unique{i} tail{i}") for i in range(1, 11)]
+    capped = _wn_pairs(spark, rows, min_shared=1, max_fp_df=5)
+    uncapped = _wn_pairs(spark, rows, min_shared=1)
+    assert len(uncapped) == 45  # all C(10,2) pairs share the header
+    # the header fps (df=10) are pruned; only fps under the cap remain,
+    # and every unique{i}-anchored fp has df=1 -> no pairs survive
+    assert capped == {}
+
+
+def test_winnowing_fp_count_is_sublinear(spark):
+    """Winnowing keeps ~2n/(w+1) of n gram hashes (expected density of
+    distinct window minima) — assert the fingerprint table is materially
+    smaller than the gram table, the property the 100 TB shape rests on."""
+    from bag_parser_spark.operators import dedup
+
+    words = " ".join(f"w{(i * 7919) % 701}" for i in range(400))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    n_fps = dedup.winnow_fingerprint_rows(
+        df, "doc_id", "text", gram_k=4, window_w=8
+    ).count()
+    n_grams = 400 - 4 + 1
+    assert n_fps < 0.5 * n_grams, (n_fps, n_grams)
+
+
+# ---------------------------------------------------------------------------
+# Multi-class language-profile ID
+# ---------------------------------------------------------------------------
+
+
+def _lang_rows(spark, texts):
+    from bag_parser_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return (
+        df.select("doc_id", *tx.language_profile_scores(F.col("text")))
+        .orderBy("doc_id")
+        .collect()
+    )
+
+
+def test_lang_profile_scores_and_pred(spark):
+    rows = _lang_rows(
+        spark,
+        [
+            "the cat of doom went to the house and it is big",  # en 5/5
+            "der hund und das kind ist nicht hier",  # de 5/5
+            "rare words only zz yy xx ww",  # nothing -> und
+            "the of foo bar baz",  # en 2/5 = 0.4 < floor -> und
+        ],
+    )
+    assert rows[0]["lang_pred"] == "en" and rows[0]["score_en"] == 1.0
+    assert rows[1]["lang_pred"] == "de" and rows[1]["score_de"] == 1.0
+    assert rows[2]["lang_pred"] == "und"
+    assert rows[3]["lang_pred"] == "und" and rows[3]["score_en"] == 0.4
+
+
+def test_lang_profile_tie_breaks_in_profile_order(spark):
+    """Equal coverage across languages resolves to the FIRST language in
+    profile-dict order (en before de) — pinned so the DuckDB CASE chain
+    and the Spark when-chain stay the same function."""
+    rows = _lang_rows(
+        spark,
+        ["the of and to is der und nicht das ist"],  # en 5/5, de 5/5
+    )
+    assert rows[0]["score_en"] == 1.0 and rows[0]["score_de"] == 1.0
+    assert rows[0]["lang_pred"] == "en"
+
+
+def test_winnowing_incremental_identity(spark):
+    """winnowing_pairs_incremental(new, fps(base)) must equal
+    winnowing_pairs(base ∪ new) restricted to pairs touching a new doc —
+    with the max_fp_df cap computed over the UNION (the rollup-join path),
+    so incrementality never changes the boilerplate prune."""
+    from bag_parser_spark.operators import dedup
+
+    boiler = "shared header words repeated across many docs here now"
+    base_rows = [
+        (i, f"{boiler} base{i} filler{i} tail words go here") for i in range(1, 7)
+    ]
+    new_rows = [
+        (101, f"{boiler} base3 filler3 tail words go here extra"),  # ~dup of 3
+        (102, "completely fresh content with no overlap at all today"),
+        (103, "completely fresh content with no overlap at all today"),  # dup of 102
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    for cap in (None, 4):
+        batch = {
+            (r["id_a"], r["id_b"]): r["shared_fps"]
+            for r in dedup.winnowing_pairs(
+                base.unionAll(new), "doc_id", "text",
+                min_shared=1, max_fp_df=cap,
+            ).collect()
+            if r["id_a"] > 100 or r["id_b"] > 100
+        }
+        inc = {
+            (r["id_a"], r["id_b"]): r["shared_fps"]
+            for r in dedup.winnowing_pairs_incremental(
+                new,
+                dedup.winnow_fingerprint_rows(base, "doc_id", "text"),
+                "doc_id", "text", min_shared=1, max_fp_df=cap,
+            ).collect()
+        }
+        assert inc == batch, (cap, inc, batch)
+    # sanity: the capped run still detects both planted relations (the
+    # near-dup of base doc 3 and the exact new-new duplicate) — the cap
+    # prunes only the 6+-doc boilerplate fingerprints
+    assert (102, 103) in inc
+    assert any(101 in p and 3 in p for p in inc), inc

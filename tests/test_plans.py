@@ -643,3 +643,34 @@ def test_bucketed_rank_matches_single_partition_window(spark):
         (F.col("r") != F.col("r2")) | (F.col("n") != F.col("n2"))
     ).count() == 0
     spark.catalog.clearCache()
+
+
+def test_winnowing_runtime_plan_shape(spark):
+    """dedup_winnowing: ONE cached fingerprint relation referenced by the
+    hot-fp anti-join and both self-join sides (the minhash_lsh persist
+    convention — without it the tokenize→window lineage executes 4×),
+    bounded runtime shuffles, and document text never in an exchange."""
+    from bag_parser_spark.plans.plan_stats import runtime_plan_stats
+
+    spark.catalog.clearCache()
+    df = registry()["dedup_winnowing"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    st = runtime_plan_stats(plan)
+    assert st["cached_distinct"] == 1, st
+    assert st["cached_refs"] >= 3, st
+    # cache build (id window + fp distinct) + hot-fp agg + pair agg;
+    # the fp self-join rides broadcast at this SF (big-big it would add
+    # two fp-keyed exchanges — still key-only payloads)
+    assert st["runtime_exchanges"] <= 6, st
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
+def test_lang_profile_map_only_codegen(spark):
+    """text_lang_profile is the 0-exchange ideal: the whole multi-profile
+    classifier rides the scan in one whole-stage-codegen projection."""
+    df = registry()["text_lang_profile"].fn(spark, SF_CORRECT)
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
