@@ -506,3 +506,67 @@ def test_pack_bins_matches_python_model(spark, lens, ctx, shards):
             assert sum(nn for nn, _ in members) <= ctx
         else:
             assert len(members) == 1
+
+
+# r11 — winnowing fingerprints: the fingerprint SET is a closed-form
+# function of (tokens, k, w) — per-position md5 k-gram hashes, min over
+# each (clamped) w-window, distinct. A plain-Python model reproduces it
+# exactly, including the whole-doc fallback for docs shorter than k.
+def _winnow_model(docs, k, w):
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    out = {}
+    for i, toks in docs:
+        if len(toks) >= k:
+            ghs = [
+                md5(" ".join(toks[j:j + k]))
+                for j in range(len(toks) - k + 1)
+            ]
+        else:
+            ghs = [md5(" ".join(toks))]
+        out[i] = {min(ghs[j:j + w]) for j in range(len(ghs))}
+    return out
+
+
+_WN_WORDS = ["a", "b", "c", "dd", "ee", "run1", "run2", "run3"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WN_WORDS), min_size=1, max_size=30),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+    w=st.integers(min_value=1, max_value=4),
+)
+def test_winnow_fingerprints_match_python_model(spark, docs, k, w):
+    from bag_parser_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in dedup.winnow_fingerprint_rows(
+        df, "doc_id", "text", gram_k=k, window_w=w
+    ).collect():
+        got.setdefault(r["__id__"], set()).add(r["fp"])
+    want = _winnow_model(list(enumerate(docs)), k, w)
+    assert got == want
+    # the winnowing guarantee on the model's own terms: any two docs
+    # sharing a token run of length >= k+w-1 share a fingerprint
+    for i, ti in enumerate(docs):
+        for j, tj in enumerate(docs):
+            if j <= i:
+                continue
+            run = k + w - 1
+            shared_run = any(
+                ti[a:a + run] == tj[b:b + run]
+                for a in range(len(ti) - run + 1)
+                for b in range(len(tj) - run + 1)
+            )
+            if shared_run:
+                assert want[i] & want[j], (i, j)
