@@ -155,3 +155,68 @@ def exact_moments_sql(group_cols: Sequence[str], col: str, table: str) -> str:
            END AS stddev_samp
     FROM s
     """
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a classifier score: clamp integer scores to
+    [lo, hi], cut into ``n_bins`` equal-width bins, and per bin report the
+    normalized mean score (``avg_conf`` — the confidence proxy), the
+    empirical positive rate, their absolute ``gap``, and the
+    population-weighted gap whose sum over bins is the Expected
+    Calibration Error. Completes the eval family next to the threshold-
+    free AUC and the fixed-threshold confusion matrix.
+
+    Engine-exactness discipline (the oracle-parity rule the AUC/confusion
+    queries follow): every aggregate is an INTEGER sum — ``avg_conf`` is
+    computed from Σscore as ``(s − n·lo) / (n·(hi − lo))``, never by
+    averaging doubles (float summation is order-dependent; integer sums
+    are not) — so the only float ops are single correctly-rounded IEEE
+    divisions, identical in any engine.
+
+    Scale shape: one groupBy over ≤ ``n_bins`` cells (map-side combine
+    collapses the corpus to n_bins partials per task), plus a 1-row
+    broadcast of the total for the weights — the whole diagram costs one
+    tiny shuffle at any corpus size.
+    """
+    span = hi - lo
+    cs = F.least(F.greatest(F.col(score_col), F.lit(lo)), F.lit(hi))
+    b = F.least(
+        F.floor(
+            (cs - F.lit(lo)).cast("double") * n_bins / F.lit(float(span))
+        ).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    per = df.select(
+        b.alias("bin"),
+        cs.alias("__cs__"),
+        F.col(label_col).cast("long").alias("__pos__"),
+    )
+    agg = per.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__cs__").alias("__s__"),
+        F.sum("__pos__").alias("__np__"),
+    )
+    tot = agg.agg(F.sum("n").alias("__N__"))
+    conf = (F.col("__s__") - F.col("n") * F.lit(lo)).cast("double") / (
+        F.col("n") * F.lit(span)
+    ).cast("double")
+    rate = F.col("__np__").cast("double") / F.col("n").cast("double")
+    gap = F.abs(conf - rate)
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round(conf, 6).alias("avg_conf"),
+        F.round(rate, 6).alias("pos_rate"),
+        F.round(gap, 6).alias("gap"),
+        F.round(
+            gap * F.col("n").cast("double") / F.col("__N__").cast("double"),
+            6,
+        ).alias("weighted_gap"),
+    )

@@ -4245,3 +4245,87 @@ def q_lang_profile(spark, sf_dir):
         "lang",
         *text.language_profile_scores(injected),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration (reliability diagram + ECE weights) — eval family
+# ---------------------------------------------------------------------------
+
+_CAL_LO, _CAL_HI, _CAL_BINS = -8000, 8000, 10
+
+
+@register(
+    "ml_eval_calibration",
+    f"""
+    WITH flat AS (
+      SELECT doc_id, unnest({O.words_sql('lower(text)')}) AS token
+      FROM documents
+    ),
+    weighted AS (
+      SELECT doc_id,
+             {O.md5_mod_sql(O.md5_mod_sql('token', _CLF_SEED + ':b', _CLF_BUCKETS), _CLF_SEED + ':w', _CLF_WMOD)}
+               - {_CLF_WMOD // 2} AS w
+      FROM flat
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_milli
+      FROM weighted GROUP BY doc_id
+    ),
+    labeled AS (
+      SELECT LEAST(GREATEST(p.score_milli, {_CAL_LO}), {_CAL_HI}) AS cs,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM per_doc p JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT LEAST(CAST(floor(CAST(cs - ({_CAL_LO}) AS DOUBLE)
+                               * {_CAL_BINS} / {float(_CAL_HI - _CAL_LO)})
+                    AS BIGINT), {_CAL_BINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cs) AS BIGINT) AS s,
+             CAST(SUM(pos) AS BIGINT) AS np
+      FROM labeled GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM agg)
+    SELECT bin, n,
+           round(CAST(s - n * ({_CAL_LO}) AS DOUBLE)
+                 / CAST(n * {_CAL_HI - _CAL_LO} AS DOUBLE), 6) AS avg_conf,
+           round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+           round(abs(CAST(s - n * ({_CAL_LO}) AS DOUBLE)
+                     / CAST(n * {_CAL_HI - _CAL_LO} AS DOUBLE)
+                     - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap,
+           round(abs(CAST(s - n * ({_CAL_LO}) AS DOUBLE)
+                     / CAST(n * {_CAL_HI - _CAL_LO} AS DOUBLE)
+                     - CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+                 * CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+             AS weighted_gap
+    FROM agg CROSS JOIN tot
+    """,
+    doc="Classifier calibration: reliability bins over the hashed-linear "
+    "score vs the lang='en' label — per equal-width score bin the "
+    "normalized mean score (confidence proxy), empirical positive rate, "
+    "their gap, and the population-weighted gap (Σ = Expected "
+    "Calibration Error). Completes the eval trio next to ml_auc_ranked "
+    "(threshold-free) and ml_eval_confusion (fixed threshold). Every "
+    "aggregate is an integer sum (avg_conf derives from Σscore, never "
+    "from averaging doubles — float summation is order-dependent, "
+    "integer sums are not); the only float ops are single IEEE "
+    "divisions, so parity needs just round-6. Scale shape: one "
+    "10-cell groupBy with map-side combine + a 1-row broadcast total.",
+)
+def q_ml_calibration(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scores = text.hash_classifier_scores(
+        d, id_col="doc_id", text_col="text",
+        n_buckets=_CLF_BUCKETS, seed=_CLF_SEED, w_mod=_CLF_WMOD,
+    ).select("doc_id", "score_milli")
+    labeled = scores.join(
+        d.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("long").alias("pos"),
+        ),
+        "doc_id",
+    )
+    return agg.calibration_bins(
+        labeled, "score_milli", "pos",
+        lo=_CAL_LO, hi=_CAL_HI, n_bins=_CAL_BINS,
+    )

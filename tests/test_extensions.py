@@ -2956,3 +2956,37 @@ def test_winnowing_incremental_identity(spark):
     # prunes only the 6+-doc boilerplate fingerprints
     assert (102, 103) in inc
     assert any(101 in p and 3 in p for p in inc), inc
+
+
+def test_calibration_bins_exact_and_clamped(spark):
+    """calibration_bins on a hand-built fixture: closed-form conf/rate/
+    gap values; out-of-range scores clamp into the edge bins; the
+    weighted gaps are n/N-scaled."""
+    from bag_parser_spark.operators import aggregates as agg
+
+    rows = (
+        # bin 5 ([0, 20)): all scores 5 -> conf (5+100)/200 = 0.525;
+        # 11 of 20 positive -> rate 0.55 -> gap 0.025
+        [(5, 1)] * 11 + [(5, 0)] * 9
+        # below lo: clamps to -100 -> bin 0, conf 0.0, none positive
+        + [(-250, 0)] * 4
+        # above hi: clamps to 100 -> top bin, conf 1.0, all positive
+        + [(900, 1)] * 1
+    )
+    df = spark.createDataFrame(rows, "score long, pos long")
+    got = {
+        r["bin"]: r
+        for r in agg.calibration_bins(
+            df, "score", "pos", lo=-100, hi=100, n_bins=10
+        ).collect()
+    }
+    assert set(got) == {0, 5, 9}
+    assert got[5]["n"] == 20
+    assert got[5]["avg_conf"] == 0.525  # (5*20 - 20*(-100)) / (20*200)
+    assert got[5]["pos_rate"] == 0.55
+    assert got[5]["gap"] == 0.025
+    assert got[0]["avg_conf"] == 0.0 and got[0]["pos_rate"] == 0.0
+    assert got[9]["avg_conf"] == 1.0 and got[9]["pos_rate"] == 1.0
+    # weighted gaps: n/N * gap, N = 25
+    assert got[5]["weighted_gap"] == round(0.025 * 20 / 25, 6)
+    assert got[9]["weighted_gap"] == 0.0
