@@ -137,6 +137,7 @@ AUDIT = [
     "sample_pack_bins",
     "dedup_winnowing",
     "text_lang_profile",
+    "ml_eval_calibration",
 ]
 
 _PY_NODES = (
@@ -224,6 +225,20 @@ def main() -> int:
             f"{a['python_eval']} | {a['cartesian']} | "
             f"{'yes' if a['pushed_filters'] else 'no'} |"
         )
+    # Carry over the hand-written per-round notes from the existing file
+    # (everything between the table and the Reading guide) — regenerating
+    # the table must not erase the round-by-round plan narrative.
+    notes = ""
+    if os.path.exists(out_path):
+        old = open(out_path, encoding="utf-8").read()
+        guide_at = old.find("Reading guide:")
+        if guide_at >= 0:
+            table_end = old.rfind("| ", 0, guide_at)
+            if table_end >= 0:
+                nl = old.find("\n", table_end)
+                notes = old[nl + 1:guide_at].strip()
+    if notes:
+        lines += ["", notes]
     lines += [
         "",
         "Reading guide: `mm_image_neardup` and `mm_*` queries carry "
