@@ -4329,3 +4329,138 @@ def q_ml_calibration(spark, sf_dir):
         labeled, "score_milli", "pos",
         lo=_CAL_LO, hi=_CAL_HI, n_bins=_CAL_BINS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing measured recall vs exact-Jaccard truth
+# ---------------------------------------------------------------------------
+
+_WNR_TAU = 0.8
+
+
+@register(
+    "dedup_winnowing_recall",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    t0 AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM corpus
+    ),
+    g AS (
+      SELECT id,
+             CASE WHEN len(ws) >= {_WN_K} THEN
+               list_transform(range(0, len(ws)-{_WN_K}+1),
+                              i -> md5({_WN_GRAM}))
+             ELSE [md5(array_to_string(ws, ' '))] END AS gh
+      FROM t0
+    ),
+    f AS (
+      SELECT DISTINCT id, fp FROM (
+        SELECT id,
+               unnest(list_transform(
+                 range(0, len(gh)),
+                 j -> list_min(list_slice(gh, j+1, j+{_WN_W})))) AS fp
+        FROM g)
+    ),
+    keep AS (
+      SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= {_WN_MAX_DF}
+    ),
+    f2 AS (SELECT f.id, f.fp FROM f JOIN keep USING (fp)),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    sh0 AS (
+      SELECT doc_id AS id, unnest({O.shingles_sql('text', _WN_K)}) AS shingle
+      FROM corpus
+    ),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) > {_NGRAM_MAX_DF}
+    ),
+    sh AS (
+      SELECT * FROM sh0
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    truth AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      WHERE i.i / (sa.sz + sb.sz - i.i) >= {_WNR_TAU}
+    ),
+    t AS (SELECT COUNT(*) AS n_truth FROM truth),
+    c AS (SELECT COUNT(*) AS n_candidates FROM cand),
+    h AS (SELECT COUNT(*) AS n_hits
+          FROM truth JOIN cand USING (id_a, id_b))
+    SELECT n_truth, n_candidates, n_hits,
+           round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision,
+           round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
+    FROM t, c, h
+    """,
+    doc="Measured (not guessed) winnowing quality: candidate pairs from "
+    "the fingerprint join (min_shared=1, the raw candidate set) scored "
+    f"against exact 4-gram-Jaccard ground truth (tau={_WNR_TAU}) on the "
+    "perturbed corpus — n_truth / n_candidates / n_hits / precision / "
+    "recall in one row. Winnowing's theorem says recall of long-overlap "
+    "pairs is 1.0 BY CONSTRUCTION (any shared k+w-1-word run shares a "
+    "fingerprint) — this query is the check that the cap/prune "
+    "machinery hasn't broken the guarantee, the counterpart to "
+    "dedup_lsh_recall's probabilistic tuning loop. Both pair pipelines "
+    "are the bucketed shapes, persisted once; the combine is three "
+    "1-row broadcasts.",
+)
+def q_winnowing_recall(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    truth = (
+        dedup.ngram_jaccard_pairs(
+            corpus,
+            id_col="doc_id",
+            text_col="text",
+            shingle_n=_WN_K,
+            threshold=_WNR_TAU,
+            max_df=_NGRAM_MAX_DF,
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    cand = (
+        dedup.winnowing_pairs(
+            corpus,
+            id_col="doc_id",
+            text_col="text",
+            gram_k=_WN_K,
+            window_w=_WN_W,
+            min_shared=1,
+            max_fp_df=_WN_MAX_DF,
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    h = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        t.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+    )
