@@ -969,7 +969,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #   final two url_* rotation names past the 50-row window — they keep
     #   their r7 green rows and re-queue for r12) —
     "dedup_winnowing", "text_lang_profile", "ml_eval_calibration",
-    "dedup_winnowing_recall", "sample_pack_bins",
+    "dedup_winnowing_recall", "sim_ivf_filtered_topk", "sample_pack_bins",
     # — r11 rewrites (stale green rows are not evidence for new code) —
     "web_crawl_frontier", "mm_image_neardup",
     # — the r6-stale cohort, complete (VERDICT r10 #2 names these) —

@@ -2755,10 +2755,11 @@ def q_emb_neardup(spark, sf_dir):
     )
 
 
-def _ivf_oracle_sql() -> str:
+def _ivf_oracle_sql(corpus_where: str = "") -> str:
     acos = O.cosine_sql("e.embedding", "c.cv")
     qcos = O.cosine_sql(_COS_Q, "c.cv")
     rcos = O.cosine_sql("a.embedding", _COS_Q)
+    where = f"WHERE {corpus_where}" if corpus_where else ""
     return f"""
     WITH cents AS (SELECT vec_id AS cid, embedding AS cv
                    FROM embeddings
@@ -2768,7 +2769,7 @@ def _ivf_oracle_sql() -> str:
         SELECT e.vec_id, e.embedding, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {acos} DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c
+        FROM (SELECT * FROM embeddings {where}) e CROSS JOIN cents c
       ) WHERE rn = 1
     ),
     qcells AS (
@@ -4463,4 +4464,42 @@ def q_winnowing_recall(spark, sf_dir):
                 F.col("n_hits").cast("double") / F.col("n_truth"), 6
             ).alias("recall"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered ANN (filtered vector search)
+# ---------------------------------------------------------------------------
+
+_FILT_LABEL = 3
+
+
+@register(
+    "sim_ivf_filtered_topk",
+    _ivf_oracle_sql(f"label = {_FILT_LABEL}"),
+    doc="Metadata-filtered ANN — the production vector-search pattern: "
+    f"top-k by cosine restricted to label = {_FILT_LABEL}, probed "
+    "through the SAME full-corpus IVF centroids (indexes are not "
+    "rebuilt per predicate). The filter applies at the corpus SCAN, "
+    "before cell assignment — with the cell-partitioned stored layout "
+    "the probe still prunes to nprobe cells and the label predicate "
+    "pushes into the parquet scan of those partitions, so per-query "
+    "cost is selectivity * |cell| * nprobe. Post-filtering a top-k of "
+    "the unfiltered corpus would instead under-fill k whenever the "
+    "target label is rare — the classic filtered-ANN defect this "
+    "composition avoids.",
+)
+def q_ivf_filtered_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _IVFPQ_CELL_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    return similarity.ivf_topk(
+        e.filter(F.col("label") == _FILT_LABEL),
+        id_col="vec_id",
+        vec_col="embedding",
+        query_vec=_query_vec(spark, sf_dir),
+        k=10,
+        centroids=cents,
+        nprobe=2,
     )
