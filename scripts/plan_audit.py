@@ -138,6 +138,8 @@ AUDIT = [
     "dedup_winnowing",
     "text_lang_profile",
     "ml_eval_calibration",
+    "dedup_winnowing_recall",
+    "sim_ivf_filtered_topk",
 ]
 
 _PY_NODES = (

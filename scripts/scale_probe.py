@@ -124,6 +124,14 @@ QUERIES = [
     # expected ~linear
     "dedup_winnowing",
     "text_lang_profile",
+    # r11 latest: the measured-recall twin re-runs BOTH pair pipelines
+    # (exact Jaccard truth + winnowing candidates) so its growth is the
+    # max of the two; calibration is one corpus groupBy + 10-cell agg
+    # (expected ~linear); filtered ANN assigns only the label-selected
+    # slice (~1/10 of the corpus) against the same fixed cells
+    "dedup_winnowing_recall",
+    "ml_eval_calibration",
+    "sim_ivf_filtered_topk",
 ]
 
 
