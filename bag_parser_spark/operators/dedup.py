@@ -595,14 +595,18 @@ def segment_dup_stats(
         ).alias("__seg__"),
     ).select(
         id_col,
-        F.md5(
-            F.array_join(
-                F.slice(
-                    F.col("__toks__"),
-                    (F.col("__seg__") * w + 1).cast("int"),
-                    w,
-                ),
-                " ",
+        # key-only hash: 16 raw bytes, not 32 hex chars (r11, same
+        # rationale as _merged_dup_spans — halves the segment shuffle)
+        F.unhex(
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("__toks__"),
+                        (F.col("__seg__") * w + 1).cast("int"),
+                        w,
+                    ),
+                    " ",
+                )
             )
         ).alias("__h__"),
     ).persist()
@@ -675,10 +679,20 @@ def _merged_dup_spans(
         .select(
             id_col,
             "__s__",
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("__toks__"), F.col("__s__").cast("int"), n),
-                    " ",
+            # r11 (guide §2.3 "narrower types"): the posting hash is a
+            # join/group key only — never output — so carry the 16 raw
+            # md5 bytes instead of the 32-char hex string: the dominant
+            # (md5, id, start) posting shuffle halves its key bytes and
+            # equality compares half the data. Collision semantics are
+            # unchanged (same 128 bits).
+            F.unhex(
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("__toks__"), F.col("__s__").cast("int"), n
+                        ),
+                        " ",
+                    )
                 )
             ).alias("__h__"),
         )
@@ -1097,13 +1111,25 @@ def simhash_signatures(
         F.col(id_col).alias("__id__"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
-    h = toks.select("__id__", F.md5(F.col("tok")).alias("h"))
+    # r11: fold the leading hex digits ONCE per token with JVM conv and
+    # read bits with getbit, instead of one instr+substring nibble walk
+    # per bit (16x fewer string ops per token; identical bit values —
+    # digit i covers bits 4*ndig-1-4(i-1) .. 4*ndig-4i, same mapping
+    # the nibble mask addressed). The oracle keeps the portable nibble
+    # arithmetic (plans/oracles.py) — the mm_image_neardup precedent.
+    ndig = (num_bits + 3) // 4
+    h = toks.select(
+        "__id__",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, ndig), 16, 10)
+        .cast("long")
+        .alias("__hv__"),
+    )
 
     def vote(b: int) -> Column:
-        nibble = _hex_nibble_value(F.substring(F.col("h"), b // 4 + 1, 1))
-        return F.when(
-            nibble.bitwiseAND(F.lit(1 << (3 - b % 4))) > 0, F.lit(1)
-        ).otherwise(F.lit(-1))
+        bit = F.call_function(
+            "getbit", F.col("__hv__"), F.lit(4 * ndig - 1 - b)
+        )
+        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
 
     votes = h.select(
         "__id__", *[vote(b).alias(f"v{b}") for b in range(num_bits)]
@@ -1309,7 +1335,7 @@ def winnow_fingerprint_rows(
     ``minhash_signatures``'s docstring for why nested array expressions
     lose): posexplode tokens → lead() k-grams → md5 → windowed min over
     the following w-1 rows. ONE exchange, on the id — and the shuffled
-    payload is (id, pos, 32-byte hash), never document text. At 100 TB
+    payload is (id, pos, 16-byte hash), never document text. At 100 TB
     the fingerprint table is ~1/w of the gram count; downstream consumers
     join on fp, an md5-uniform key with no natural skew.
     """
@@ -1325,8 +1351,15 @@ def winnow_fingerprint_rows(
     gh = (
         toks.withColumn(
             "gh",
+            # 16 raw md5 bytes, not 32 hex chars (r11): the fingerprint
+            # is a join/group key only, and byte-lexicographic min over
+            # unhex(md5) selects the SAME gram as hex-string min (hex
+            # and byte orderings agree for same-length lowercase hex),
+            # so the fingerprint SET is representation-changed only —
+            # the (id, pos, fp) shuffle halves its hash bytes.
             F.when(
-                leads[-1].isNotNull() | (F.col("pos") == 0), F.md5(gram)
+                leads[-1].isNotNull() | (F.col("pos") == 0),
+                F.unhex(F.md5(gram)),
             ),
         )
         .filter(F.col("gh").isNotNull())

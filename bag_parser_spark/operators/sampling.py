@@ -24,13 +24,20 @@ def md5_mod(c: Column, seed: int | str, mod: int = HASH_SPLIT_MOD) -> Column:
     ``seed:value`` — folded to an integer with plain nibble arithmetic so
     any engine computes the identical bucket (no dependence on a native
     unhexing builtin). Max fold value 16^8-1 < 2^53: exact in doubles.
+
+    Spark-side the fold is one JVM ``conv(hex, 16, 10)`` — the r11
+    optimization pass measured the original 8-nibble instr/substring
+    emulation (8 substrings + 8 instr + 16 double ops PER HASH, and
+    md5_mod underlies every hash split, Bloom probe, count-min cell and
+    DSIR bucket) at ~5x the expression cost; ``conv`` of 8 lowercase
+    hex chars is exactly the same integer (16^8-1 < 2^53 < 2^63, no
+    overflow, no sign bit), pinned by a dedicated equivalence test.
+    The DuckDB oracle keeps the portable nibble arithmetic
+    (plans/oracles.py) — same mm_image_neardup precedent as VERDICT
+    r10 #6.
     """
     h = F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string")))
-    val = F.lit(0.0)
-    for i in range(8):
-        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
-        val = val + nib.cast("double") * float(16 ** (7 - i))
-    return val.cast("long") % mod
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod
 
 
 def hash_split(

@@ -195,22 +195,60 @@ def bloom_confirmed_counts(
     where n_candidates counts Bloom hits (true + false positives) and
     n_confirmed the exactly-verified subset. No false negatives by
     construction, so n_confirmed equals what a direct (corpus-shuffling)
-    semi-join would compute."""
-    keys = member_keys.select(key_col).dropDuplicates([key_col])
-    bloom = bloom_build(keys, key_col, k, m, seed)
-    cand = bloom_candidates(probe_rows, key_col, bloom, k, m, seed)
-    conf = cand.join(keys, key_col, "left_semi").withColumn(
-        "__conf__", F.lit(1)
-    )
-    return (
-        probe_rows.join(
-            cand.withColumn("__cand__", F.lit(1)), key_col, "left"
+    semi-join would compute.
+
+    r11 optimization (guide §2.4, §3.2): the probe side makes ONE pass.
+    The <= m-row set-bit relation is collected (bounded by ``m`` by
+    construction — the docstring's "the bit table collects to a literal
+    bitset" made literal) and packed into one ``array<long>`` bitmap
+    LITERAL of m/64 words, so the per-row membership test is k
+    (element_at >> getbit) expressions riding the probe scan — no
+    distinct-probe-key pass, no explode to k position rows, no
+    candidate join-back. The earlier relational form re-executed the
+    whole probe subtree 2x (row marking + distinct-key candidate
+    generation) and the member-key subtree 3x (measured ~6 s of
+    duplicated executor time on the r11 decontaminate_bloom profile);
+    this form runs each exactly once. The exact verify is a broadcast
+    join of the member-key set (SMALL by contract — an eval set)
+    against the probe rows; a member key always Bloom-hits, so the
+    per-row confirmed flag is independent of the candidate flag and
+    both count up in the same single aggregation. NOTE: building the
+    bitmap collects the <= m positions eagerly at plan-construction
+    time (one tiny job over the member side)."""
+    if m > (1 << 24):
+        raise ValueError(
+            f"m={m} too large for a literal bitmap ({m >> 23} MB); "
+            "use bloom_build/bloom_candidates relationally"
         )
-        .join(conf, key_col, "left")
+    keys = member_keys.select(key_col).dropDuplicates([key_col]).persist()
+    bloom = bloom_build(keys, key_col, k, m, seed)
+    words = [0] * ((m + 63) >> 6)
+    for r in bloom.collect():  # bounded: <= m set-bit rows
+        words[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
+    # two's-complement into signed longs for the array<long> literal
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = F.lit(words)
+
+    def _bit_set(pos: Column) -> Column:
+        word = F.element_at(bitmap, F.shiftright(pos, 6).cast("int") + 1)
+        return F.call_function(
+            "getbit", word, pos.bitwiseAND(F.lit(63))
+        ) == 1
+
+    cand_flag = _bit_set(
+        md5_mod(F.col(key_col), f"{seed}0", m)
+    )
+    for i in range(1, k):
+        cand_flag = cand_flag & _bit_set(
+            md5_mod(F.col(key_col), f"{seed}{i}", m)
+        )
+    conf = keys.withColumn("__conf__", F.lit(1))
+    return (
+        probe_rows.join(F.broadcast(conf), key_col, "left")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_keys"),
-            F.count("__cand__").alias("n_candidates"),
+            F.count(F.when(cand_flag, F.lit(1))).alias("n_candidates"),
             F.count("__conf__").alias("n_confirmed"),
         )
     )

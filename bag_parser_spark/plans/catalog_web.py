@@ -1015,7 +1015,23 @@ def q_ml_pagerank_converged(spark, sf_dir, checkpoint_dir=None):
         .persist()
     )
     outd = edges.groupBy("src").agg(F.sum("w").alias("od")).persist()
-    nn = nodes.agg(F.count(F.lit(1)).alias("__nn__"))
+    # r11 optimization (guide §1.2 step 1 — fewer passes per iteration;
+    # profile: 74 jobs / 145 stages for 6 iterations, nearly all fixed
+    # scheduling cost of per-iteration subtrees):
+    #  - the node count is one bounded 1-row action whose literal rides
+    #    the update expression, instead of a crossJoin(broadcast(agg))
+    #    materialized again every iteration;
+    #  - the DANGLING node set is static across iterations (it depends
+    #    only on the graph, not the ranks) — computed once and
+    #    persisted, so each iteration pays one cached-side semi-join
+    #    aggregate instead of re-running the nodes-vs-outd anti-join;
+    #  - rank_k carries rank_{k-1} through the checkpoint as __rp__, so
+    #    the convergence delta needs NO final rank-vs-prev join (the
+    #    two-ExistingRDD sort-merge join with both sides exchanged).
+    nn = nodes.count()
+    dang = nodes.join(
+        outd.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
     # Lineage is TRUNCATED per iteration (eager cut), not just
     # persisted: rank_k is referenced 3x by rank_k+1 (contribution
     # join, dangling mass, delta), so persist alone leaves a logical
@@ -1028,7 +1044,6 @@ def q_ml_pagerank_converged(spark, sf_dir, checkpoint_dir=None):
         nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("r")),
         checkpoint_dir,
     )
-    prev = rank
     for _ in range(_PR_ITERS):
         contrib = (
             edges.join(
@@ -1042,29 +1057,33 @@ def q_ml_pagerank_converged(spark, sf_dir, checkpoint_dir=None):
             .groupBy("node")
             .agg(F.sum("__c__").alias("__s__"))
         )
-        dangling = rank.join(
-            outd.select(F.col("src").alias("node")), "node", "left_anti"
-        ).agg(F.coalesce(F.sum("r"), F.lit(0)).alias("__dm__"))
-        prev = rank
-        rank = cut_lineage(
-            nodes.join(contrib, "node", "left")
+        dangling = rank.join(dang, "node", "left_semi").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).alias("__dm__")
+        )
+        new_rank = (
+            rank.select("node", "r")
+            .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(nn))
             .select(
                 "node",
                 F.expr(
                     f"(15 * {_PR_SCALE}) div 100"
-                    " + (85 * (coalesce(__s__, 0) + __dm__ div __nn__))"
+                    f" + (85 * (coalesce(__s__, 0) + __dm__ div {nn}))"
                     " div 100"
                 )
                 .cast("long")
-                .alias("r"),
-            ),
-            checkpoint_dir,
+                .alias("__rn__"),
+                F.col("r").alias("__rp__"),
+            )
+            .select("node", F.col("__rn__").alias("r"), "__rp__")
         )
-    return rank.join(
-        prev.select("node", F.col("r").alias("__rp__")), "node"
-    ).select(
+        # (r11 probe: cutting only every second iteration — persist on
+        # the mid rank — was tried and measured SLOWER: the persisted
+        # mid-rank's cache build plus the extra broadcast query stages
+        # cost more jobs than the skipped checkpoint saved. Cut every
+        # iteration.)
+        rank = cut_lineage(new_rank, checkpoint_dir)
+    return rank.select(
         F.col("node").alias("host"),
         F.col("r").alias("rank_micro"),
         F.abs(F.col("r") - F.col("__rp__")).cast("long").alias("delta_micro"),

@@ -57,6 +57,34 @@ def get_spark(
         )
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r11 optimization-round knob (guide §1.2 step 3), scale-neutral:
+        # the default 100 compiled-class codegen-cache entries thrash on
+        # any workload that cycles through more than ~a few dozen
+        # distinct plans (the 41-query bench recompiled every stage of
+        # every rep; a long-lived cluster session serving many queries
+        # hits the same wall). Driver+executor memory cost is bounded
+        # (compiled classes, not data). Measured: a broad ~0.2-0.7 s/query
+        # drop across UNTOUCHED bench queries when reps stopped
+        # recompiling. (guide §3.1's preferSortMergeJoin=false was ALSO
+        # A/B-measured here: sort-merge+AQE won 7 of 10 paired
+        # measurements on this suite — e.g. dedup_embedding_cosine
+        # 2.72 s SMJ vs 3.27 s SHJ-preferred — so the default stays.)
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # AQE coalescing floor (guide §2.2 vs §2.5 trade): AQE merges
+        # post-shuffle partitions down to this size even when
+        # parallelismFirst is on, and the 1m default serializes
+        # CPU-dense low-byte stages (a few MB of md5-heavy shingle
+        # rows coalesced onto <= 5 tasks while 27 cores idle —
+        # measured: decontaminate_bloom 3.7 -> 2.7 s, verified_pairs
+        # 4.0 -> 3.0 s at 128k). The floor only binds when a stage's
+        # bytes are small relative to cores, so at cluster scale
+        # (GB-sized stages) it is a no-op — partition sizing there is
+        # still parallelism/advisory-driven. Env-overridable for
+        # deployments whose cost model differs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

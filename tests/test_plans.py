@@ -213,6 +213,16 @@ def test_no_rdd_api_and_bounded_driver_actions():
                                   # broadcast vs shuffle — a plan
                                   # decision, inherently driver-side
                                   # (VERDICT r8 #1)
+        "operators/sketches.py",  # bloom_confirmed_counts: collect of
+                                  # the <= m set-bit positions into the
+                                  # literal bitmap (m guarded <= 2^24;
+                                  # the whole point is that the filter
+                                  # is driver-bounded — r11 opt)
+        "plans/catalog_web.py",   # pagerank node count: one 1-row
+                                  # scalar whose literal rides the
+                                  # damping expression instead of a
+                                  # per-iteration crossJoin(broadcast)
+                                  # job (r11 opt)
     }
     action_re = re.compile(r"\.collect\(\)|\.count\(\)|\.toPandas\(\)")
     for py in sorted(pkg.rglob("*.py")):

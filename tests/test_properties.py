@@ -516,7 +516,10 @@ def _winnow_model(docs, k, w):
     import hashlib
 
     def md5(s):
-        return hashlib.md5(s.encode()).hexdigest()
+        # raw digest bytes — mirrors winnow_fingerprint_rows' unhex(md5)
+        # key form (r11); min over bytes == min over hex for md5-length
+        # lowercase hex, so the selected grams are unchanged
+        return hashlib.md5(s.encode()).digest()
 
     out = {}
     for i, toks in docs:
@@ -553,7 +556,7 @@ def test_winnow_fingerprints_match_python_model(spark, docs, k, w):
     for r in dedup.winnow_fingerprint_rows(
         df, "doc_id", "text", gram_k=k, window_w=w
     ).collect():
-        got.setdefault(r["__id__"], set()).add(r["fp"])
+        got.setdefault(r["__id__"], set()).add(bytes(r["fp"]))
     want = _winnow_model(list(enumerate(docs)), k, w)
     assert got == want
     # the winnowing guarantee on the model's own terms: any two docs
