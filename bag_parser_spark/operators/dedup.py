@@ -1407,11 +1407,18 @@ def winnowing_pairs(
         df, id_col, text_col, gram_k, window_w
     ).persist()
     if max_fp_df is not None:
+        # hot set persisted (r11): both self-join sides anti-join it, and
+        # without the persist each side re-runs the corpus-sized fp
+        # document-frequency aggregate (the r11 plan audit showed the
+        # Exchange + double HashAggregate subtree twice). The hot relation
+        # itself is small (boilerplate fps only); the anti-join stays a
+        # cheap broadcast on both sides.
         hot = (
             fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("__df__"))
             .filter(F.col("__df__") > max_fp_df)
             .select("fp")
+            .persist()
         )
         fps = fps.join(hot, "fp", "left_anti")
     a = fps.select(F.col("fp"), F.col("__id__").alias("id_a"))

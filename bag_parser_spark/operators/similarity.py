@@ -187,6 +187,43 @@ def _arrow_pair_cosine():
     return pair_cosine
 
 
+def _arrow_pair_l2sq():
+    """Arrow-batched squared-L2 over vector pairs: the vectorized twin of
+    the no-width ``_l2sq(a, b)`` fold.
+
+    Bit-exactness contract (same as ``_arrow_pair_cosine``): an explicit
+    left fold over dimensions, vectorized across ROWS —
+    ``acc = acc + (a[:,d] - b[:,d])**2`` performs per element exactly the
+    subtract / multiply / add sequence of the Column fold (which starts at
+    ``F.lit(0.0)``) and of the DuckDB ``list_dot_product`` over the
+    difference list, so every engine rounds identically. numpy's own
+    ``einsum``/``dot`` reductions use pairwise summation and would NOT.
+
+    r11 optimization (guide §4.1): the IVF-PQ coarse assignment evaluates
+    squared-L2 on the |corpus|x|cells| crossJoin product (80k dim-64
+    evaluations at sf0.1), and Spark runs higher-order-function lambdas
+    interpreted — one expression tree per element. Arrow moves the same
+    arithmetic to numpy, the exact trade ``_arrow_pair_cosine`` measured
+    for the IVF cosine assignment (~100 ns/row-dot); at 100 TB it rides
+    the same broadcast-join batches with zero extra shuffle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_l2sq(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(a), dtype=np.float64)
+        for d in range(a.shape[1]):
+            diff = a[:, d] - b[:, d]
+            acc = acc + diff * diff
+        return pd.Series(acc)
+
+    return pair_l2sq
+
+
 def _py_cosine(a: list[float], b: list[float]) -> float:
     """Driver-side cosine with the SAME left-fold accumulation order as the
     Column form, so centroid orderings computed on the driver match the
@@ -758,9 +795,14 @@ def ivfpq_topk(
             F.col("__v__").alias("v"),
         )
     ).alias("__b__")
+    # r11: the |corpus|x|cells| product is the hot stage — Arrow-fold
+    # squared-L2 (bit-identical left fold, see _arrow_pair_l2sq) instead
+    # of the interpreted higher-order lambda; the min-struct partial agg
+    # still collapses the product map-side before the one exchange.
+    pair_l2 = _arrow_pair_l2sq()
     assigned = (
         v.crossJoin(F.broadcast(cb0))
-        .withColumn("__d__", _l2sq(F.col("__v__"), F.col("__cv__")))
+        .withColumn("__d__", pair_l2(F.col("__v__"), F.col("__cv__")))
         .groupBy("__vid__")
         .agg(assign_best)
         .select(

@@ -656,18 +656,21 @@ def test_bucketed_rank_matches_single_partition_window(spark):
 
 
 def test_winnowing_runtime_plan_shape(spark):
-    """dedup_winnowing: ONE cached fingerprint relation referenced by the
-    hot-fp anti-join and both self-join sides (the minhash_lsh persist
-    convention — without it the tokenize→window lineage executes 4×),
-    bounded runtime shuffles, and document text never in an exchange."""
+    """dedup_winnowing: TWO cached relations — the fingerprint rows
+    (referenced by the hot-fp aggregate and both self-join sides: the
+    minhash_lsh persist convention — without it the tokenize→window
+    lineage executes 4×) and, since r11, the tiny hot-fp set (both
+    anti-join sides consume it; unpersisted it re-ran the corpus-sized
+    fp document-frequency aggregate once per side) — plus bounded
+    runtime shuffles and document text never in an exchange."""
     from bag_parser_spark.plans.plan_stats import runtime_plan_stats
 
     spark.catalog.clearCache()
     df = registry()["dedup_winnowing"].fn(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     st = runtime_plan_stats(plan)
-    assert st["cached_distinct"] == 1, st
-    assert st["cached_refs"] >= 3, st
+    assert st["cached_distinct"] == 2, st
+    assert st["cached_refs"] >= 4, st
     # cache build (id window + fp distinct) + hot-fp agg + pair agg;
     # the fp self-join rides broadcast at this SF (big-big it would add
     # two fp-keyed exchanges — still key-only payloads)
