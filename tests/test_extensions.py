@@ -1927,6 +1927,41 @@ def test_pq_adc_topk_known_values_and_heap_plan(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_arrow_pair_l2sq_bit_identical_to_column_fold(spark):
+    """r11: ivfpq_topk's coarse assignment swapped the interpreted
+    higher-order l2sq lambda for the Arrow kernel. The kernel's contract
+    is BIT-identity with the Column left fold (same subtract/multiply/add
+    sequence per element, vectorized across rows only) — pin it on
+    adversarial magnitudes where pairwise/reordered summation would
+    diverge in the last ulp."""
+    import random
+    import struct
+
+    from bag_parser_spark.operators.similarity import _arrow_pair_l2sq, _l2sq
+
+    rng = random.Random(11)
+    dim = 64
+    rows = []
+    for i in range(40):
+        # mix huge/tiny magnitudes so accumulation ORDER matters
+        a = [rng.uniform(-1, 1) * 10 ** rng.randint(-12, 12) for _ in range(dim)]
+        b = [rng.uniform(-1, 1) * 10 ** rng.randint(-12, 12) for _ in range(dim)]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(
+        rows, "i long, a array<double>, b array<double>"
+    )
+    out = df.select(
+        "i",
+        _l2sq(F.col("a"), F.col("b")).alias("fold"),
+        _arrow_pair_l2sq()(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        fold_bits = struct.pack("<d", r["fold"])
+        arrow_bits = struct.pack("<d", r["arrow"])
+        assert fold_bits == arrow_bits, (r["i"], r["fold"], r["arrow"])
+
+
 def test_pagerank_step_known_values(spark):
     """Hand-computed one-step PageRank on a 3-edge bipartite graph:
     customer 1 buys from suppliers A,A,B (outdeg 3, A twice), customer
