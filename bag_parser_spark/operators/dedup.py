@@ -103,6 +103,14 @@ def word_shingle_rows(
     transform/element_at form is an interpreted lambda (CodegenFallback) —
     measured ~2.4 ms/doc vs ~0.1 ms/doc here. NOT deduped: MinHash minima
     don't care, Jaccard callers add .distinct().
+
+    (r12: a guarded fan-out before the split/posexplode was A/B'd here
+    and REVERTED — the lead() window's own exchange already spreads the
+    md5-heavy downstream work, the serial split is only ~0.4 s, and the
+    pinned-width repartition measured WORSE on the consumers:
+    dedup_verified_pairs 2.36 -> 3.05 s min, dedup_minhash_lsh
+    0.95 -> 1.24 s min over 6 interleaved reps. Contrast
+    simhash_signatures, which has no window exchange and keeps it.)
     """
     from pyspark.sql import Window
 
@@ -1107,8 +1115,23 @@ def simhash_signatures(
     codegen; this form hashes each token once and shuffles only (id, 16
     small ints) with map-side partial sums.
     """
-    toks = df.select(
-        F.col(id_col).alias("__id__"),
+    # ADVICE r11: at ndig >= 16 the conv value can reach 2^63 and the
+    # long cast NULLs in non-ANSI mode — every bit would silently vote
+    # -1. Only 16 bits are used today; fail loudly, not wrongly.
+    if num_bits > 60:
+        raise ValueError(
+            f"num_bits={num_bits} > 60 would overflow the single conv "
+            "fold (values >= 2^63 cast to NULL); split the fold into "
+            "two <= 8-digit conv halves first"
+        )
+    from bag_parser_spark.operators.fanout import fan_out_cpu_dense
+
+    # r12: the per-token md5+conv vote projection is CPU-dense map work
+    # riding the scan — fan a small input out first (no-op at scale)
+    toks = fan_out_cpu_dense(
+        df.select(F.col(id_col).alias("__id__"), F.col(text_col)), "__id__"
+    ).select(
+        "__id__",
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
     # r11: fold the leading hex digits ONCE per token with JVM conv and
@@ -1339,6 +1362,9 @@ def winnow_fingerprint_rows(
     the fingerprint table is ~1/w of the gram count; downstream consumers
     join on fp, an md5-uniform key with no natural skew.
     """
+    # (r12: the word_shingle_rows-style guarded fan-out was A/B'd here
+    # and REVERTED with it — dedup_winnowing 1.14 -> 1.30 s min; the
+    # lead() window's exchange already spreads the downstream work.)
     toks = df.select(
         F.col(id_col).alias("__id__"),
         F.posexplode(
@@ -1384,6 +1410,7 @@ def winnowing_pairs(
     window_w: int = 4,
     min_shared: int = 2,
     max_fp_df: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by shared winnowing fingerprints: invert the
     (id, fp) table and equi-join on fp, keeping pairs sharing at least
@@ -1402,10 +1429,15 @@ def winnowing_pairs(
     window lineage (Spark self-joins duplicate lineage; persist dedupes
     it, same convention as ``minhash_lsh_pairs``) — at corpus scale the
     fingerprint scan IS the dominant cost, so 4× would be the bill.
+    Both persists are appended to ``cache_registry`` when given
+    (ADVICE r11: long-lived sessions otherwise accumulate the blocks
+    until release_cached_blocks); module convention otherwise.
     """
     fps = winnow_fingerprint_rows(
         df, id_col, text_col, gram_k, window_w
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(fps)
     if max_fp_df is not None:
         # hot set persisted (r11): both self-join sides anti-join it, and
         # without the persist each side re-runs the corpus-sized fp
@@ -1420,6 +1452,8 @@ def winnowing_pairs(
             .select("fp")
             .persist()
         )
+        if cache_registry is not None:
+            cache_registry.append(hot)
         fps = fps.join(hot, "fp", "left_anti")
     a = fps.select(F.col("fp"), F.col("__id__").alias("id_a"))
     b = fps.select(F.col("fp"), F.col("__id__").alias("id_b"))
@@ -1465,6 +1499,18 @@ def winnowing_pairs_incremental(
     only ever aggregates its own fingerprints and joins the fp-keyed
     rollup — base text is never rescanned, base fps never re-counted.
     """
+    from pyspark.sql.types import StringType
+
+    # ADVICE r11: r11 switched fingerprints to BINARY (unhex(md5)); a
+    # stored artifact built by a pre-r11 version carries hex STRINGS,
+    # and string-vs-binary equi-joins silently match nothing — fail
+    # loudly instead of returning an empty pair set.
+    if isinstance(base_fps.schema["fp"].dataType, StringType):
+        raise ValueError(
+            "base_fps.fp is a hex STRING — an artifact from a pre-r11 "
+            "build; re-fingerprint the corpus (fps are binary "
+            "unhex(md5) since r11) or unhex the stored column"
+        )
     fn = winnow_fingerprint_rows(
         new_df, id_col, text_col, gram_k, window_w
     ).persist()

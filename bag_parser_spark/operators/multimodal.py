@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bag_parser_spark.operators.fanout import fan_out_cpu_dense
+
 # Typed metadata schema attached to every multimodal payload column.
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -122,7 +124,9 @@ def generate_png_payloads(
                 )
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
-    return df.select(id_col).mapInPandas(gen, schema=schema)
+    return fan_out_cpu_dense(df.select(id_col), id_col).mapInPandas(
+        gen, schema=schema
+    )
 
 
 def synthetic_jpeg_dims(doc_id: int) -> tuple[int, int]:
@@ -175,7 +179,9 @@ def generate_jpeg_payloads(
                 )
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
-    return df.select(id_col).mapInPandas(gen, schema=schema)
+    return fan_out_cpu_dense(df.select(id_col), id_col).mapInPandas(
+        gen, schema=schema
+    )
 
 
 def decode_any_image(payload: bytes) -> dict:
@@ -333,7 +339,9 @@ def generate_y4m_payloads(
                 )
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
-    return df.select(id_col).mapInPandas(gen, schema=schema)
+    return fan_out_cpu_dense(df.select(id_col), id_col).mapInPandas(
+        gen, schema=schema
+    )
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(
@@ -447,7 +455,9 @@ def generate_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
-    return df.select(id_col).mapInPandas(gen, schema=schema)
+    return fan_out_cpu_dense(df.select(id_col), id_col).mapInPandas(
+        gen, schema=schema
+    )
 
 
 def extract_audio_features(
@@ -588,4 +598,6 @@ def generate_png_payloads_perturbed(
                 )
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
-    return df.select(id_col).mapInPandas(gen, schema=schema)
+    return fan_out_cpu_dense(df.select(id_col), id_col).mapInPandas(
+        gen, schema=schema
+    )

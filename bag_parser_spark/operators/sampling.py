@@ -898,8 +898,17 @@ def _hashed_ngram_feats(
     1-based feature position (unigrams first, then bigrams) so
     downstream float folds can run in an engine-independent order.
     Bucketing is the portable md5 nibble fold (``md5_mod``) — any
-    engine computes the identical bucket. Pure map-side: split,
-    two ``transform``s, one ``explode``; nothing shuffles here."""
+    engine computes the identical bucket. Map-side except for the
+    guarded fan-out: the per-feature md5 fan is CPU-dense (r12 profile:
+    2.0 s of WARM single-task CPU riding a one-split scan while 31
+    cores idled), so a small input is spread across the cores first
+    (``fanout.fan_out_cpu_dense`` — no-op above the size threshold,
+    so at corpus scale nothing shuffles here)."""
+    from bag_parser_spark.operators.fanout import fan_out_cpu_dense
+
+    df = fan_out_cpu_dense(
+        df.select(id_col, *extra_cols, text_col), id_col
+    )
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     # unigrams at pos 1..n, bigrams ("w1 w2") at pos n+1..2n-1; Spark
     # transform's index is 0-based, the DuckDB twin's is 1-based

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bag_parser_spark.operators.fanout import fan_out_cpu_dense
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -287,10 +289,13 @@ def ivf_topk(
         )
     ).alias("__best__")
     assigned = (
-        df.select(
-            F.col(id_col).alias("__vid__"),
-            F.col(vec_col).alias("__vec__"),
-            norm(F.col(vec_col)).alias("__vnorm__"),
+        fan_out_cpu_dense(
+            df.select(
+                F.col(id_col).alias("__vid__"),
+                F.col(vec_col).alias("__vec__"),
+                norm(F.col(vec_col)).alias("__vnorm__"),
+            ),
+            "__vid__",
         )
         .crossJoin(F.broadcast(c.withColumn("__cnorm__", norm(F.col("cv")))))
         .withColumn(
@@ -389,10 +394,13 @@ def semantic_dedup_pairs(
         )
     ).alias("__best__")
     assigned = (
-        df.select(
-            F.col(id_col).alias("__vid__"),
-            F.col(vec_col).alias("__vec__"),
-            norm(F.col(vec_col)).alias("__vnorm__"),
+        fan_out_cpu_dense(
+            df.select(
+                F.col(id_col).alias("__vid__"),
+                F.col(vec_col).alias("__vec__"),
+                norm(F.col(vec_col)).alias("__vnorm__"),
+            ),
+            "__vid__",
         )
         .crossJoin(F.broadcast(c.withColumn("__cnorm__", norm(F.col("cv")))))
         .withColumn(
@@ -535,11 +543,14 @@ def hard_negatives_blocked(
         )
     ).alias("__best__")
     assigned = (
-        df.select(
-            F.col(id_col).alias("__vid__"),
-            F.col(vec_col).alias("__vec__"),
-            F.col(label_col).alias("__lab__"),
-            norm(F.col(vec_col)).alias("__vnorm__"),
+        fan_out_cpu_dense(
+            df.select(
+                F.col(id_col).alias("__vid__"),
+                F.col(vec_col).alias("__vec__"),
+                F.col(label_col).alias("__lab__"),
+                norm(F.col(vec_col)).alias("__vnorm__"),
+            ),
+            "__vid__",
         )
         .crossJoin(F.broadcast(c.withColumn("__cnorm__", norm(F.col("cv")))))
         .withColumn(
@@ -694,8 +705,11 @@ def pq_encode(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     w = dim // m
     subs = (
-        df.select(
-            F.col(id_col), _as_double(F.col(vec_col)).alias("__v__")
+        fan_out_cpu_dense(
+            df.select(
+                F.col(id_col), _as_double(F.col(vec_col)).alias("__v__")
+            ),
+            id_col,
         )
         .select(
             id_col,
@@ -784,9 +798,12 @@ def ivfpq_topk(
     cb0 = centroids.select(
         F.col("cid"), _as_double(F.col("cv")).alias("__cv__")
     )
-    v = df.select(
-        F.col(id_col).alias("__vid__"),
-        _as_double(F.col(vec_col)).alias("__v__"),
+    v = fan_out_cpu_dense(
+        df.select(
+            F.col(id_col).alias("__vid__"),
+            _as_double(F.col(vec_col)).alias("__v__"),
+        ),
+        "__vid__",
     )
     assign_best = F.min(
         F.struct(
@@ -1126,11 +1143,14 @@ def embedding_neardup_pairs(
         collapse = stats["n"] * 100 > stats["d"] * 105
 
     if not collapse:
-        b = df.select(
-            F.col(id_col).alias("__mid__"),
-            F.col(vec_col).alias("__mvec__"),
-            norm(F.col(vec_col)).alias("__mnorm__"),
-            lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket__"),
+        b = fan_out_cpu_dense(
+            df.select(
+                F.col(id_col).alias("__mid__"),
+                F.col(vec_col).alias("__mvec__"),
+                norm(F.col(vec_col)).alias("__mnorm__"),
+                lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket__"),
+            ),
+            "__mid__",
         ).persist()
         if cache_registry is not None:
             cache_registry.append(b)

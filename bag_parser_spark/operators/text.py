@@ -97,6 +97,13 @@ def quality_metrics(
     """
     from pyspark.sql import Window
 
+    from bag_parser_spark.operators.fanout import fan_out_cpu_dense
+
+    # r12: the tokenize/regex/md5 map work is CPU-dense and otherwise
+    # rides a one-split scan serially; the id-keyed fan-out also
+    # pre-partitions BOTH branches of the doc_level/tok_agg self-join
+    # on the join key (no-op above the size guard — see fanout.py)
+    df = fan_out_cpu_dense(df, id_col)
     t = F.col(text_col)
     toks = df.select(
         F.col(id_col), F.posexplode(tokens(t)).alias("pos", "tok")
@@ -362,8 +369,13 @@ def gopher_rules(
     Scale shape: one explode → groupBy(doc, word) → groupBy(doc) chain
     (two shuffles on the doc key, map-side combine, robust to
     arbitrarily long docs) joined to a map-only doc-level symbol count;
-    the flags themselves are plain codegen arithmetic.
+    the flags themselves are plain codegen arithmetic. A small input
+    fans out first (r12) so the tokenize/explode map work does not
+    serialize on a one-split scan.
     """
+    from bag_parser_spark.operators.fanout import fan_out_cpu_dense
+
+    df = fan_out_cpu_dense(df, id_col)
     t = F.col(text_col)
     toks = df.select(
         F.col(id_col).alias("__id__"),
@@ -478,7 +490,11 @@ def c4_line_filter(
     codegen), so at 100 TB this is free map work exactly like URL
     canonicalization. Contrast ``remove_common_lines``, which needs a
     corpus-level line-frequency shuffle because its keep-decision is
-    global; C4's is purely local.
+    global; C4's is purely local. (r12: a guarded fan-out was A/B'd here
+    and REVERTED — the line scoring is cheap enough that the exchange
+    cost more than the spread saved: 0.24 -> 0.27 s min over 6
+    interleaved reps; contrast main_content_extract/gopher_rules where
+    the same guard won 3.5x / 1.4x.)
     """
     t = F.col(text_col)
 
@@ -598,11 +614,17 @@ def main_content_extract(
     the first; body paragraphs with an occasional inline link survive
     and keep the link's text. Returns (id, main_text — kept blocks
     joined by newline in page order, n_blocks — blocks with any visible
-    text, n_kept). Scale shape: ZERO shuffles — script/style removal,
-    the block split, and the per-block transform/filter/aggregate are
-    array expressions riding the scan, exactly like ``c4_line_filter``;
-    free map work at 100 TB.
+    text, n_kept). Scale shape: script/style removal, the block split,
+    and the per-block transform/filter/aggregate are array expressions
+    riding the scan, exactly like ``c4_line_filter`` — free map work at
+    100 TB, where the fan-out guard below is a no-op. A SMALL input
+    fans out first (r12: the block scoring is the heaviest map
+    expression in the text family — 2.1 s of single-task CPU on a
+    one-split scan while 31 cores idled; see ``fanout``).
     """
+    from bag_parser_spark.operators.fanout import fan_out_cpu_dense
+
+    df = fan_out_cpu_dense(df, id_col)
     x = F.col(html_col)
     x = F.regexp_replace(x, r"(?is)<script[^>]*>.*?</script>", " ")
     x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
@@ -814,8 +836,12 @@ def hash_classifier_scores(
 
     from bag_parser_spark.operators.sampling import md5_mod
 
+    from bag_parser_spark.operators.fanout import fan_out_cpu_dense
+
     tok = F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
-    flat = df.select(F.col(id_col).alias("__id__"), tok)
+    flat = fan_out_cpu_dense(df, id_col).select(
+        F.col(id_col).alias("__id__"), tok
+    )
     bucket = md5_mod(F.col("token"), f"{seed}:b", n_buckets)
     # The per-bucket milli-weights are a FIXED n_buckets-sized table —
     # precompute them driver-side (same md5 fold the oracle runs) and

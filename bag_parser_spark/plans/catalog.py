@@ -944,62 +944,51 @@ def q_f8(spark, sf_dir):
 
 # Driver-verification priority. The correctness driver samples the catalog in
 # dict order with a bounded budget (every round so far recorded exactly the
-# first 50 keys), so the order is re-rotated each round. r11 rotation
-# (VERDICT r10 #2; cohort from `scripts/rotation_audit.py --stale-after 4
-# --current-round 11`: 15 names at r6 greens, 47 at r7): the window
-# leads with the one r11 addition (sample_pack_bins — no driver row
-# can exist) and the two r11 rewrites (the frontier's ceiling
-# floor-math fix and mm_image_neardup's bit_count hamming refine —
-# their r10 greens predate the changes), then the COMPLETE 15-query
-# r6-stale cohort the r10 verdict queues, then 32 of the 47 r7-stale
-# queries chosen round-robin so every operator family holds a first-50
-# slot — including the corpus family (`tfidf_vectors`, r7-stale AND
-# the family member VERDICT r10 #1 requires; `f14_null_semantics` and
-# `j11_merge_apply` likewise double as the scalar-pack / join-ext
-# members). The 15 r7 names deferred to r12 (a3_latest_date,
-# a4_distinct, a5_dedup_scan, j3_plaats_overlay, j5_explode_self_join,
-# j6_coalesce_override, j8_semi_join, p6_conditional_name,
-# p7_geometry_roundtrip, text_gopher_summary, text_pii_redact,
-# url_canonical_dedup, url_domain_cap, url_domain_stats,
-# w3_rank_battery) are members of families holding 2+ window slots
-# already. Queries not listed follow in registration order — nothing
-# is dropped.
+# first 50 keys), so the order is re-rotated each round. r12 rotation
+# (VERDICT r11 #2/#5; cohort from `scripts/rotation_audit.py
+# --stale-after 4 --current-round 12`: 20 names at r7 greens, 48 at
+# r8): the window leads with every query whose OPERATOR was rewritten
+# in the r12 optimization pass (the guarded fan-out in the similarity/
+# multimodal/text/sampling substrates, the pagerank iteration
+# restructure, the Bloom bitmap guard — a stale green row is not
+# evidence for new executing code), which by construction also covers
+# the five r11 rewrites the r11 driver window never sampled
+# (decontaminate_bloom, ml_pagerank_converged, dedup_simhash,
+# sample_dsir, sim_ivfpq_topk — VERDICT r11 #5). The remaining slots
+# take the r7-stale cohort (oldest evidence) minus url_canonical_dedup
+# and url_domain_stats (the url family keeps 3 window slots; both
+# re-queue for r13), plus the four r8-stale names that keep every
+# operator family represented in the first 50 (events_sessionize,
+# f15_string_pack, j10_salted_skew_join, vocab_build). Queries not
+# listed follow in registration order — nothing is dropped.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # — r11 additions (never driver-validated; these head slots push the
-    #   final two url_* rotation names past the 50-row window — they keep
-    #   their r7 green rows and re-queue for r12) —
-    "dedup_winnowing", "text_lang_profile", "ml_eval_calibration",
-    "dedup_winnowing_recall", "sim_ivf_filtered_topk", "sample_pack_bins",
-    # — r11 rewrites (stale green rows are not evidence for new code) —
-    "web_crawl_frontier", "mm_image_neardup",
-    # — the r6-stale cohort, complete (VERDICT r10 #2 names these) —
-    "a27_countmin", "dedup_segment_fraction", "dedup_span_stats",
-    "ml_eval_confusion", "mm_resize", "sim_ivfpq_recall",
-    "sim_pq_adc_topk", "sim_pq_encode", "sim_pq_recall",
-    "text_bpe_merge_step", "tpch_q17_small_qty_revenue",
-    "tpch_q21_waiting_suppliers", "tpch_q9_product_profit",
-    "ts_asof_tolerance", "ts_autocorr",
-    # — 34 of the 47 r7-stale queries, round-robin across families:
-    #   aggregates —
-    "a10_pivot", "a11_exact_moments", "a2_count_battery",
-    # corpus / dedup / embeddings —
-    "tfidf_vectors", "dedup_clusters", "dedup_exact_docs",
-    "dedup_minhash_lsh", "emb_quantize_int8",
-    # events / ml / multimodal —
-    "ev_json_extract", "events_windowed_agg", "ml_kmeans_step",
-    "mm_image_features", "mm_jpeg_features",
-    # BAG core (scalar packs, projections, joins) —
-    "f14_null_semantics", "f5_bag_date_parse", "f7_wgs84_to_rd",
-    "f8_geometry_rings", "j11_merge_apply", "j2_update_join",
-    "j7_anti_join", "p11_clean_dummies", "p12_orphan_delete",
-    # sampling / similarity —
-    "sample_token_budget", "sim_knn_join",
-    # text —
-    "text_c4_line_filter", "text_gopher_rules", "text_html_extract",
-    "text_quality_metrics",
-    # tpch / timeseries / url —
-    "tpch_q7_volume_shipping", "ts_window_battery",
-    "url_blocklist_filter", "url_canonicalize",
+    # — r12 operator rewrites (30): pagerank restructure —
+    "ml_pagerank_converged",
+    # sampling / bloom (also the r11-unsampled rewrites) —
+    "sample_dsir", "decontaminate_bloom",
+    # dedup / similarity fan-out + Bloom/simhash substrate —
+    "dedup_simhash", "dedup_semantic", "dedup_embedding_cosine",
+    "sim_hard_negatives", "sim_ivf_topk", "sim_ivf_filtered_topk",
+    "sim_ivfpq_topk", "sim_ivfpq_recall", "sim_pq_encode",
+    "sim_pq_recall", "sim_pq_adc_topk", "sim_pq_adc_batch",
+    # multimodal payload-generator fan-out —
+    "mm_image_neardup", "mm_image_ahash", "mm_image_features",
+    "mm_jpeg_features", "mm_audio_features", "mm_frame_sample",
+    "mm_resize",
+    # text-operator fan-out (hash_classifier also backs the ml evals) —
+    "text_main_content", "text_quality_metrics", "text_gopher_rules",
+    "text_gopher_summary", "text_hash_classifier", "ml_auc_ranked",
+    "ml_eval_calibration", "ml_eval_confusion",
+    # — r7-stale cohort (oldest greens; 16 of 18 non-rewritten names) —
+    "a3_latest_date", "a4_distinct", "a5_dedup_scan",
+    "j3_plaats_overlay", "j5_explode_self_join", "j6_coalesce_override",
+    "j8_semi_join", "p6_conditional_name", "p7_geometry_roundtrip",
+    "text_pii_redact", "tpch_q7_volume_shipping", "ts_window_battery",
+    "url_blocklist_filter", "url_canonicalize", "url_domain_cap",
+    "w3_rank_battery",
+    # — r8-stale family-coverage fills —
+    "events_sessionize", "f15_string_pack", "j10_salted_skew_join",
+    "vocab_build",
 )
 
 # Queries REWRITTEN since their last green driver CORRECTNESS row: a stale
@@ -1007,18 +996,33 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # test forces these into the driver window alongside never-validated names.
 # Maintained by hand: add a name here when materially changing its query or
 # operator; remove it once a NEWER driver round records a green row.
+# (r11's entries — web_crawl_frontier, mm_image_neardup — got green r11
+# rows post-rewrite and dropped off; mm_image_neardup re-enters for its
+# r12 generator fan-out.)
 _REWRITTEN_SINCE_DRIVER_ROW: tuple[str, ...] = (
-    # r11 (ADVICE r10): urls.budget_ceiling now floors the IEEE
-    # quotient (math.floor(w / d)) instead of Python's // — identical
-    # at the fixture's (20.0, 2.0) but a material change to the
-    # function the frontier derives its WindowGroupLimit constant
-    # from, so the r10 green row predates the code it vouches for
-    "web_crawl_frontier",
-    # r11 (VERDICT r10 #6): the hamming refine now uses JVM
-    # conv/xor/bit_count instead of the nibble-arithmetic emulation
-    # Janino could not compile — values identical (equivalence test +
-    # oracle), but the executing expression is new code
-    "mm_image_neardup",
+    # r12 pagerank iteration restructure (pre-joined edge table, carried
+    # dangling flag, uncut final iteration — plan changed, values pinned
+    # by the unrolled-CTE oracle)
+    "ml_pagerank_converged",
+    # r12 guarded fan-out in the operator substrate: the locally
+    # executing plan gains the scale-guarded repartition (sampling
+    # _hashed_ngram_feats; similarity assignment/pair paths; multimodal
+    # payload generators; text block/token scorers)
+    "sample_dsir", "dedup_simhash", "dedup_semantic",
+    "dedup_embedding_cosine", "sim_hard_negatives", "sim_ivf_topk",
+    "sim_ivf_filtered_topk", "sim_ivfpq_topk", "sim_ivfpq_recall",
+    "sim_pq_encode", "sim_pq_recall", "sim_pq_adc_topk",
+    "sim_pq_adc_batch", "mm_image_neardup", "mm_image_ahash",
+    "mm_image_features", "mm_jpeg_features", "mm_audio_features",
+    "mm_frame_sample", "mm_resize", "text_main_content",
+    "text_quality_metrics", "text_gopher_rules", "text_gopher_summary",
+    "text_hash_classifier", "ml_auc_ranked", "ml_eval_calibration",
+    "ml_eval_confusion",
+    # r12 Bloom bitmap guard (literal <= 2^20, broadcast relation above)
+    # — decontaminate_bloom's m=65536 plan is byte-identical, but the
+    # operator is new code and its r10 green predates even the r11
+    # single-pass rewrite (VERDICT r11 #5)
+    "decontaminate_bloom",
 )
 
 

@@ -100,6 +100,11 @@ def q_lm_doc_score(spark, sf_dir):
         "transform(slice(__toks__, 1, size(__toks__)-1), "
         "(x, i) -> struct(i+1 AS pos, x AS w1, __toks__[i+1] AS w2))"
     )
+    # (r12: a guarded fan-out of the bigram explode was A/B'd here and
+    # REVERTED — min 1.32 -> 1.34 s, median worse, over 6 interleaved
+    # reps: the LM-build side already parallelizes through its groupBy
+    # exchange and the probe join rides the broadcast, so the extra
+    # exchange bought nothing.)
     flat = (
         d.select("doc_id", toks.alias("__toks__"))
         .select("doc_id", F.explode(pairs).alias("b"))

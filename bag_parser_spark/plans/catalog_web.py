@@ -980,12 +980,14 @@ _PR_SQL = (
     "units, per-edge contribution (rank*w) div out-weight, damped "
     "update through integer div — bit-reproducible on any engine or "
     "partitioning. Scale shape: per-iteration state is the (node, "
-    "rank) table PERSISTED so iteration k reads cached k-1 instead of "
-    "replaying the chain (text.bpe_train's pattern; O(k) total work); "
-    "each iteration costs one src-keyed contribution join + one dst "
-    "groupBy + two 1-row broadcast crossJoins (dangling mass, node "
-    "count) — cost is LINEAR in iterations and edge count; the oracle "
-    "unrolls the same iterations as CTEs.",
+    "rank, dangling-flag) table CHECKPOINTED so iteration k reads "
+    "k-1 instead of replaying the chain (O(k) total work); each "
+    "iteration costs one src-keyed contribution join against the "
+    "static pre-joined (src, dst, w, od) edge table, one dst groupBy, "
+    "and one 1-row dangling-mass broadcast (a filter+agg on the "
+    "carried flag — no join; the node count is a one-time literal) — "
+    "cost is LINEAR in iterations and edge count; the oracle unrolls "
+    "the same iterations as CTEs.",
 )
 def q_ml_pagerank_converged(spark, sf_dir, checkpoint_dir=None):
     from bag_parser_spark.operators.lineage import cut_lineage
@@ -1008,30 +1010,41 @@ def q_ml_pagerank_converged(spark, sf_dir, checkpoint_dir=None):
         .agg(F.count(F.lit(1)).alias("w"))
         .persist()
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    outd = edges.groupBy("src").agg(F.sum("w").alias("od")).persist()
     # r11 optimization (guide §1.2 step 1 — fewer passes per iteration;
     # profile: 74 jobs / 145 stages for 6 iterations, nearly all fixed
     # scheduling cost of per-iteration subtrees):
     #  - the node count is one bounded 1-row action whose literal rides
     #    the update expression, instead of a crossJoin(broadcast(agg))
     #    materialized again every iteration;
-    #  - the DANGLING node set is static across iterations (it depends
-    #    only on the graph, not the ranks) — computed once and
-    #    persisted, so each iteration pays one cached-side semi-join
-    #    aggregate instead of re-running the nodes-vs-outd anti-join;
     #  - rank_k carries rank_{k-1} through the checkpoint as __rp__, so
     #    the convergence delta needs NO final rank-vs-prev join (the
     #    two-ExistingRDD sort-merge join with both sides exchanged).
-    nn = nodes.count()
-    dang = nodes.join(
-        outd.select(F.col("src").alias("node")), "node", "left_anti"
-    ).persist()
+    # r12 (same guide section, second pass — 69 jobs were still ~11 per
+    # iteration of pure scheduling):
+    #  - edges ⋈ outd is STATIC, so it is pre-joined ONCE into the
+    #    persisted (src, dst, w, od) table instead of re-joining outd
+    #    inside every iteration (one broadcast build per iteration
+    #    gone);
+    #  - the DANGLING membership is static too, but r11 still paid a
+    #    per-iteration semi-join against a cached dang set; now it is
+    #    ONE boolean column (__d__) attached to rank_0 and carried
+    #    through every checkpoint, so the per-iteration dangling mass
+    #    is a plain filter+agg over the checkpointed rank — no join,
+    #    no second cached table;
+    #  - the LAST iteration is returned uncut: the caller's action
+    #    materializes it directly instead of paying a final checkpoint
+    #    job only to re-read it;
+    #  - nodes/outd/dang persists dropped (outd lives inside the ew
+    #    pre-join; dang became __d__; nodes is consumed once building
+    #    rank_0, and nn counts the checkpointed rank_0 instead).
+    outd = edges.groupBy("src").agg(F.sum("w").alias("od"))
+    ew = edges.join(outd, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_keys = edges.select(F.col("src").alias("node")).distinct()
     # Lineage is TRUNCATED per iteration (eager cut), not just
     # persisted: rank_k is referenced 3x by rank_k+1 (contribution
     # join, dangling mass, delta), so persist alone leaves a logical
@@ -1041,15 +1054,18 @@ def q_ml_pagerank_converged(spark, sf_dir, checkpoint_dir=None):
     # checkpoint_dir for the RELIABLE cluster posture (executor loss
     # after a localCheckpoint cut is unrecoverable — lineage.py).
     rank = cut_lineage(
-        nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("r")),
+        nodes.join(out_keys.withColumn("__o__", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.lit(_PR_SCALE).cast("long").alias("r"),
+            F.col("__o__").isNull().alias("__d__"),
+        ),
         checkpoint_dir,
     )
-    for _ in range(_PR_ITERS):
+    nn = rank.count()
+    for it in range(_PR_ITERS):
         contrib = (
-            edges.join(
-                rank.select(F.col("node").alias("src"), "r"), "src"
-            )
-            .join(outd, "src")
+            ew.join(rank.select(F.col("node").alias("src"), "r"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(r * w) div od").alias("__c__"),
@@ -1057,11 +1073,11 @@ def q_ml_pagerank_converged(spark, sf_dir, checkpoint_dir=None):
             .groupBy("node")
             .agg(F.sum("__c__").alias("__s__"))
         )
-        dangling = rank.join(dang, "node", "left_semi").agg(
+        dangling = rank.filter(F.col("__d__")).agg(
             F.coalesce(F.sum("r"), F.lit(0)).alias("__dm__")
         )
         new_rank = (
-            rank.select("node", "r")
+            rank.select("node", "r", "__d__")
             .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -1072,17 +1088,20 @@ def q_ml_pagerank_converged(spark, sf_dir, checkpoint_dir=None):
                     " div 100"
                 )
                 .cast("long")
-                .alias("__rn__"),
+                .alias("r"),
                 F.col("r").alias("__rp__"),
+                "__d__",
             )
-            .select("node", F.col("__rn__").alias("r"), "__rp__")
         )
         # (r11 probe: cutting only every second iteration — persist on
         # the mid rank — was tried and measured SLOWER: the persisted
         # mid-rank's cache build plus the extra broadcast query stages
         # cost more jobs than the skipped checkpoint saved. Cut every
-        # iteration.)
-        rank = cut_lineage(new_rank, checkpoint_dir)
+        # iteration, except the last — see above.)
+        if it < _PR_ITERS - 1:
+            rank = cut_lineage(new_rank, checkpoint_dir)
+        else:
+            rank = new_rank
     return rank.select(
         F.col("node").alias("host"),
         F.col("r").alias("rank_micro"),

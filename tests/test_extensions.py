@@ -3025,3 +3025,120 @@ def test_calibration_bins_exact_and_clamped(spark):
     # weighted gaps: n/N * gap, N = 25
     assert got[5]["weighted_gap"] == round(0.025 * 20 / 25, 6)
     assert got[9]["weighted_gap"] == 0.0
+
+
+def test_md5_mod_conv_fold_equals_nibble_fold(spark):
+    """ADVICE r11 #3: the docstring's promised conv-vs-nibble equivalence
+    test. md5_mod's JVM conv(substring(md5,1,8),16,10) fold must equal
+    the portable nibble arithmetic the DuckDB oracle keeps, value for
+    value — including values whose leading hex digit >= 8 (sign-bit
+    territory for a 32-bit reading) and across mod sizes."""
+    from pyspark.sql import functions as F
+
+    from bag_parser_spark.operators.sampling import md5_mod
+
+    df = spark.range(5000).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    h = F.md5(F.concat(F.lit("t:"), F.col("s")))
+    nibble = F.lit(0).cast("long")
+    for i in range(1, 9):
+        nibble = nibble * 16 + (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        )
+    for mod in (2, 512, 10_000, 65_536):
+        bad = (
+            df.select(
+                md5_mod(F.col("s"), "t", mod).alias("a"),
+                (nibble.cast("long") % mod).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert bad == 0, f"mod={mod}: conv fold diverged from nibble fold"
+
+
+def test_simhash_num_bits_guard():
+    """ADVICE r11 #1: num_bits > 60 would overflow the single conv fold
+    (>= 2^63 casts to NULL in non-ANSI mode -> every bit votes -1,
+    silently wrong signatures). Must raise, not corrupt."""
+    import pytest as _pytest
+
+    from bag_parser_spark.operators import dedup
+
+    with _pytest.raises(ValueError, match="num_bits=64 > 60"):
+        dedup.simhash_signatures(None, "id", "text", num_bits=64)
+
+
+def test_winnowing_incremental_rejects_hex_string_artifact(spark):
+    """ADVICE r11 #2: a pre-r11 fingerprint artifact stores fps as hex
+    STRINGS; r11+ fps are binary unhex(md5), and string-vs-binary joins
+    silently match nothing. The incremental join must refuse the stale
+    artifact format loudly."""
+    import pytest as _pytest
+
+    from bag_parser_spark.operators import dedup
+
+    new_df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    stale = spark.createDataFrame(
+        [(99, "ab" * 16)], "__id__ long, fp string"
+    )
+    with _pytest.raises(ValueError, match="pre-r11"):
+        dedup.winnowing_pairs_incremental(new_df, stale, "doc_id", "text")
+
+
+def test_bloom_bitmap_broadcast_path_matches_literal(spark):
+    """VERDICT r11 #5: above 2^20 bits the Bloom bitmap rides a one-row
+    broadcast relation instead of a plan literal. Same counts either
+    way — pin the two paths against each other at the boundary, and
+    pin that the small-m plan embeds a literal while the large-m plan
+    does NOT carry the 2 MB array in its string."""
+    from bag_parser_spark.operators import sketches
+
+    probe = spark.createDataFrame(
+        [(1, "k1"), (1, "k2"), (2, "k2"), (2, "zzz")],
+        "pid long, key string",
+    )
+    members = spark.createDataFrame([("k1",), ("k2",)], "key string")
+
+    def run(m):
+        rows = sketches.bloom_confirmed_counts(
+            probe, "pid", "key", members, k=3, m=m
+        )
+        got = {
+            r["pid"]: (r["n_keys"], r["n_candidates"], r["n_confirmed"])
+            for r in rows.collect()
+        }
+        return rows, got
+
+    small_df, small = run(1 << 20)        # literal path (boundary)
+    big_df, big = run((1 << 20) + 64)     # broadcast path
+    # confirmed counts are exact and path-independent; candidates may
+    # differ across m (different bit positions), so compare confirmed
+    assert {p: v[2] for p, v in small.items()} == {1: 2, 2: 1}
+    assert {p: v[2] for p, v in big.items()} == {1: 2, 2: 1}
+    assert big[2][1] >= big[2][2]  # candidates >= confirmed (no false negatives)
+    big_plan = big_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__bm__" in big_plan
+
+
+def test_fan_out_cpu_dense_guard(spark, monkeypatch):
+    """The fan-out helper must repartition small inputs to the default
+    parallelism, pass large inputs through UNTOUCHED (same plan object),
+    and honor the env kill-switch."""
+    from bag_parser_spark.operators.fanout import fan_out_cpu_dense
+    from bag_parser_spark.session import default_parallelism
+
+    df = spark.range(100).selectExpr("id", "cast(id as string) s")
+    monkeypatch.delenv("SPARK_GRAFT_FANOUT_MAX_BYTES", raising=False)
+    out = fan_out_cpu_dense(df, "id")
+    logical = out._jdf.queryExecution().logical().toString()
+    assert f"RepartitionByExpression ['id], {default_parallelism()}" in logical
+    # big input (estimate above threshold): untouched
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT_MAX_BYTES", "1")
+    assert fan_out_cpu_dense(df, "id") is df
+    # kill-switch
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT_MAX_BYTES", "0")
+    assert fan_out_cpu_dense(df, "id") is df

@@ -194,50 +194,86 @@ def test_no_rdd_api_and_bounded_driver_actions():
     import re
 
     pkg = pathlib.Path(__file__).parent.parent / "bag_parser_spark"
-    allowed_actions = {
-        "plans/validate.py",      # invariant battery: count/collect scalars
-        "plans/bag_pipeline.py",  # orphan-count report (two scalar counts)
-        "operators/joins.py",     # orphan_delete's documented count
-        "operators/dedup.py",     # CC convergence probe (1-row count)
-        "operators/similarity.py",  # IVF centroid pull (k rows)
-        "__main__.py",            # CLI driver program: report rows + counters
-        "sources/sqlite_compat.py",  # driver-side compat sink by design
-        "plans/corpus_prep.py",   # CLI summary: per-split counts (#splits rows)
-        "streaming/corpus.py",    # ingest_batch: 1-scalar survivor count
-                                  # gating the state append (a write-side
-                                  # effect decision, inherently driver-side)
-        "operators/urls.py",      # apply_robots broadcast size guard:
+    # rel path -> None (any function may act — CLI/report surfaces) or
+    # the EXACT set of function names allowed to act (VERDICT r11 #5:
+    # a whole-file pass on an operator module would silently bless the
+    # next collect() added anywhere in it)
+    allowed_actions: dict[str, set[str] | None] = {
+        "plans/validate.py": None,   # invariant battery: count/collect
+        "plans/bag_pipeline.py": None,  # orphan-count report
+        "operators/joins.py": {"conditional_orphan_delete"},  # the
+                                  # documented 1-scalar orphan count
+                                  # gating delete vs no-op
+        "operators/dedup.py": {"dup_clusters"},   # CC convergence probe
+        "operators/similarity.py": {
+            "ivf_topk",                  # centroid pull (k rows)
+            "hard_negatives_blocked",    # big-cell guard (<= |cells| rows)
+            "semantic_dedup_pairs",      # big-cell guard
+            "embedding_neardup_pairs",   # adaptive-collapse probe (1 row)
+        },
+        "__main__.py": None,         # CLI driver: report rows + counters
+        "sources/sqlite_compat.py": None,  # driver-side sink by design
+        "plans/corpus_prep.py": None,  # CLI summary: per-split counts
+        "streaming/corpus.py": {
+            "_ingest_batch_inner",   # 1-scalar survivor count gating the
+                                     # state append (a write-side effect
+                                     # decision, inherently driver-side)
+            "init_dsir_state",       # returns the written lam row count
+            "backfill_signatures",   # repair path: orphan count gating
+                                     # the signature append + report
+            "rebuild_domain_counts", # repair path: written-rows report
+        },
+        "operators/urls.py": {"apply_robots"},  # broadcast size guard:
                                   # one count of the AGGREGATED rules
-                                  # side (1 row/domain, the exact thing
-                                  # that would be broadcast) routing
-                                  # broadcast vs shuffle — a plan
-                                  # decision, inherently driver-side
-                                  # (VERDICT r8 #1)
-        "operators/sketches.py",  # bloom_confirmed_counts: collect of
-                                  # the <= m set-bit positions into the
-                                  # literal bitmap (m guarded <= 2^24;
-                                  # the whole point is that the filter
-                                  # is driver-bounded — r11 opt)
-        "plans/catalog_web.py",   # pagerank node count: one 1-row
-                                  # scalar whose literal rides the
-                                  # damping expression instead of a
-                                  # per-iteration crossJoin(broadcast)
-                                  # job (r11 opt)
+                                  # side routing broadcast vs shuffle —
+                                  # a plan decision (VERDICT r8 #1)
+        "operators/sketches.py": {"bloom_confirmed_counts"},  # collect
+                                  # of the <= m set-bit positions into
+                                  # the bitmap (m guarded <= 2^24;
+                                  # literal <= 2^20, broadcast relation
+                                  # above — r11/r12 opt)
+        "plans/catalog_web.py": {"q_ml_pagerank_converged"},  # node
+                                  # count: one 1-row scalar whose
+                                  # literal rides the damping
+                                  # expression (r11 opt)
     }
     action_re = re.compile(r"\.collect\(\)|\.count\(\)|\.toPandas\(\)")
+
+    def _strip(src: str) -> str:
+        code = re.sub(r'"""[\s\S]*?"""', "", src)
+        return "\n".join(l.split("#")[0] for l in code.splitlines())
+
+    def _enclosing_defs(code: str) -> list[tuple[str, str]]:
+        """(top-level def name, its body text) pairs, module tail under
+        the name ''. Column-0 'def'/'class' lines delimit blocks."""
+        blocks: list[tuple[str, list[str]]] = [("", [])]
+        for line in code.splitlines():
+            m = re.match(r"(?:def|class)\s+(\w+)", line)
+            if m:
+                blocks.append((m.group(1), []))
+            blocks[-1][1].append(line)
+        return [(n, "\n".join(ls)) for n, ls in blocks]
+
     for py in sorted(pkg.rglob("*.py")):
         rel = str(py.relative_to(pkg))
-        src = py.read_text()
-        # strip comments and docstrings so prose mentioning the API is fine
-        code = re.sub(r'"""[\s\S]*?"""', "", src)
-        code = "\n".join(l.split("#")[0] for l in code.splitlines())
+        code = _strip(py.read_text())
         assert ".rdd" not in code and "parallelize(" not in code, (
             f"{rel}: RDD API leaked into the DataFrame-first engine"
         )
-        if action_re.search(code) and rel not in allowed_actions:
+        if not action_re.search(code):
+            continue
+        allowed = allowed_actions.get(rel, set())
+        if allowed is None:
+            continue
+        offenders = [
+            name or "<module>"
+            for name, body in _enclosing_defs(code)
+            if action_re.search(body) and name not in allowed
+        ]
+        if offenders:
             raise AssertionError(
-                f"{rel}: driver-side action outside the allow-list — "
-                "distribute it or document it here"
+                f"{rel}: driver-side action in {offenders} outside the "
+                "allow-list — distribute it or document it here"
             )
 
 
