@@ -955,15 +955,21 @@ def q_f8(spark, sf_dir):
 # the five r11 rewrites the r11 driver window never sampled
 # (decontaminate_bloom, ml_pagerank_converged, dedup_simhash,
 # sample_dsir, sim_ivfpq_topk — VERDICT r11 #5). The remaining slots
-# take the r7-stale cohort (oldest evidence) minus url_canonical_dedup
-# and url_domain_stats (the url family keeps 3 window slots; both
-# re-queue for r13), plus the four r8-stale names that keep every
-# operator family represented in the first 50 (events_sessionize,
-# f15_string_pack, j10_salted_skew_join, vocab_build). Queries not
-# listed follow in registration order — nothing is dropped.
+# take 10 of the r7-stale cohort (oldest evidence; the 6 deferred —
+# a4_distinct, a5_dedup_scan, p6_conditional_name,
+# p7_geometry_roundtrip, w3_rank_battery, url_domain_cap — plus
+# url_canonical_dedup and url_domain_stats re-queue for r13, all from
+# families still holding a window slot), plus the four r8-stale names
+# that keep every operator family represented in the first 50
+# (events_sessionize, f15_string_pack, j10_salted_skew_join,
+# vocab_build). Queries not listed follow in registration order —
+# nothing is dropped.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # — r12 operator rewrites (30): pagerank restructure —
+    # — r12 operator rewrites (36): pagerank restructure —
     "ml_pagerank_converged",
+    # minhash signature substrate (binary minima aggregate) —
+    "dedup_minhash_lsh", "dedup_verified_pairs", "dedup_incremental",
+    "dedup_clusters", "dedup_lsh_recall", "split_leakage_safe",
     # sampling / bloom (also the r11-unsampled rewrites) —
     "sample_dsir", "decontaminate_bloom",
     # dedup / similarity fan-out + Bloom/simhash substrate —
@@ -979,13 +985,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_main_content", "text_quality_metrics", "text_gopher_rules",
     "text_gopher_summary", "text_hash_classifier", "ml_auc_ranked",
     "ml_eval_calibration", "ml_eval_confusion",
-    # — r7-stale cohort (oldest greens; 16 of 18 non-rewritten names) —
-    "a3_latest_date", "a4_distinct", "a5_dedup_scan",
-    "j3_plaats_overlay", "j5_explode_self_join", "j6_coalesce_override",
-    "j8_semi_join", "p6_conditional_name", "p7_geometry_roundtrip",
-    "text_pii_redact", "tpch_q7_volume_shipping", "ts_window_battery",
-    "url_blocklist_filter", "url_canonicalize", "url_domain_cap",
-    "w3_rank_battery",
+    # — r7-stale cohort (oldest greens; 10 of 18 non-rewritten names) —
+    "a3_latest_date", "j3_plaats_overlay", "j5_explode_self_join",
+    "j6_coalesce_override", "j8_semi_join", "text_pii_redact",
+    "tpch_q7_volume_shipping", "ts_window_battery",
+    "url_blocklist_filter", "url_canonicalize",
     # — r8-stale family-coverage fills —
     "events_sessionize", "f15_string_pack", "j10_salted_skew_join",
     "vocab_build",
@@ -1023,6 +1027,11 @@ _REWRITTEN_SINCE_DRIVER_ROW: tuple[str, ...] = (
     # operator is new code and its r10 green predates even the r11
     # single-pass rewrite (VERDICT r11 #5)
     "decontaminate_bloom",
+    # r12 minhash signature aggregate: 16-byte binary minima, hex
+    # restored per doc — outputs byte-identical (oracle + pairwise
+    # probe), executing aggregate is new code
+    "dedup_minhash_lsh", "dedup_verified_pairs", "dedup_incremental",
+    "dedup_clusters", "dedup_lsh_recall", "split_leakage_safe",
 )
 
 

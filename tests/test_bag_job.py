@@ -119,6 +119,7 @@ def _write_inputs(root):
     )
 
 
+@pytest.mark.slow
 def test_import_bag_end_to_end(spark, tmp_path):
     _write_inputs(tmp_path)
     cfg = EngineConfig(active_only=True, snapshot_date=SNAPSHOT)
@@ -149,6 +150,7 @@ def test_csv_header_validation(spark, tmp_path):
         read_gemeenten_csv(spark, str(bad))
 
 
+@pytest.mark.slow
 def test_import_bag_from_raw_delivery_zip(spark, tmp_path):
     """Point import_bag at a directory holding ONLY the combined delivery
     zip (outer zip → per-entity zips → XML members, the reference's

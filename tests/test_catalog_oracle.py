@@ -13,8 +13,27 @@ _REG = registry()
 _WITH_ORACLE = sorted(n for n, qd in _REG.items() if qd.sql)
 _ROWS_ONLY = sorted(n for n, qd in _REG.items() if not qd.sql)
 
+# The 8 sweep members measured > 30 s each at sf0.01/local[8] (r12
+# durations run: dedup_verified_pairs 136 s ... dedup_incremental 33 s —
+# the DuckDB side of the unrolled minhash/CC oracles dominates). They
+# run only under SPARK_GRAFT_FULL_TESTS=1 (see conftest) so the default
+# suite fits the verification driver's capture window (VERDICT r11 #1);
+# all 8 sit inside the driver's own 50-query oracle window this round
+# (_DRIVER_PRIORITY), so they stay driver-verified every round.
+_SLOW_ORACLE = {
+    "dedup_verified_pairs", "dedup_clusters", "split_leakage_safe",
+    "dedup_canonical", "dedup_lsh_recall", "dedup_minhash_lsh",
+    "ml_pagerank_converged", "dedup_incremental",
+}
 
-@pytest.mark.parametrize("name", _WITH_ORACLE)
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+        for n in _WITH_ORACLE
+    ],
+)
 def test_oracle_match(spark, name):
     qd = _REG[name]
     ok, msg = compare(spark, name, qd.fn, qd.sql)

@@ -9,6 +9,8 @@ compare), proving a consumer of the reference's bag.sqlite can read ours.
 
 from __future__ import annotations
 
+import pytest
+
 import csv
 import glob
 import os
@@ -40,6 +42,7 @@ def _run_cli(*args: str) -> subprocess.CompletedProcess:
     )
 
 
+@pytest.mark.slow
 def test_cli_import_export_validate_end_to_end(tmp_path):
     _write_inputs(tmp_path)
     out_dir = str(tmp_path / "db")
@@ -167,6 +170,7 @@ def test_sqlite_sink_failure_preserves_previous_table(spark, tmp_path):
     assert rows == [(0,), (1,), (2,), (3,), (4,)]
 
 
+@pytest.mark.slow
 def test_cli_prepare_writes_split_corpus(tmp_path):
     """`prepare` must write a split-partitioned parquet corpus whose JSON
     summary matches the artifact, with deterministic split assignment
@@ -202,6 +206,7 @@ def test_cli_prepare_writes_split_corpus(tmp_path):
     assert qmin >= 0.7
 
 
+@pytest.mark.slow
 def test_cli_prepare_decontaminate_flag(tmp_path):
     """`prepare --decontaminate eval.parquet` drops the doc that contains
     an eval 8-gram and keeps the clean one — the CLI wiring for the
@@ -246,6 +251,7 @@ def test_cli_prepare_decontaminate_flag(tmp_path):
     assert kept == [2]
 
 
+@pytest.mark.slow
 def test_cli_ingest_incremental_dedup(spark, tmp_path):
     """`ingest` drains new files through the streaming dedup pipeline;
     rerunning with the same checkpoint after a second delivery only
@@ -277,6 +283,7 @@ def test_cli_ingest_incremental_dedup(spark, tmp_path):
     assert json.loads(r.stdout.strip().splitlines()[-1])["n_accepted"] == 3
 
 
+@pytest.mark.slow
 def test_cli_ingest_budget_deferral(spark, tmp_path):
     """`ingest --crawl-delays/--batch-window-sec` applies the per-batch
     politeness budget through the CLI, and the engine-owned deferral
@@ -329,6 +336,7 @@ def test_cli_ingest_budget_deferral(spark, tmp_path):
     assert "--batch-window-sec" in r.stderr
 
 
+@pytest.mark.slow
 def test_cli_import_native_xml_backend(tmp_path):
     """`import --xml-backend native` runs the JVM XML scan end to end on
     a plain (pre-extracted) delivery and produces the same adressen the
@@ -362,6 +370,7 @@ def test_cli_import_native_xml_backend(tmp_path):
     assert out["native"] == out["iterparse"] and len(out["native"]) == 300
 
 
+@pytest.mark.slow
 def test_cli_import_native_backend_zipped_delivery(tmp_path):
     """`import --xml-backend native` on a ZIPPED delivery (the real
     per-entity-zip layout): the CLI transparently extracts to plain .xml
@@ -401,6 +410,7 @@ def test_cli_import_native_backend_zipped_delivery(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_cli_prepare_gopher_and_domain_flags(tmp_path):
     """`prepare --gopher --url-col url --max-per-domain --block-domains
     --allow-domains` — the CLI wiring for both r7 stages in one run:
@@ -464,6 +474,7 @@ def test_cli_prepare_gopher_and_domain_flags(tmp_path):
     assert 100 not in kept_ids          # gopher-rejected doc absent
 
 
+@pytest.mark.slow
 def test_cli_prepare_from_warc(tmp_path):
     """`prepare --from-warc` runs the raw-crawl front half (WARC ->
     visible text -> C4 line gate, URL-keyed) before the standard
@@ -527,6 +538,7 @@ def test_cli_prepare_from_warc(tmp_path):
     assert per_dom == {"site0.com": 2, "site1.com": 2}
 
 
+@pytest.mark.slow
 def test_cli_ingest_from_warc(tmp_path):
     """`ingest --from-warc` drains crawl segments through the WARC
     front half + incremental dedup and reports the accepted count."""
@@ -567,6 +579,7 @@ def test_cli_ingest_from_warc(tmp_path):
     assert summary["n_accepted"] == 2
 
 
+@pytest.mark.slow
 def test_cli_prepare_full_web_pipeline_stage_report(tmp_path):
     """VERDICT r7 #6: ONE CLI invocation composes the whole web-curation
     chain — WARC -> readability main-content extraction -> C4 lines ->
@@ -694,6 +707,7 @@ def test_cli_prepare_full_web_pipeline_stage_report(tmp_path):
     assert not any("/private/" in u for u, *_ in rows)
 
 
+@pytest.mark.slow
 def test_cli_prepare_from_jsonl(tmp_path):
     """`prepare --from-jsonl` reads gzipped JSONL with the explicit
     --input-schema (never inference) and runs the same curation
@@ -734,6 +748,7 @@ def test_cli_prepare_from_jsonl(tmp_path):
     assert ids == {1, 2}
 
 
+@pytest.mark.slow
 def test_cli_ingest_dsir_gate(spark, tmp_path):
     """`ingest --dsir-target/--dsir-reference` freezes the importance
     distribution into the state dir, `--dsir-min-key` gates each batch

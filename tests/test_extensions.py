@@ -5,6 +5,8 @@ and the observe() metrics surface."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bag_parser_spark.operators import aggregates as agg
@@ -2023,6 +2025,7 @@ def test_prepare_corpus_segment_dup_gate(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == {1, 2, 3}
 
 
+@pytest.mark.slow
 def test_prepare_corpus_decontamination_gate(spark, tmp_path):
     """prepare_corpus --decontaminate: a doc that is mostly eval text is
     dropped at any threshold; a doc sharing ONE 8-gram of many is dropped
@@ -2714,6 +2717,7 @@ def test_prepare_corpus_jsonl_artifact(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_checkpoint_dir_routes_are_output_identical(spark, tmp_path):
     """VERDICT r8 #3: every iterative loop exposes checkpoint_dir —
     reliable df.checkpoint() when set, localCheckpoint otherwise — and

@@ -4,6 +4,8 @@ independent, so stream/batch parity is bit-exact)."""
 
 from __future__ import annotations
 
+import pytest
+
 from bag_parser_spark.plans.catalog import registry
 from bag_parser_spark.streaming.events import run_stream_to_memory
 
@@ -525,6 +527,7 @@ def test_read_events_stream_rejects_mixed_ts_encodings(spark, tmp_path):
     assert df.isStreaming and dict(df.dtypes)["ts"] == "timestamp"
 
 
+@pytest.mark.slow
 def test_incremental_ingest_stream_dedups_across_batches(spark, tmp_path):
     """Streaming corpus ingestion: each micro-batch dedups against itself
     AND the accepted state (exact via content hash, near via incremental
@@ -605,6 +608,7 @@ def test_ingest_batch_survives_missing_signature_dir(spark, tmp_path):
     assert acc == {1, 3}
 
 
+@pytest.mark.slow
 def test_ingest_crash_window_backfill(spark, tmp_path, monkeypatch):
     """Crash injection for the documented mid-append window: kill the
     batch BETWEEN the two state appends (accepted/ written, signatures/
@@ -705,6 +709,7 @@ def test_ingest_batch_string_ids_fresh_state(spark, tmp_path):
     assert dict(sigs.dtypes)["__id__"] == "string"
 
 
+@pytest.mark.slow
 def test_ingest_domain_quota_across_batches(spark, tmp_path):
     """Streaming domain stage: blocklisted domains are dropped up front,
     the per-domain quota is enforced ACROSS batches (first-arrival wins
@@ -762,6 +767,7 @@ def test_ingest_domain_quota_across_batches(spark, tmp_path):
         ingest_batch(spark, b1, state2, **kw)
 
 
+@pytest.mark.slow
 def test_ingest_politeness_budget_across_batches(spark, tmp_path):
     """Delay-derived per-BATCH politeness budget (VERDICT r9 #6): with
     crawl_delays + batch_window_sec, each micro-batch admits at most
@@ -849,6 +855,7 @@ def test_ingest_politeness_budget_across_batches(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_ingest_budget_deferral_engine_owned(spark, tmp_path):
     """VERDICT r10 #3: a budget reject is a deferral the ENGINE owns.
     ingest_batch persists beyond-budget docs to deferred/ and prepends
@@ -937,6 +944,7 @@ def test_ingest_budget_deferral_engine_owned(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_ingest_domain_counts_partials_and_rebuild(spark, tmp_path):
     """The quota's consumed counts come from per-batch domain_counts
     partials (never a full accepted/ aggregate per batch); deleting the
@@ -1087,6 +1095,7 @@ def test_ingest_robots_gate_and_jsonl_stream(spark, tmp_path):
     assert len(acc2 & {11, 13}) == 1 and len(acc2) == 2
 
 
+@pytest.mark.slow
 def test_ingest_dsir_gate_batch_split_invariant(spark, tmp_path):
     """VERDICT r8 #6: the DSIR gate in the streaming ingest selects
     against the FROZEN distribution persisted by init_dsir_state, so
