@@ -798,12 +798,16 @@ def ivfpq_topk(
     cb0 = centroids.select(
         F.col("cid"), _as_double(F.col("cv")).alias("__cv__")
     )
-    v = fan_out_cpu_dense(
-        df.select(
-            F.col(id_col).alias("__vid__"),
-            _as_double(F.col(vec_col)).alias("__v__"),
-        ),
-        "__vid__",
+    # (r12: the family's guarded fan-out was A/B'd here and REVERTED —
+    # decisive 10-rep interleaved run: min flat 1.91 vs 1.93 s, median
+    # WORSE 2.18 -> 2.33 s. Unlike ivf_topk/semantic_dedup/pq_encode,
+    # the unpersisted `v` projection feeds several downstream subtrees
+    # (assignment, residuals, donor codebooks), so the pinned-width
+    # repartition multiplies through re-planned references instead of
+    # paying off once.)
+    v = df.select(
+        F.col(id_col).alias("__vid__"),
+        _as_double(F.col(vec_col)).alias("__v__"),
     )
     assign_best = F.min(
         F.struct(
